@@ -1,0 +1,113 @@
+"""Engine lifecycle — the reference's ``ComponentBase.run()`` (SURVEY §3.1)
+as one declarative Spark pipeline.
+
+Reference flow (``ex_mysql_cdc/src/component.py:92-170``): config → state
+restore → metadata → Debezium ingest → staging export (dedup SQL) →
+manifests/state. Spark flow: scan event source → normalize envelope →
+route schema-changes → mode switch (append | window-dedup) → rename to
+output system columns → sink + manifest + state. Catalyst collapses the
+whole thing into one job per output table; there are no process
+boundaries (the reference crosses five, SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model.envelope import SYSTEM_COLUMNS as SC
+from .model.schema import TableSchema, SchemaRegistry
+from .operators.dedup import dedup_latest, dedup_latest_no_pk
+from .operators.filters import apply_column_filter
+from .operators.order import order_sort_cols
+from .sinks.csv_sink import write_csv, write_parquet
+from .sinks.manifest import write_manifest
+from .sinks.state import RunState
+from .sources.events import read_cdc_events, PAYLOAD_COLS
+
+
+@dataclass
+class SyncConfig:
+    """The subset of the reference's configuration surface the engine
+    consumes (reference ``configuration.py:188-196`` dataclass tree)."""
+
+    mode: str = "DEDUPE"                 # APPEND | DEDUPE (T9)
+    primary_keys: list[str] = field(default_factory=lambda: ["user_id"])
+    column_include: list[str] | None = None
+    column_exclude: list[str] | None = None
+    output_format: str = "parquet"       # parquet | csv
+    incremental: bool = True
+
+
+_OUTPUT_RENAMES = {
+    SC.operation: SC.OPERATION,
+    SC.event_timestamp: SC.EVENT_TIMESTAMP_MS,
+    SC.file: SC.FILE,
+    SC.pos: SC.POS,
+    SC.deleted: SC.DELETED,
+    SC.batch_event_order: SC.BATCH_EVENT_ORDER,
+}
+
+
+def to_output_columns(df: DataFrame) -> DataFrame:
+    """F8: normalize ``kbc__*`` ingest names to ``KBC__*`` output names
+    (reference ``component.py:628-644``)."""
+    for src, dst in _OUTPUT_RENAMES.items():
+        if src in df.columns:
+            df = df.withColumnRenamed(src, dst)
+    return df
+
+
+def plan_table(events: DataFrame, cfg: SyncConfig) -> DataFrame:
+    """Build the per-table logical plan: column filter → (dedup | append)
+    → output naming. Pure plan construction — nothing executes here."""
+    df = apply_column_filter(events, cfg.column_include, cfg.column_exclude)
+    if cfg.mode.upper() == "DEDUPE":
+        if cfg.primary_keys:
+            df = dedup_latest(df, cfg.primary_keys,
+                              order_by=order_sort_cols(descending=True))
+        else:
+            df = dedup_latest_no_pk(df, system_cols=SC.ingest_names + ["_table"])
+    return to_output_columns(df)
+
+
+def sync(spark: SparkSession, sf_dir: str, out_dir: str,
+         cfg: SyncConfig | None = None,
+         state: RunState | None = None) -> dict[str, DataFrame]:
+    """Run one bounded sync: source → plan → sinks. Returns the result
+    DFs per output table (materialized to ``out_dir``)."""
+    cfg = cfg or SyncConfig()
+    state = state or RunState()
+    os.makedirs(out_dir, exist_ok=True)
+
+    events = read_cdc_events(spark, sf_dir)
+    result = plan_table(events, cfg)
+
+    table_name = "events"
+    path = os.path.join(out_dir, table_name)
+    if cfg.output_format == "csv":
+        write_csv(result, path)
+    else:
+        write_parquet(result, path)
+
+    schema = TableSchema(name=table_name, struct=result.schema,
+                         primary_keys=cfg.primary_keys)
+    registry = SchemaRegistry()
+    registry.update(schema)
+    registry.save(os.path.join(out_dir, "schema.json"))
+    write_manifest(schema, path + ".manifest", incremental=cfg.incremental)
+
+    # Advance offsets to the max consumed coordinates (bounded-run end,
+    # the reference's "captured target position", P6).
+    bounds = result.agg(
+        F.max(SC.EVENT_TIMESTAMP_MS).alias("ts"),
+        F.max(SC.POS).alias("pos")).collect()[0]
+    state.offsets[table_name] = {"ts": bounds["ts"], "file": "binlog.000001",
+                                 "pos": bounds["pos"]}
+    state.last_synced_tables = [table_name]
+    state.previous_mode = cfg.mode
+    state.save(os.path.join(out_dir, "state.json"))
+    return {table_name: result}

@@ -1,0 +1,638 @@
+"""Declared query inventory: Spark builder + DuckDB oracle SQL per operator.
+
+This is the driver-facing catalog backing ``__spark_entry__.py``
+(queries()/oracle_sql()). Each entry exercises one operator family from
+SURVEY §2 (or a beyond-reference LLM-pipeline operator) end-to-end over
+the driver testdata, and carries an ANSI-SQL oracle with IDENTICAL
+column aliases.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+- money/measure sums go through exact DECIMAL accumulation (double →
+  decimal(18,6) per row, exact decimal sum, final cast to double) —
+  never a float sum whose value depends on partition order;
+- averages = decimal-sum-cast-double / count (double division of
+  identical operands);
+- top-k uses an explicit deterministic tie-break key;
+- every md5/string function used exists with identical semantics in
+  both engines (verified by scripts/check_oracle.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .model.envelope import SYSTEM_COLUMNS as SC
+from .operators.dedup import dedup_latest, chunked_dedup
+from .operators.schema_align import union_epochs
+from .sources.events import read_cdc_events, read_events, read_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+DEC = "decimal(18,6)"
+
+
+def _dec_sum(col: F.Column, alias: str) -> F.Column:
+    """Exact distributed sum: per-row cast to decimal (order-independent),
+    decimal accumulation (exact), result as double."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+def _spark(spark: SparkSession) -> SparkSession:
+    # Event-time determinism across engines (duckdb is UTC-naive).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+# The replay op-derivation convention (sources/events.py) in oracle SQL.
+_OP_SQL = ("CASE WHEN event_type = 'signup' THEN 'c' "
+           "WHEN event_type = 'error' THEN 'd' ELSE 'u' END")
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# CDC core (SURVEY §2: W1/W2/J1/P2/T7/T9, F-series)
+
+@query("cdc_dedup_latest", f"""
+SELECT user_id, event_type, "value", props,
+       {_OP_SQL} AS kbc__operation,
+       epoch_ms(ts) AS kbc__event_timestamp,
+       event_id AS kbc__pos,
+       (event_type = 'error') AS kbc__deleted
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+""")
+def cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ranking-window dedup — the reference's core query
+    (staging.py:250-256): latest event per PK."""
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    out = dedup_latest(ev, ["user_id"])
+    return out.select(
+        "user_id", "event_type", "value", "props",
+        F.col(SC.operation).alias("kbc__operation"),
+        F.col(SC.event_timestamp).alias("kbc__event_timestamp"),
+        F.col(SC.pos).alias("kbc__pos"),
+        F.col(SC.deleted).alias("kbc__deleted"))
+
+
+@query("cdc_dedup_composite_key", """
+SELECT user_id, event_type, "value", event_id AS kbc__pos
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+    ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+""")
+def cdc_dedup_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 with a composite PK (multi-column PARTITION BY)."""
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    out = dedup_latest(ev, ["user_id", "event_type"])
+    return out.select("user_id", "event_type", "value",
+                      F.col(SC.pos).alias("kbc__pos"))
+
+
+@query("cdc_current_state", f"""
+SELECT user_id, event_type, "value", event_id AS kbc__pos
+FROM (
+  SELECT *, {_OP_SQL} AS op FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+) WHERE op <> 'd'
+""")
+def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 soft-delete semantics: current state = latest per PK, dropping
+    keys whose last event is a delete (the hard-delete *view* over the
+    soft-deleted compacted table)."""
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    out = dedup_latest(ev, ["user_id"]).filter(~F.col(SC.deleted))
+    return out.select("user_id", "event_type", "value",
+                      F.col(SC.pos).alias("kbc__pos"))
+
+
+@query("cdc_append", f"""
+SELECT user_id, event_type, "value", props,
+       {_OP_SQL} AS "KBC__OPERATION",
+       epoch_ms(ts) AS "KBC__EVENT_TIMESTAMP_MS",
+       event_id AS "KBC__POS",
+       (event_type = 'error') AS "KBC__DELETED",
+       event_id AS "KBC__BATCH_EVENT_ORDER"
+FROM events
+""")
+def cdc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 APPEND mode: passthrough with output system columns
+    (component.py:61-75 naming; no dedup)."""
+    from .engine import to_output_columns
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    return to_output_columns(ev).select(
+        "user_id", "event_type", "value", "props",
+        "KBC__OPERATION", "KBC__EVENT_TIMESTAMP_MS", "KBC__POS",
+        "KBC__DELETED", "KBC__BATCH_EVENT_ORDER")
+
+
+@query("cdc_chunked_dedup", """
+WITH bounds AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS mid FROM events),
+c0 AS (SELECT * FROM events WHERE event_id < (SELECT mid FROM bounds)),
+c1 AS (SELECT * FROM events WHERE event_id >= (SELECT mid FROM bounds)),
+d0 AS (SELECT user_id, event_id FROM c0
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+d1 AS (SELECT user_id, event_id FROM c1
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+s0 AS (SELECT d0.user_id, d0.event_id FROM d0
+       LEFT JOIN d1 ON d0.user_id = d1.user_id WHERE d1.user_id IS NULL)
+SELECT user_id, event_id AS kbc__pos FROM s0
+UNION ALL
+SELECT user_id, event_id AS kbc__pos FROM d1
+""")
+def cdc_chunked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+J1: map-reduce chunked dedup (per-chunk window + left-anti
+    suppression of keys reappearing in later chunks, staging.py:216-282).
+    Semantically equals the single global window; kept as its own operator
+    to prove the reverse-order suppression semantics."""
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    mn, mx = ev.agg(F.min(SC.pos), F.max(SC.pos)).collect()[0]
+    mid = (mn + mx) // 2
+    chunks = [ev.filter(F.col(SC.pos) < mid), ev.filter(F.col(SC.pos) >= mid)]
+    out = chunked_dedup(chunks, ["user_id"],
+                        order_by=[F.col(SC.pos).desc()])
+    return out.select("user_id", F.col(SC.pos).alias("kbc__pos"))
+
+
+@query("cdc_no_pkey_dedup", """
+SELECT user_id, event_type, "value", props, MAX(event_id) AS kbc__pos
+FROM events
+GROUP BY user_id, event_type, "value", props
+""")
+def cdc_no_pkey_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-PK dedup: key = all payload columns (component.py:406-408);
+    collapses exact-duplicate payloads keeping the latest event order."""
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    return (ev.groupBy("user_id", "event_type", "value", "props")
+              .agg(F.max(SC.pos).alias("kbc__pos")))
+
+
+@query("cdc_schema_align_union", """
+WITH bounds AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS mid FROM events)
+SELECT user_id, event_type, "value", CAST(NULL AS VARCHAR) AS props,
+       event_id AS kbc__pos
+FROM events WHERE event_id < (SELECT mid FROM bounds)
+UNION ALL
+SELECT user_id, event_type, "value", props, event_id AS kbc__pos
+FROM events WHERE event_id >= (SELECT mid FROM bounds)
+""")
+def cdc_schema_align_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/T4/T5 schema-drift union: epoch 1 lacks the later-added ``props``
+    column; unionByName(allowMissingColumns) NULL-pads it
+    (staging.py:299-317 NULL-padding projection)."""
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    mn, mx = ev.agg(F.min(SC.pos), F.max(SC.pos)).collect()[0]
+    mid = (mn + mx) // 2
+    epoch1 = (ev.filter(F.col(SC.pos) < mid)
+                .select("user_id", "event_type", "value",
+                        F.col(SC.pos).alias("kbc__pos")))
+    epoch2 = (ev.filter(F.col(SC.pos) >= mid)
+                .select("user_id", "event_type", "value", "props",
+                        F.col(SC.pos).alias("kbc__pos")))
+    out = union_epochs([epoch1, epoch2])
+    return out.select("user_id", "event_type", "value", "props", "kbc__pos")
+
+
+@query("cdc_scalar_funcs", """
+SELECT event_id AS kbc__pos,
+       concat_ws('|', CAST(user_id AS VARCHAR), event_type) AS pk_tmp,
+       strftime(ts, '%Y-%m-%d') AS event_date,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+       md5(event_type) AS etype_md5,
+       make_timestamp(epoch_us(ts)) AS ts_roundtrip,
+       upper(event_type) AS etype_upper
+FROM events
+""")
+def cdc_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface F1-F10: composite-key synthesis
+    (concat_ws, staging.py:242), temporal decode round-trip
+    (AbstractDbConverter.java:105-110), JSON field extraction
+    (DbChangeConsumer.java:164-229), hashing, case normalization."""
+    ev = read_events(_spark(spark), sf_dir)
+    return ev.select(
+        F.col("event_id").alias("kbc__pos"),
+        F.concat_ws("|", F.col("user_id").cast("string"),
+                    F.col("event_type")).alias("pk_tmp"),
+        # ISO date string, the reference's F3 epoch-day→ISO decode
+        # (AbstractDbConverter.java:105-108).
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.md5(F.col("event_type").cast("binary")).alias("etype_md5"),
+        F.timestamp_micros(F.unix_micros("ts")).alias("ts_roundtrip"),
+        F.upper("event_type").alias("etype_upper"))
+
+
+@query("events_windowed_agg", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over event time (the batch shape of the
+    Structured Streaming windowed agg in streaming/)."""
+    ev = read_events(_spark(spark), sf_dir)
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   _dec_sum(F.col("value"), "sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# Relational suite (free on Spark per SURVEY §2.4/§2.5 "none in reference";
+# these are the bench headliners proving the engine's general query surface)
+
+@query("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. Plan: parquet scan with pushed
+    timestamp filter → partial hash agg → exchange → final agg (map-side
+    combine keeps the shuffle tiny at any scale)."""
+    li = read_table(_spark(spark), sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+        _dec_sum(disc_price, "sum_disc_price"),
+        _dec_sum(charge, "sum_charge"),
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / cnt).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast(DEC)).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order")))
+
+
+@query("q3_shipping_priority", """
+SELECT o_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join + agg + top-k. customer is broadcast (small
+    dim); lineitem⨝orders shuffles on the order key. Deterministic
+    tie-break on o_orderkey."""
+    s = _spark(spark)
+    cust = read_table(s, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = read_table(s, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-30 00:00:00").cast("timestamp"))
+    li = read_table(s, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-30 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(_dec_sum(disc_price, "revenue"))
+              .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+              .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+              .limit(10))
+
+
+@query("q5_nation_revenue", """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+""")
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: all dimension tables broadcast; the
+    only shuffle is lineitem⨝orders. Catalyst + AQE pick broadcast-hash
+    automatically below the threshold; we hint explicitly so the plan
+    survives a 100× fact-table scale-up."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    orders = read_table(s, sf_dir, "orders")
+    cust = read_table(s, sf_dir, "customer")
+    supp = read_table(s, sf_dir, "supplier")
+    nation = read_table(s, sf_dir, "nation")
+    region = read_table(s, sf_dir, "region")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(supp),
+                    (li.l_suppkey == supp.s_suppkey)
+                    & (cust.c_nationkey == supp.s_nationkey))
+              .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+              .groupBy("n_name")
+              .agg(_dec_sum(disc_price, "revenue")))
+
+
+@query("q6_revenue_delta", """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""")
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped selective scan-agg: every predicate pushes to the
+    parquet scan (PushedFilters), zero shuffle (single global agg)."""
+    li = read_table(_spark(spark), sf_dir, "lineitem")
+    f = (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                   & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                   & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.06)
+                   & (F.col("l_quantity") < 24)))
+    return f.agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+                 F.count(F.lit(1)).alias("n_rows"))
+
+
+@query("top_k_orders", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""")
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heaps, no
+    global sort. Deterministic tie-break on the key."""
+    return (read_table(_spark(spark), sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data pipeline operators (beyond-reference; BASELINE.json
+# north star). documents / embeddings tables.
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+@query("text_token_stats", """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_calc,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — all JVM-side functions, no
+    UDF; at 100 TB this is a pure map stage."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    return d.select(
+        "doc_id", n.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        ((F.length("text") - (n - 1)).cast("double") / n).alias("avg_token_len"))
+
+
+@query("text_quality", f"""
+SELECT doc_id, COUNT(*) AS n_tokens,
+       COALESCE(SUM(CASE WHEN t IN {_STOP_SQL} THEN 1 ELSE 0 END), 0) AS n_stop,
+       CAST(COALESCE(SUM(CASE WHEN t IN {_STOP_SQL} THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         / COUNT(*) AS stop_ratio
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+GROUP BY doc_id
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword-ratio signal (explode → agg; the shuffle
+    keys on doc_id and AQE coalesces the tiny post-agg partitions)."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    n_stop = F.coalesce(
+        F.sum(F.when(F.col("t").isin(*_STOPWORDS), 1).otherwise(0)), F.lit(0))
+    return (t.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_tokens"),
+                  n_stop.alias("n_stop"),
+                  (n_stop.cast("double") / F.count(F.lit(1))).alias("stop_ratio")))
+
+
+@query("text_fingerprint", """
+SELECT doc_id,
+       md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: order-insensitive content hash (sorted-token
+    md5) — the canonical-form trick used for near-dup blocking."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    canon = F.array_join(F.array_sort(F.split(F.lower(F.col("text")), " ")), " ")
+    return d.select("doc_id", F.md5(canon.cast("binary")).alias("fp"))
+
+
+@query("exact_dedup_docs", """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_doc_id,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+""")
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; representative = min doc_id.
+    One shuffle on the 128-bit hash — uniform keys, no skew at any scale."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    return (d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+             .agg(F.min("doc_id").alias("rep_doc_id"),
+                  F.count(F.lit(1)).alias("dup_count")))
+
+
+@query("text_langid", """
+SELECT doc_id,
+       CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+         / length(text) AS vowel_ratio,
+       CASE WHEN CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+                 / length(text) >= 0.30 THEN 'en'
+            WHEN CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+                 / length(text) >= 0.25 THEN 'es'
+            ELSE 'other' END AS lang_pred
+FROM documents
+""")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic (vowel-density variant): a stand-in
+    deterministic classifier whose Spark and SQL forms must agree — the
+    real models plug in as pandas UDFs behind the same column contract."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    vr = (F.length(F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", ""))
+          .cast("double") / F.length("text"))
+    return d.select(
+        "doc_id", vr.alias("vowel_ratio"),
+        F.when(vr >= 0.30, "en").when(vr >= 0.25, "es")
+         .otherwise("other").alias("lang_pred"))
+
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str, n_hashes: int = 16) -> DataFrame:
+    """Shared minhash signature builder: word-3-gram shingles → per-doc
+    min of md5(shingle + seed_j) prefixes (hex order = numeric order for
+    fixed-width lowercase hex, so string MIN is a valid minhash)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> array_join(slice(split(text, ' '), i, 3), ' '))")
+    exploded = (d.filter(F.size(toks) >= 3)
+                 .select("doc_id", F.explode(sh).alias("sh")))
+    aggs = [F.min(F.substring(F.md5(F.concat(F.col("sh"), F.lit(f"#{j}"))
+                                    .cast("binary")), 1, 16)).alias(f"h{j}")
+            for j in range(n_hashes)]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SIG_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM idx)
+SELECT doc_id,
+  {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+@query("minhash_signatures",
+       _MINHASH_SIG_SQL.format(mins=",\n  ".join(
+           f"MIN(substr(md5(sh || '#{j}'), 1, 16)) AS h{j}" for j in range(16))))
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 permutations via seeded md5) — stage 1 of
+    near-dup detection. Explode-then-agg; the shuffle carries only
+    (doc_id, 16×16B) after map-side partial min."""
+    return _minhash_sig_df(_spark(spark), sf_dir)
+
+
+_LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
+
+
+@query("minhash_lsh_pairs", """
+WITH sig AS ({sig}),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 || h2 || h3 AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, h4 || h5 || h6 || h7 FROM sig
+  UNION ALL SELECT doc_id, 2, h8 || h9 || h10 || h11 FROM sig
+  UNION ALL SELECT doc_id, 3, h12 || h13 || h14 || h15 FROM sig),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, COUNT(*) AS n_bands
+FROM pairs GROUP BY doc_a, doc_b
+""".format(sig=_MINHASH_SIG_SQL.format(mins=",\n  ".join(
+    f"MIN(substr(md5(sh || '#{j}'), 1, 16)) AS h{j}" for j in range(16)))))
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: band the signatures (4 bands × 4
+    rows), bucket-join on band value. The join key is the band hash —
+    uniformly distributed, so the self-join shuffle is skew-free; at
+    100 TB the band table is orders of magnitude smaller than the corpus
+    (only docs sharing a band collide)."""
+    sig = _minhash_sig_df(_spark(spark), sf_dir)
+    bands = union_epochs([
+        sig.select("doc_id", F.lit(b).alias("band"),
+                   F.concat(*[F.col(f"h{b * 4 + i}") for i in range(4)]).alias("bv"))
+        for b in range(_LSH_BANDS)])
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+    return (pairs.select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("n_bands")))
+
+
+@query("embedding_topk", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id >= 5),
+s AS (SELECT qid, cid,
+             round(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i]))
+                   / (qn * cn), 6) AS sim
+      FROM q, c)
+SELECT qid, cid, sim FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 10
+""")
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: the query set broadcasts
+    (the scale pattern — tiny probe side × huge corpus), dot products run
+    as JVM higher-order functions (no Python), per-query top-k via
+    window. Rounded to 6dp with a cid tie-break for determinism."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    emb = emb.withColumn(
+        "nrm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                  F.lit(0.0), lambda a, x: a + x)))
+    q = (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                    F.col("nrm").alias("qn")))
+    c = (emb.filter(F.col("vec_id") >= 5)
+            .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                    F.col("nrm").alias("cn")))
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    pairs = (c.crossJoin(F.broadcast(q))
+              .select("qid", "cid",
+                      F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("sim")))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= 10).drop("rn"))
+
+
+@query("multimodal_meta", """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       (octet_length(encode(text)) + 255) // 256 AS n_frames,
+       md5(text) AS content_hash
+FROM documents
+""")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: treat content as opaque bytes with
+    typed metadata (byte length, fixed-size frame count, content hash) —
+    the schema/partitioning layer under the decode stubs in
+    operators/llm/multimodal.py."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    nbytes = F.octet_length("text").cast("long")
+    return d.select(
+        "doc_id", nbytes.alias("n_bytes"),
+        F.floor((nbytes + 255) / 256).alias("n_frames"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"))

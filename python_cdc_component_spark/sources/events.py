@@ -1,0 +1,85 @@
+"""File-backed CDC event source (S1 rebuild, batch flavor).
+
+The reference's S1 is the embedded Debezium engine emitting JSON change
+events (``AbstractDebeziumTask.java:97-130``). The rebuild's first-phase
+source (SURVEY §7.1) is a **file-backed event stream** with the same
+envelope: the driver's ``events`` parquet table plays the role of the
+binlog (FIXTURES.md E1 maps it onto the envelope).
+
+Normalization contract — each raw event row becomes:
+- payload columns (here: ``user_id``, ``event_type``, ``value``, ``props``),
+- ``kbc__operation``: 'c' | 'u' | 'd' | 'r' derived deterministically
+  from the workload (signup=create, error=delete, rest=update — the
+  replay convention used across the test-suite and oracle),
+- ``kbc__event_timestamp`` epoch-millis (source commit ts),
+- ``kbc__file`` / ``kbc__pos`` log coordinates (synthetic single log
+  file; ``pos`` = ``event_id``, which the generator guarantees follows
+  commit order),
+- ``__deleted`` boolean (delete-rewrite flag, T7),
+- ``kbc__batch_event_order``: the integer total order. In the file
+  source this is exactly ``event_id`` — already a deterministic total
+  order, so no single-partition row_number is needed (SURVEY §4 item 2).
+
+Scale: one parquet scan, no shuffle; the op derivation is a projection
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..model.envelope import SYSTEM_COLUMNS as SC
+
+PAYLOAD_COLS = ["user_id", "event_type", "value", "props"]
+
+# The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark's
+# vectorized reader rejects; reading it as INT64 (epoch-nanos) with an
+# explicit schema keeps the scan vectorized and needs no session conf.
+# All derived times truncate ns → µs/ms, matching DuckDB's read (it
+# truncates TIMESTAMP_NS to µs TIMESTAMP on scan).
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),          # epoch-nanos
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the events table: raw ns epoch exposed as ``ts_ns`` plus a
+    µs-precision ``ts`` timestamp column (DuckDB-equivalent view)."""
+    raw = (spark.read.schema(EVENTS_RAW_SCHEMA)
+           .parquet(f"{sf_dir}/events.parquet"))
+    return (raw.withColumnRenamed("ts", "ts_ns")
+               .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000"))))
+
+def _op_expr():
+    """event_type → Debezium op code (replay convention; see docstring)."""
+    return (F.when(F.col("event_type") == "signup", F.lit("c"))
+             .when(F.col("event_type") == "error", F.lit("d"))
+             .otherwise(F.lit("u")))
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver parquet table (TESTDATA.md layout)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table and normalize it into the CDC envelope frame."""
+    ev = read_events(spark, sf_dir)
+    op = _op_expr()
+    return ev.select(
+        F.lit("events").alias("_table"),
+        *PAYLOAD_COLS,
+        op.alias(SC.operation),
+        F.expr("ts_ns div 1000000").alias(SC.event_timestamp),
+        F.lit("binlog.000001").alias(SC.file),
+        F.col("event_id").alias(SC.pos),
+        (op == "d").alias(SC.deleted),
+        F.col("event_id").alias(SC.batch_event_order),
+    )

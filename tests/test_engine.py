@@ -1,0 +1,83 @@
+"""End-to-end engine lifecycle + sinks + entry contract."""
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+import __spark_entry__ as entry
+from python_cdc_component_spark.engine import SyncConfig, sync
+from python_cdc_component_spark.model.schema import TableSchema
+from python_cdc_component_spark.sinks.csv_sink import write_csv
+from python_cdc_component_spark.sinks.manifest import build_manifest
+from python_cdc_component_spark.sinks.state import RunState
+from python_cdc_component_spark.sources.csv import read_csv_with_schema
+
+
+def test_sync_dedupe_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    results = sync(spark, sf_dir, out, SyncConfig(mode="DEDUPE"))
+    df = results["events"]
+    # one row per user (PK) at this sf
+    users = df.select("user_id").distinct().count()
+    assert df.count() == users
+    assert "KBC__OPERATION" in df.columns and "KBC__DELETED" in df.columns
+    assert os.path.exists(os.path.join(out, "schema.json"))
+    assert os.path.exists(os.path.join(out, "state.json"))
+    state = RunState.load(os.path.join(out, "state.json"))
+    assert not state.is_initial_run
+    assert state.offsets["events"]["pos"] is not None
+    with open(os.path.join(out, "events.manifest")) as fh:
+        manifest = json.load(fh)
+    assert manifest["primary_key"] == ["user_id"]
+
+
+def test_sync_append_keeps_all_events(spark, sf_dir, tmp_path):
+    from python_cdc_component_spark.sources.events import read_events
+    results = sync(spark, sf_dir, str(tmp_path / "out"),
+                   SyncConfig(mode="APPEND"))
+    assert results["events"].count() == read_events(spark, sf_dir).count()
+
+
+def test_csv_null_sentinel_roundtrip(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StringType()),
+    ])
+    df = spark.createDataFrame([(1, None), (2, "x"), (3, "")], schema)
+    path = str(tmp_path / "csv")
+    write_csv(df, path)
+    back = read_csv_with_schema(spark, path, schema)
+    got = {(r.id, r.s) for r in back.collect()}
+    assert got == {(1, None), (2, "x"), (3, "")}
+
+
+def test_manifest_base_types():
+    ts = TableSchema("t", T.StructType([
+        T.StructField("i", T.LongType(), False),
+        T.StructField("d", T.DecimalType(12, 5)),
+        T.StructField("s", T.StringType()),
+    ]), ["i"])
+    doc = build_manifest(ts, incremental=True)
+    bases = {c["name"]: c["data_type"]["base"] for c in doc["schema"]}
+    assert bases["i"]["type"] == "INTEGER"
+    assert bases["d"] == {"type": "NUMERIC", "length": "12,5"}
+    assert bases["s"]["type"] == "STRING"
+
+
+def test_state_offset_b64_roundtrip(tmp_path):
+    st = RunState(offsets={"t": {"ts": 5, "file": "f", "pos": 9}})
+    p = str(tmp_path / "state.json")
+    st.save(p)
+    st2 = RunState.load(p)
+    assert st2.offsets == st.offsets and not st2.is_initial_run
+
+
+def test_entry_contract(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every declared operator family has an oracle unless explicitly
+    # non-SQL-expressible
+    assert len(oracles) >= 20
