@@ -636,3 +636,303 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", nbytes.alias("n_bytes"),
         F.floor((nbytes + 255) / 256).alias("n_frames"),
         F.md5(F.col("text").cast("binary")).alias("content_hash"))
+
+
+# ---------------------------------------------------------------------------
+# Extended operator coverage: as-of / salted joins, rollup, sessionization,
+# simhash / jaccard dedup, IVF ANN, BPE-ish tokens, multimodal frames.
+
+_HEXPOS = ("(strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1)")
+_SIMHASH_V_SQL = " + ".join(
+    f"{_HEXPOS.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4))
+_SIMHASH_SUMS = ",\n  ".join(
+    f"SUM(((v >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(16))
+_SIMHASH_RECOMPOSE = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+
+
+@query("simhash_docs", f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wv AS (SELECT doc_id, {_SIMHASH_V_SQL} AS v FROM words),
+bits AS (SELECT doc_id,
+  {_SIMHASH_SUMS}
+FROM wv GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_RECOMPOSE} AS BIGINT) AS simhash FROM bits
+""")
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprint (operators.llm.simhash): per-bit
+    signed majority over word hashes; near-dups share fingerprints
+    within small Hamming distance."""
+    from .operators.llm.simhash import simhash16
+    return simhash16(read_table(_spark(spark), sf_dir, "documents"))
+
+
+@query("ngram_jaccard_pairs", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+""")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: distinct word-3-gram sets,
+    shingle-equality self-join (only docs sharing a shingle pair up —
+    the blocking that avoids the full N² at scale), exact Jaccard ≥ 0.2.
+    """
+    d = read_table(_spark(spark), sf_dir, "documents")
+    sh = (d.filter(F.size(F.split("text", " ")) >= 3)
+           .select("doc_id", F.explode(F.expr(
+               "transform(sequence(1, size(split(text, ' ')) - 2), "
+               "i -> array_join(slice(split(text, ' '), i, 3), ' '))"))
+               .alias("sh"))
+           .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .filter(jac >= 0.2)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+@query("rollup_orders", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (grouping sets) — subtotals and
+    grand total in one pass (Catalyst Expand + single shuffle)."""
+    o = read_table(_spark(spark), sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  _dec_sum(F.col("o_totalprice"), "total_price")))
+
+
+@query("sessionize_events", """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+g AS (SELECT user_id, event_id, tus,
+        CASE WHEN LAG(tus) OVER w IS NULL
+                  OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (SELECT user_id, event_id, tus,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(event_id) AS first_pos, MAX(event_id) AS last_pos
+FROM s GROUP BY user_id, session_no
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min inactivity gap): lag +
+    running sum windows, then per-session agg — one shuffle on user_id
+    shared by both windows and the final groupBy."""
+    ev = read_events(_spark(spark), sf_dir).select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("tus"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("tus", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = (ev.withColumn("new_sess", new_sess)
+              .withColumn("session_no", F.sum("new_sess").over(run)))
+    return (sess.groupBy("user_id", "session_no")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min("event_id").alias("first_pos"),
+                     F.max("event_id").alias("last_pos")))
+
+
+@query("asof_join_events", """
+WITH p AS (SELECT user_id, event_id AS purchase_pos, epoch_us(ts) AS tus
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id AS cpos, epoch_us(ts) AS tus
+           FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_pos, c.cpos AS click_pos,
+       p.tus - c.tus AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus >= c.tus
+""")
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof): latest click at-or-before each
+    purchase per user — union-merge + last(ignorenulls) window, one
+    shuffle, no quadratic join (DuckDB expresses the same with ASOF
+    JOIN)."""
+    from .operators.asof import asof_join
+    ev = read_events(_spark(spark), sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("tus"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.col("event_id").alias("purchase_pos"), "tus"))
+    c = (ev.filter(F.col("event_type") == "click")
+           .select("user_id", F.col("event_id").alias("cpos"), "tus"))
+    out = asof_join(p, c, on="user_id", ts="tus", right_cols=["cpos"])
+    return out.select(
+        "user_id", "purchase_pos",
+        F.col("cpos_asof").alias("click_pos"),
+        (F.col("tus") - F.col("asof_ts")).alias("gap_us"))
+
+
+@query("salted_join_segments", """
+SELECT c_mktsegment, COUNT(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""")
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators.joins): hot join keys spread
+    across 8 salt buckets, dim side replicated — result identical to the
+    plain equi-join the oracle runs."""
+    from .operators.joins import salted_join
+    s = _spark(spark)
+    ev = read_events(s, sf_dir).select("user_id", "event_id")
+    cust = (read_table(s, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    joined = salted_join(ev, cust, on="user_id", buckets=8,
+                         salt_by="event_id")
+    return (joined.groupBy("c_mktsegment")
+                  .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@query("distinct_users_per_type", """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""")
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (Catalyst two-phase partial-distinct plan —
+    the scalable form of COUNT(DISTINCT))."""
+    ev = read_events(_spark(spark), sf_dir)
+    return (ev.groupBy("event_type")
+              .agg(F.count_distinct(F.col("user_id")).alias("n_users"),
+                   F.count(F.lit(1)).alias("n_events")))
+
+
+@query("bpeish_token_count", r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+FROM documents
+""")
+def bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (operators.llm.tokenize): word /
+    number / punctuation pre-tokenizer, JVM regexp — no UDF."""
+    from .operators.llm.tokenize import regex_tokens
+    d = read_table(_spark(spark), sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(regex_tokens(F.col("text"))).cast("long").alias("n_bpeish"))
+
+
+@query("binary_encode_modes", """
+SELECT doc_id,
+       lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+       to_base64(encode(substr(text, 1, 24))) AS head_b64
+FROM documents
+""")
+def binary_encode_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 binary handling modes (reference binary.handling.mode,
+    mysql_extractor.py:159 + configuration.py:138-142): hex and base64
+    encodings of binary payloads."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.hex(F.substring("text", 1, 8).cast("binary")))
+         .alias("head_hex"),
+        F.base64(F.substring("text", 1, 24).cast("binary")).alias("head_b64"))
+
+
+@query("multimodal_frames", """
+WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+f AS (SELECT doc_id, text, nb,
+             unnest(range(0, CAST((nb + 255) // 256 AS BIGINT))) AS fi
+      FROM d)
+SELECT doc_id AS content_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(LEAST(256, nb - fi * 256) AS INTEGER) AS frame_bytes,
+       md5(substr(text, CAST(fi * 256 + 1 AS BIGINT), 256)) AS frame_hash
+FROM f
+""")
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (operators.llm.multimodal): payload →
+    fixed-size frames via Arrow-batched mapInPandas (deterministic fake
+    decode; real codecs drop into the same stage)."""
+    from .operators.llm.multimodal import decode_frames, to_multimodal
+    d = read_table(_spark(spark), sf_dir, "documents")
+    mm = to_multimodal(d, "doc_id", "text", media_type="text",
+                       source_col="source")
+    return decode_frames(mm)
+
+
+@query("embedding_ivf_ann", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 4),
+d AS (SELECT vec_id, e, cent_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> (e[i] - ce[i]) * (e[i] - ce[i]))) AS dist
+      FROM v, cent),
+assign AS (SELECT vec_id, e, cent_id FROM d
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cent_id) = 1),
+n AS (SELECT vec_id, e, cent_id,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM assign),
+q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cent_id AS qc FROM n
+      WHERE vec_id IN (5, 6, 7)),
+c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn, cent_id AS cc FROM n
+      WHERE vec_id NOT IN (5, 6, 7)),
+s AS (SELECT qid, cid,
+             round(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i]))
+                   / (qn * cn), 6) AS sim
+      FROM q JOIN c ON qc = cc)
+SELECT qid, cid, sim FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 5
+""")
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: vectors assigned to their nearest centroid
+    (coarse quantizer = vectors 0..3), probes search only their own
+    bucket — the inverted-file pruning that makes 100 TB ANN feasible
+    (brute-force baseline: embedding_topk)."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = (emb.filter(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("cent_id"),
+                       F.col("e").alias("ce")))
+    sqdist = F.aggregate(F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda a, x: a + x)
+    d = emb.crossJoin(F.broadcast(cent)).withColumn("dist", sqdist)
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    assign = (d.withColumn("rn", F.row_number().over(w_assign))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "e", "cent_id"))
+    norm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    n = assign.withColumn("nrm", norm)
+    probe_ids = [5, 6, 7]
+    q = (n.filter(F.col("vec_id").isin(probe_ids))
+          .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                  F.col("nrm").alias("qn"), F.col("cent_id").alias("qc")))
+    c = (n.filter(~F.col("vec_id").isin(probe_ids))
+          .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                  F.col("nrm").alias("cn"), F.col("cent_id").alias("cc")))
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    pairs = (c.join(F.broadcast(q), F.col("qc") == F.col("cc"))
+              .select("qid", "cid",
+                      F.round(dot / (F.col("qn") * F.col("cn")), 6)
+                       .alias("sim")))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= 5).drop("rn"))

@@ -1,0 +1,81 @@
+"""As-of join, salted join, multimodal, simhash, tokenize operator tests."""
+
+from pyspark.sql import functions as F
+
+from python_cdc_component_spark.operators.asof import asof_join
+from python_cdc_component_spark.operators.joins import salted_join
+from python_cdc_component_spark.operators.llm.multimodal import (
+    decode_frames, extract_features, to_multimodal)
+from python_cdc_component_spark.operators.llm.simhash import simhash16
+from python_cdc_component_spark.operators.llm.tokenize import regex_tokens
+
+import pytest
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3")],
+        ["k", "t", "payload"])
+    right = spark.createDataFrame(
+        [(1, 90, "r1"), (1, 150, "r2"), (1, 250, "r3"), (2, 60, "r4")],
+        ["k", "t", "rv"])
+    out = {(r.payload, r.rv_asof)
+           for r in asof_join(left, right, on="k", ts="t").collect()}
+    # p1@100 → r1@90; p2@200 → r2@150; p3@50 → nothing (r4@60 is later)
+    assert out == {("p1", "r1"), ("p2", "r2"), ("p3", None)}
+
+
+def test_asof_join_exact_ts_inclusive(spark):
+    left = spark.createDataFrame([(1, 100, "p")], ["k", "t", "payload"])
+    right = spark.createDataFrame([(1, 100, "r")], ["k", "t", "rv"])
+    row = asof_join(left, right, on="k", ts="t").collect()[0]
+    assert row.rv_asof == "r"      # at-or-before includes equal ts
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(100)], ["k", "v"])
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "s"])
+    salted = {(r.k, r.v, r.s)
+              for r in salted_join(big, small, on="k", buckets=4,
+                                   salt_by="v").collect()}
+    plain = {(r.k, r.v, r.s) for r in big.join(small, "k").collect()}
+    assert salted == plain
+
+
+def test_multimodal_decode_frames(spark):
+    df = spark.createDataFrame([(1, "x" * 600), (2, "y" * 10)], ["id", "data"])
+    mm = to_multimodal(df, "id", "data")
+    assert [f.name for f in mm.schema["meta"].dataType.fields] == \
+        ["n_bytes", "encoding", "source"]
+    frames = decode_frames(mm, frame_bytes=256).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.content_id, []).append(r)
+    assert len(by_id[1]) == 3        # 600 bytes → 256+256+88
+    assert sorted(r.frame_bytes for r in by_id[1]) == [88, 256, 256]
+    assert len(by_id[2]) == 1 and by_id[2][0].frame_bytes == 10
+    import hashlib
+    assert by_id[2][0].frame_hash == hashlib.md5(b"y" * 10).hexdigest()
+
+
+def test_extract_features_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        extract_features(None)
+
+
+def test_simhash_identical_docs_share_fingerprint(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown fox jumps"),
+         (3, "completely different words entirely here")],
+        ["doc_id", "text"])
+    fp = {r.doc_id: r.simhash for r in simhash16(docs).collect()}
+    assert fp[1] == fp[2]
+    assert 0 <= fp[1] < 2 ** 16
+
+
+def test_regex_tokens(spark):
+    df = spark.createDataFrame([("ab 12, c!",)], ["text"])
+    out = df.select(regex_tokens(F.col("text")).alias("t")).collect()[0].t
+    assert out == ["ab", "12", ",", "c", "!"]
