@@ -42,6 +42,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
 
+    # warmup: JVM/codegen spin-up + parquet footer reads, so per-query
+    # numbers measure the queries rather than session bring-up
+    from python_cdc_component_spark.sources.events import read_events
+    read_events(spark, sf_dir).count()
+    for t in ["lineitem", "orders", "customer", "documents", "embeddings"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

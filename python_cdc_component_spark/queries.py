@@ -501,10 +501,26 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise("other").alias("lang_pred"))
 
 
-def _minhash_sig_df(spark: SparkSession, sf_dir: str, n_hashes: int = 16) -> DataFrame:
-    """Shared minhash signature builder: word-3-gram shingles → per-doc
-    min of md5(shingle + seed_j) prefixes (hex order = numeric order for
-    fixed-width lowercase hex, so string MIN is a valid minhash)."""
+# Universal-hash family for minhash: one md5 per shingle → 28-bit int v,
+# then h_j = (A_j·v + B_j) mod P. 16× cheaper than 16 independent md5
+# passes, and the affine family keeps the permutations independent.
+# Constants are fixed (seeded) primes/odd multipliers < 2^30 so A·v fits
+# int64 in both engines (no overflow divergence).
+_MINHASH_P = 1073741789            # prime < 2^30
+_MINHASH_AB = [
+    (769856275, 217599791), (961535127, 590286705), (854664772, 565530721),
+    (496812923, 179832556), (323361168, 304049021), (77553059, 471239301),
+    (541548435, 148510489), (706391834, 551752347), (3942791, 294076361),
+    (961632045, 109495871), (427268497, 297315902), (943672861, 78594278),
+    (799185083, 91400777), (199575859, 539133383), (709794197, 406447987),
+    (304978227, 54626437),
+]
+
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared minhash signature builder: word-3-gram shingles → 28-bit
+    shingle hash (md5 prefix) → per-doc min of 16 affine universal
+    hashes. One shuffle on doc_id with map-side partial mins."""
     d = read_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     sh = F.expr(
@@ -512,29 +528,36 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str, n_hashes: int = 16) -> Dat
         "i -> array_join(slice(split(text, ' '), i, 3), ' '))")
     exploded = (d.filter(F.size(toks) >= 3)
                  .select("doc_id", F.explode(sh).alias("sh")))
-    aggs = [F.min(F.substring(F.md5(F.concat(F.col("sh"), F.lit(f"#{j}"))
-                                    .cast("binary")), 1, 16)).alias(f"h{j}")
-            for j in range(n_hashes)]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    v = F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 7),
+               16, 10).cast("long")
+    hashed = exploded.select("doc_id", v.alias("v"))
+    aggs = [F.min((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(_MINHASH_P))
+             .alias(f"h{j}")
+            for j, (a, b) in enumerate(_MINHASH_AB)]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 _MINHASH_SIG_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
-sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM idx)
+sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM idx),
+hv AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS v FROM sh)
 SELECT doc_id,
   {mins}
-FROM sh GROUP BY doc_id
+FROM hv GROUP BY doc_id
 """
 
 
-@query("minhash_signatures",
-       _MINHASH_SIG_SQL.format(mins=",\n  ".join(
-           f"MIN(substr(md5(sh || '#{j}'), 1, 16)) AS h{j}" for j in range(16))))
+_MINHASH_MINS = ",\n  ".join(
+    f"MIN(({a} * v + {b}) % {_MINHASH_P}) AS h{j}"
+    for j, (a, b) in enumerate(_MINHASH_AB))
+
+
+@query("minhash_signatures", _MINHASH_SIG_SQL.format(mins=_MINHASH_MINS))
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 permutations via seeded md5) — stage 1 of
-    near-dup detection. Explode-then-agg; the shuffle carries only
-    (doc_id, 16×16B) after map-side partial min."""
+    """MinHash signatures (16 affine universal-hash permutations over one
+    md5 per shingle) — stage 1 of near-dup detection. Explode-then-agg;
+    the shuffle carries only (doc_id, 16×8B) after map-side partial min."""
     return _minhash_sig_df(_spark(spark), sf_dir)
 
 
@@ -544,28 +567,30 @@ _LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
 @query("minhash_lsh_pairs", """
 WITH sig AS ({sig}),
 bands AS (
-  SELECT doc_id, 0 AS band, h0 || h1 || h2 || h3 AS bv FROM sig
-  UNION ALL SELECT doc_id, 1, h4 || h5 || h6 || h7 FROM sig
-  UNION ALL SELECT doc_id, 2, h8 || h9 || h10 || h11 FROM sig
-  UNION ALL SELECT doc_id, 3, h12 || h13 || h14 || h15 FROM sig),
+  SELECT doc_id, 0 AS band, CONCAT_WS('|', h0, h1, h2, h3) AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, CONCAT_WS('|', h4, h5, h6, h7) FROM sig
+  UNION ALL SELECT doc_id, 2, CONCAT_WS('|', h8, h9, h10, h11) FROM sig
+  UNION ALL SELECT doc_id, 3, CONCAT_WS('|', h12, h13, h14, h15) FROM sig),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, COUNT(*) AS n_bands
 FROM pairs GROUP BY doc_a, doc_b
-""".format(sig=_MINHASH_SIG_SQL.format(mins=",\n  ".join(
-    f"MIN(substr(md5(sh || '#{j}'), 1, 16)) AS h{j}" for j in range(16)))))
+""".format(sig=_MINHASH_SIG_SQL.format(mins=_MINHASH_MINS)))
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: band the signatures (4 bands × 4
     rows), bucket-join on band value. The join key is the band hash —
     uniformly distributed, so the self-join shuffle is skew-free; at
     100 TB the band table is orders of magnitude smaller than the corpus
     (only docs sharing a band collide)."""
-    sig = _minhash_sig_df(_spark(spark), sf_dir)
+    # persist: the signature subtree feeds 4 band branches × both join
+    # sides — without it Spark recomputes the explode+16×md5 pipeline 8×
+    sig = _minhash_sig_df(_spark(spark), sf_dir).persist()
     bands = union_epochs([
         sig.select("doc_id", F.lit(b).alias("band"),
-                   F.concat(*[F.col(f"h{b * 4 + i}") for i in range(4)]).alias("bv"))
+                   F.concat_ws("|", *[F.col(f"h{b * 4 + i}")
+                                      for i in range(4)]).alias("bv"))
         for b in range(_LSH_BANDS)])
     a, b = bands.alias("a"), bands.alias("b")
     pairs = a.join(b, (F.col("a.band") == F.col("b.band"))
