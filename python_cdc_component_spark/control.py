@@ -1,0 +1,148 @@
+"""Control plane: ad-hoc snapshot signals, stop-position capture,
+sync actions, heartbeat (S4, P6, §3.3, T8).
+
+Parity targets:
+- S4 ad-hoc snapshot signal: the reference injects ``execute-snapshot``
+  commands via a signal file or table to backfill newly added tables
+  (``executor.py:244-303`` ``signal_snapshot`` / ``_signal_via_source``
+  / ``_signal_via_file``; triggered when configured tables ⊄ last-synced
+  tables, ``ex_mysql_cdc/src/component.py:149-153``);
+- P6 stop position: the target end coordinates captured before the run
+  (``SHOW MASTER STATUS``, ``mysql_extractor.py:245-258``) — on Spark
+  the same contract is "max offset present at run start", which
+  ``Trigger.AvailableNow`` enforces natively; ``capture_end_position``
+  records it for the state doc;
+- §3.3 sync actions: ``testConnection`` / ``get_schemas`` /
+  ``get_tables`` interactive metadata queries
+  (``ex_mysql_cdc/src/component.py:594-626``);
+- T8 heartbeat: Postgres WAL-advance keep-alive — a no-op for the
+  file-backed source, kept as an explicit interface point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sinks.state import RunState
+
+
+# ---------------------------------------------------------------------------
+# S4: snapshot signals
+
+@dataclass
+class SnapshotSignal:
+    """An ``execute-snapshot`` command (reference ``executor.py:22-34``
+    signal dataclasses: id, type, data{data-collections, type})."""
+
+    tables: list[str]
+    signal_type: str = "execute-snapshot"
+    mode: str = "blocking"          # blocking | incremental
+    id: str = field(default_factory=lambda: str(uuid.uuid4()))
+
+    def to_row(self) -> dict:
+        return {"id": self.id, "type": self.signal_type,
+                "data": json.dumps({"data-collections": self.tables,
+                                    "type": self.mode.upper()},
+                                   sort_keys=True)}
+
+
+def tables_needing_snapshot(configured: list[str], state: RunState) -> list[str]:
+    """Reference trigger condition (component.py:149-153): a table in the
+    config but not in the last-synced set needs a blocking snapshot
+    backfill before joining the stream."""
+    if state.is_initial_run:
+        return []        # initial run snapshots everything anyway
+    synced = set(state.last_synced_tables)
+    return sorted(t for t in configured if t not in synced)
+
+
+def write_signal_file(signals: list[SnapshotSignal], path: str) -> None:
+    """S4 file-channel: one JSON line per signal (the reference's
+    ``_signal_via_file`` writes the same shape)."""
+    with open(path, "a") as fh:
+        for s in signals:
+            fh.write(json.dumps(s.to_row(), sort_keys=True) + "\n")
+
+
+def read_signal_file(path: str) -> list[SnapshotSignal]:
+    out: list[SnapshotSignal] = []
+    if not os.path.exists(path):
+        return out
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            data = json.loads(row.get("data", "{}"))
+            out.append(SnapshotSignal(
+                tables=list(data.get("data-collections", [])),
+                signal_type=row.get("type", "execute-snapshot"),
+                mode=str(data.get("type", "BLOCKING")).lower(),
+                id=row.get("id", str(uuid.uuid4()))))
+    return out
+
+
+def backfill_plan(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict[str, DataFrame]:
+    """Blocking-snapshot backfill: batch-read each signalled table and tag
+    rows as snapshot reads (op='r'), ready to union into the stream
+    (the Spark form of Debezium's blocking snapshot)."""
+    plans: dict[str, DataFrame] = {}
+    for t in tables:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        plans[t] = (df.withColumn("kbc__operation", F.lit("r"))
+                      .withColumn("__deleted", F.lit(False)))
+    return plans
+
+
+# ---------------------------------------------------------------------------
+# P6: end-position capture
+
+def capture_end_position(events: DataFrame,
+                         ts_col: str = "kbc__event_timestamp",
+                         file_col: str = "kbc__file",
+                         pos_col: str = "kbc__pos") -> dict:
+    """Capture the max (ts, file, pos) present now — the bounded-run
+    target the reference reads via SHOW MASTER STATUS. AvailableNow
+    enforces this automatically; the captured dict goes into RunState."""
+    row = events.agg(F.max(ts_col).alias("ts"), F.max(file_col).alias("file"),
+                     F.max(pos_col).alias("pos")).collect()[0]
+    return {"ts": row["ts"], "file": row["file"], "pos": row["pos"]}
+
+
+# ---------------------------------------------------------------------------
+# §3.3: sync actions (interactive metadata queries)
+
+def test_connection(spark: SparkSession, sf_dir: str) -> bool:
+    """testConnection: cheapest possible probe of the source."""
+    try:
+        spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
+        return True
+    except Exception:
+        return False
+
+
+def get_schemas(sf_dir: str) -> list[str]:
+    """get_schemas: the file source has one flat namespace."""
+    return ["default"] if os.path.isdir(sf_dir) else []
+
+
+def get_tables(sf_dir: str) -> list[str]:
+    """get_tables: SelectElement-style listing from the source."""
+    return sorted(f[:-8] for f in os.listdir(sf_dir)
+                  if f.endswith(".parquet"))
+
+
+# ---------------------------------------------------------------------------
+# T8: heartbeat
+
+def heartbeat() -> dict:
+    """No replication slot to keep alive in the file-backed source; kept
+    as the interface the JDBC/WAL source implements for real
+    (reference postgres_extractor.py:148-150)."""
+    return {"status": "noop", "reason": "file-backed source has no WAL slot"}
