@@ -1,0 +1,46 @@
+"""Semantic tests for the breadth-2 query batch (oracle equivalence is
+covered by scripts/check_oracle.py; these pin properties the hash compare
+can't see)."""
+
+from pyspark.sql import functions as F
+
+from python_cdc_component_spark.queries import QUERIES
+
+
+def test_correlated_min_order_one_min_per_customer(spark, sf_dir):
+    out = QUERIES["correlated_min_order"](spark, sf_dir)
+    per_cust = out.groupBy("o_custkey").agg(
+        F.count_distinct("o_totalprice").alias("n_prices"))
+    assert per_cust.filter(F.col("n_prices") > 1).count() == 0
+
+
+def test_lsh_dup_groups_rep_is_min_and_self_bounded(spark, sf_dir):
+    out = QUERIES["lsh_dup_groups"](spark, sf_dir)
+    # the group representative can never exceed the member's own id
+    assert out.filter(F.col("group_rep") > F.col("doc_id")).count() == 0
+    # every signed-up doc gets exactly one label
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_range_join_bands_cover_all_events(spark, sf_dir):
+    from python_cdc_component_spark.sources.events import read_events
+    out = QUERIES["range_join_value_bands"](spark, sf_dir)
+    ev = read_events(spark, sf_dir)
+    in_range = ev.filter((F.col("value") >= 0) & (F.col("value") < 500))
+    assert (out.agg(F.sum("n_events")).collect()[0][0]
+            == in_range.count())
+
+
+def test_tfidf_top_terms_at_most_three_per_doc(spark, sf_dir):
+    out = QUERIES["tfidf_top_terms"](spark, sf_dir)
+    assert out.groupBy("doc_id").count().filter("count > 3").count() == 0
+    assert out.filter(F.col("tfidf") < 0).count() == 0
+
+
+def test_full_outer_keeps_both_sides(spark, sf_dir):
+    out = QUERIES["full_outer_nation_counts"](spark, sf_dir)
+    rows = {r["nationkey"]: r for r in out.collect()}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    assert sum(r["n_cust"] for r in rows.values()) == cust.count()
+    assert sum(r["n_supp"] for r in rows.values()) == supp.count()

@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 from python_cdc_component_spark.control import (
     SnapshotSignal, backfill_plan, capture_end_position, get_schemas,
     get_tables, heartbeat, read_signal_file, tables_needing_snapshot,
-    test_connection, write_signal_file)
+    write_signal_file)
+from python_cdc_component_spark.control import (
+    test_connection as check_connection)  # alias: not a pytest test
 from python_cdc_component_spark.plans.explain import (
     assert_max_exchanges, assert_pushed_filters, plan_summary)
 from python_cdc_component_spark.queries import QUERIES
@@ -46,8 +48,8 @@ def test_capture_end_position(spark, sf_dir):
 
 
 def test_sync_actions(spark, sf_dir):
-    assert test_connection(spark, sf_dir) is True
-    assert test_connection(spark, "/nonexistent") is False
+    assert check_connection(spark, sf_dir) is True
+    assert check_connection(spark, "/nonexistent") is False
     assert get_schemas(sf_dir) == ["default"]
     tables = get_tables(sf_dir)
     assert {"region", "nation", "events", "documents"} <= set(tables)
