@@ -1504,3 +1504,59 @@ def lsh_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select("doc_id", F.col("doc_id").alias("nb")),
     ])
     return nbr.groupBy("doc_id").agg(F.min("nb").alias("group_rep"))
+
+
+@query("schema_changes_route", f"""
+WITH tagged AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'signup'
+              THEN 'ALTER TABLE events ADD COLUMN c_' || CAST(user_id AS VARCHAR)
+              ELSE NULL END AS ddl,
+         epoch_ms(ts) AS ts_ms
+  FROM events)
+SELECT ts_ms, 'testdb' AS database_name, 'public' AS schema_name,
+       ddl, event_id AS kbc__pos
+FROM tagged WHERE ddl IS NOT NULL AND ddl <> ''
+""")
+def schema_changes_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 DDL routing (operators.routing.split_schema_changes): events
+    carrying DDL text land in the fixed-schema schema-changes side table
+    (reference common.py:4-29; signup events stand in as DDL carriers
+    in the synthetic feed). Both branches share one scan; each filter
+    pushes down independently."""
+    from .operators.routing import split_schema_changes
+    ev = read_events(_spark(spark), sf_dir)
+    tagged = ev.withColumn(
+        "ddl", F.when(F.col("event_type") == "signup",
+                      F.concat(F.lit("ALTER TABLE events ADD COLUMN c_"),
+                               F.col("user_id").cast("string"))))
+    _data, ddl_events = split_schema_changes(tagged)
+    return ddl_events.select(
+        F.expr("ts_ns div 1000000").alias("ts_ms"),
+        F.lit("testdb").alias("database_name"),
+        F.lit("public").alias("schema_name"),
+        "ddl",
+        F.col("event_id").alias("kbc__pos"))
+
+
+@query("hopping_window_agg", """
+WITH e AS (SELECT event_type, "value", epoch_ms(ts) AS tms FROM events),
+w AS (SELECT event_type, "value",
+             unnest([to_timestamp((tms // 1800000) * 1800),
+                     to_timestamp((tms // 1800000) * 1800 - 1800)]) AS window_start
+      FROM e)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM w GROUP BY window_start, event_type
+""")
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1h windows every 30min via
+    F.window — each event lands in exactly two windows (the batch shape
+    of the Structured Streaming sliding-window agg; the oracle expands
+    the two epoch-aligned window starts arithmetically)."""
+    ev = read_events(_spark(spark), sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   _dec_sum(F.col("value"), "sum_value"))
+              .select(F.col("window.start").alias("window_start"),
+                      "event_type", "n_events", "sum_value"))

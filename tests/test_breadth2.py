@@ -44,3 +44,37 @@ def test_full_outer_keeps_both_sides(spark, sf_dir):
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     assert sum(r["n_cust"] for r in rows.values()) == cust.count()
     assert sum(r["n_supp"] for r in rows.values()) == supp.count()
+
+
+# ---------------------------------------------------------------------------
+# plan-shape guards for the breadth-2 batch (100 TB design contracts)
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    from python_cdc_component_spark.plans.explain import plan_summary
+    s = plan_summary(QUERIES["range_join_value_bands"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in s.text
+    assert s.shuffles <= 1          # only the final 10-row agg
+
+
+def test_tfidf_broadcasts_vocab_and_scalar(spark, sf_dir):
+    from python_cdc_component_spark.plans.explain import plan_summary
+    s = plan_summary(QUERIES["tfidf_top_terms"](spark, sf_dir))
+    assert s.broadcasts >= 2        # df table + corpus-size scalar
+
+
+def test_vocab_topk_no_global_sort(spark, sf_dir):
+    from python_cdc_component_spark.plans.explain import plan_summary
+    s = plan_summary(QUERIES["vocab_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in s.text
+
+
+def test_correlated_min_single_shuffle(spark, sf_dir):
+    from python_cdc_component_spark.plans.explain import assert_max_exchanges
+    assert_max_exchanges(QUERIES["correlated_min_order"](spark, sf_dir), 1)
+
+
+def test_schema_changes_route_filter_pushdown(spark, sf_dir):
+    # the DDL branch must not force a second scan of the data branch
+    from python_cdc_component_spark.plans.explain import plan_summary
+    s = plan_summary(QUERIES["schema_changes_route"](spark, sf_dir))
+    assert s.shuffles == 0          # pure map-side routing
