@@ -1560,3 +1560,33 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    _dec_sum(F.col("value"), "sum_value"))
               .select(F.col("window.start").alias("window_start"),
                       "event_type", "n_events", "sum_value"))
+
+
+@query("streaming_bounded_dedup", f"""
+SELECT user_id, event_type, "value", props, event_id AS kbc__pos
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+""")
+def streaming_bounded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/T9 end-to-end through Structured Streaming: stage the event
+    file as a stream source, drain it with Trigger.AvailableNow under the
+    bounded-sync stop conditions, compact per micro-batch in foreachBatch
+    (same dedup_latest operator as batch mode), and return the compacted
+    table. The oracle is the plain W1 window — the streaming pipeline
+    must agree with it exactly, whatever the micro-batch split."""
+    import shutil
+    import tempfile
+    from .streaming.bounded import BoundedStreamConfig, bounded_sync
+
+    work = tempfile.mkdtemp(prefix="sparkcdc_stream_")
+    src = f"{work}/src"
+    import os
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+    bounded_sync(_spark(spark), src, out, ckpt,
+                 BoundedStreamConfig(mode="DEDUPE", primary_keys=["user_id"]))
+    res = spark.read.parquet(out)
+    return res.select("user_id", "event_type", "value", "props",
+                      F.col(SC.pos).alias("kbc__pos"))
