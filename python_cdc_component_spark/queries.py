@@ -1590,3 +1590,48 @@ def streaming_bounded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.read.parquet(out)
     return res.select("user_id", "event_type", "value", "props",
                       F.col(SC.pos).alias("kbc__pos"))
+
+
+@query("training_mix_caps", """
+SELECT source, doc_id, n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY n_chars DESC, doc_id) <= 10
+""")
+def training_mix_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition: cap each source's contribution at the
+    top-10 docs by length (quality proxy) — the per-source quota step
+    of corpus mixing. One shuffle on source; per-partition top-k."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(),
+                                             F.col("doc_id"))
+    return (d.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 10)
+             .select("source", "doc_id", "n_chars"))
+
+
+@query("pack_sequences", """
+WITH t AS (SELECT doc_id, lang,
+                  len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+r AS (SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       (cum_tokens - 1) // 512 AS pack_id
+FROM r
+""")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing: assign docs to ~512-token training
+    sequences via a per-language running token total (the deterministic
+    streaming-friendly form of greedy sequence packing; the shuffle keys
+    on lang and the window sort is the only order dependency)."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    t = d.select("doc_id", "lang", toks.alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return r.withColumn("pack_id",
+                        F.floor((F.col("cum_tokens") - 1) / 512))
