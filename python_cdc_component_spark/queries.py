@@ -522,11 +522,12 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hash (md5 prefix) → per-doc min of 16 affine universal
     hashes. One shuffle on doc_id with map-side partial mins."""
     d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sh = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> array_join(slice(split(text, ' '), i, 3), ' '))")
-    exploded = (d.filter(F.size(toks) >= 3)
+    # split once into a named column: referencing split(text) inside the
+    # transform lambda would re-evaluate it per element (O(tokens²)/doc)
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    sh = F.expr("transform(sequence(1, size(t) - 2), "
+                "i -> array_join(slice(t, i, 3), ' '))")
+    exploded = (t.filter(F.size("t") >= 3)
                  .select("doc_id", F.explode(sh).alias("sh")))
     v = F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 7),
                16, 10).cast("long")
@@ -713,11 +714,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocking that avoids the full N² at scale), exact Jaccard ≥ 0.2.
     """
     d = read_table(_spark(spark), sf_dir, "documents")
-    sh = (d.filter(F.size(F.split("text", " ")) >= 3)
+    # split hoisted into a named column (lambda-invariant; see minhash)
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    sh = (t.filter(F.size("t") >= 3)
            .select("doc_id", F.explode(F.expr(
-               "transform(sequence(1, size(split(text, ' ')) - 2), "
-               "i -> array_join(slice(split(text, ' '), i, 3), ' '))"))
-               .alias("sh"))
+               "transform(sequence(1, size(t) - 2), "
+               "i -> array_join(slice(t, i, 3), ' '))")).alias("sh"))
            .distinct())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
