@@ -1637,3 +1637,44 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return r.withColumn("pack_id",
                         F.floor((F.col("cum_tokens") - 1) / 512))
+
+
+@query("null_semantics", """
+SELECT e.event_id AS kbc__pos,
+       COALESCE(json_extract_string(e.props, '$.missing'), 'absent') AS k_or_default,
+       NULLIF(e.event_type, 'error') AS etype_or_null,
+       (json_extract_string(e.props, '$.missing')
+          IS NOT DISTINCT FROM NULL) AS is_missing,
+       CASE WHEN e."value" IS NULL THEN -1.0 ELSE e."value" END AS value_nvl
+FROM events e
+""")
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: COALESCE / NULLIF / null-safe equality
+    (Spark <=> ≡ SQL IS NOT DISTINCT FROM) / CASE-null default — the
+    semantics the NULL-padding schema alignment (P2) relies on."""
+    ev = read_events(_spark(spark), sf_dir)
+    missing = F.get_json_object("props", "$.missing")
+    return ev.select(
+        F.col("event_id").alias("kbc__pos"),
+        F.coalesce(missing, F.lit("absent")).alias("k_or_default"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("etype_or_null"),
+        missing.eqNullSafe(F.lit(None).cast("string")).alias("is_missing"),
+        F.when(F.col("value").isNull(), -1.0).otherwise(F.col("value"))
+         .alias("value_nvl"))
+
+
+@query("disjunctive_pushdown", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE (l_quantity >= 45 AND l_discount <= 0.02)
+   OR (l_quantity <= 5 AND l_discount >= 0.08)
+""")
+def disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate: Spark pushes the whole OR
+    of AND-ranges to the parquet scan (Or(And(...),And(...)) in
+    PushedFilters) so row groups failing both branches are skipped."""
+    li = read_table(_spark(spark), sf_dir, "lineitem")
+    return (li.filter(
+        ((F.col("l_quantity") >= 45) & (F.col("l_discount") <= 0.02))
+        | ((F.col("l_quantity") <= 5) & (F.col("l_discount") >= 0.08)))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))

@@ -78,3 +78,11 @@ def test_schema_changes_route_filter_pushdown(spark, sf_dir):
     from python_cdc_component_spark.plans.explain import plan_summary
     s = plan_summary(QUERIES["schema_changes_route"](spark, sf_dir))
     assert s.shuffles == 0          # pure map-side routing
+
+
+def test_disjunctive_predicate_reaches_scan(spark, sf_dir):
+    from python_cdc_component_spark.plans.explain import plan_summary
+    s = plan_summary(QUERIES["disjunctive_pushdown"](spark, sf_dir))
+    blob = "\n".join(s.pushed_filters)
+    assert "Or(" in blob and "l_quantity" in blob and "l_discount" in blob
+    assert s.shuffles == 0
