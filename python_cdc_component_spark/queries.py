@@ -1678,3 +1678,68 @@ def disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_quantity") >= 45) & (F.col("l_discount") <= 0.02))
         | ((F.col("l_quantity") <= 5) & (F.col("l_discount") >= 0.08)))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))
+
+
+_EMB_TOPK_SQL = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id >= 5),
+s AS (SELECT qid, cid,
+             round(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i]))
+                   / (qn * cn), 6) AS sim
+      FROM q, c)
+SELECT qid, cid, sim FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 10
+"""
+
+
+@query("embedding_topk_pandas", _EMB_TOPK_SQL)
+def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized Python path for ANN scoring (same semantics
+    and oracle as embedding_topk's JVM path): probes are a tiny
+    broadcast-able set, candidates stream through mapInPandas in Arrow
+    batches, numpy does the row-vectorized accumulation. The dim loop
+    accumulates sequentially so the FP fold order matches the JVM/SQL
+    sequential sum exactly — same 6dp rounding, hash-identical output.
+    """
+    import pandas as pd
+
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # probe set: tiny by construction (the user's query vectors)
+    probes = emb.filter(F.col("vec_id") < 5).collect()
+    qids = [r["vec_id"] for r in probes]
+    qvecs = [r["e"] for r in probes]
+    qnorms = [sum(x * x for x in v) ** 0.5 for v in qvecs]
+
+    def score(batches):
+        import numpy as np
+        Q = np.asarray(qvecs, dtype="float64")          # (nq, 64)
+        qn = np.asarray(qnorms, dtype="float64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf["e"].to_numpy())           # (nc, 64)
+            cn = np.zeros(len(C))
+            for i in range(C.shape[1]):                  # sequential fold
+                cn += C[:, i] * C[:, i]
+            cn = np.sqrt(cn)
+            for j, qid in enumerate(qids):
+                acc = np.zeros(len(C))
+                for i in range(C.shape[1]):              # sequential fold
+                    acc += Q[j, i] * C[:, i]
+                yield pd.DataFrame({
+                    "qid": qid,
+                    "cid": pdf["vec_id"].to_numpy(),
+                    "sim": np.round(acc / (qn[j] * cn), 6),
+                })
+
+    cands = emb.filter(F.col("vec_id") >= 5)
+    pairs = cands.mapInPandas(score, "qid long, cid long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= 10).drop("rn"))
