@@ -1743,3 +1743,45 @@ def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (pairs.withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") <= 10).drop("rn"))
+
+
+@query("string_agg_per_group", """
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+         AS priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""")
+def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: collect_set is unordered by
+    contract, so the engine always sorts before joining — the only
+    cluster-safe way to emit a stable concatenated list."""
+    o = read_table(_spark(spark), sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.array_join(F.array_sort(F.collect_set("o_orderpriority")),
+                               ",").alias("priorities"),
+                  F.count(F.lit(1)).alias("n_orders")))
+
+
+@query("unpivot_lineitem_measures", """
+SELECT l_orderkey, l_linenumber, measure, val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+         l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+""")
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) via Spark's native unpivot — one scan,
+    Expand node, no self-union of three scans (the oracle's UNION ALL
+    form is the semantic spec, not the plan)."""
+    li = read_table(_spark(spark), sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure", "val").withColumn(
+        "measure", F.expr("substring(measure, 3)"))
