@@ -1785,3 +1785,67 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_quantity", "l_extendedprice", "l_discount"],
         "measure", "val").withColumn(
         "measure", F.expr("substring(measure, 3)"))
+
+
+@query("argmax_per_group", """
+SELECT event_type,
+       arg_max(event_id, "value") AS top_event_id,
+       arg_min(event_id, "value") AS bottom_event_id,
+       MAX("value") AS max_value
+FROM (SELECT event_type, "value", event_id FROM events
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, "value"
+          ORDER BY event_id) = 1)
+GROUP BY event_type
+""")
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregation (Spark max_by/min_by ≡ DuckDB
+    arg_max/arg_min). Ties on the value column are broken by keeping the
+    lowest event_id per (type, value) before aggregating — both engines
+    otherwise pick an arbitrary row."""
+    ev = read_events(_spark(spark), sf_dir)
+    w = Window.partitionBy("event_type", "value").orderBy("event_id")
+    uniq = (ev.select("event_type", "value", "event_id")
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1).drop("rn"))
+    return uniq.groupBy("event_type").agg(
+        F.max_by("event_id", "value").alias("top_event_id"),
+        F.min_by("event_id", "value").alias("bottom_event_id"),
+        F.max("value").alias("max_value"))
+
+
+@query("bitwise_aggs", """
+SELECT user_id,
+       bit_or(CAST(floor("value") AS BIGINT)) AS flags_or,
+       bit_and(CAST(floor("value") AS BIGINT)) AS flags_and,
+       bit_xor(CAST(floor("value") AS BIGINT)) AS flags_xor
+FROM events
+GROUP BY user_id
+""")
+def bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise OR/AND/XOR aggregates — exact integer ops, fully
+    order-independent (the flag-merging shape of permission/feature
+    rollups). Explicit floor() before the integer cast: DuckDB's
+    double→BIGINT cast rounds, Spark's truncates."""
+    ev = read_events(_spark(spark), sf_dir)
+    v = F.floor("value").cast("long")
+    return ev.groupBy("user_id").agg(
+        F.bit_or(v).alias("flags_or"),
+        F.bit_and(v).alias("flags_and"),
+        F.bit_xor(v).alias("flags_xor"))
+
+
+@query("greatest_least_scalar", """
+SELECT l_orderkey, l_linenumber,
+       greatest(l_quantity, l_discount * 100, l_tax * 100) AS g,
+       least(l_quantity, l_discount * 100, l_tax * 100) AS l
+FROM lineitem
+""")
+def greatest_least_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """greatest/least n-ary scalar comparison (row-wise, codegen)."""
+    li = read_table(_spark(spark), sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100,
+                   F.col("l_tax") * 100).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100,
+                F.col("l_tax") * 100).alias("l"))
