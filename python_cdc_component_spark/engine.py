@@ -88,17 +88,28 @@ def sync(spark: SparkSession, sf_dir: str, out_dir: str,
 
     table_name = "events"
     path = os.path.join(out_dir, table_name)
+
+    # T4/T5 schema drift across runs: merge with the previous run's
+    # registry (dropped columns survive as nullable, reference
+    # component.py:449-488) and align the output to the merged schema
+    # (NULL-padding projection, P2).
+    registry_path = os.path.join(out_dir, "schema.json")
+    registry = (SchemaRegistry.load(registry_path)
+                if os.path.exists(registry_path) else SchemaRegistry())
+    schema = TableSchema(name=table_name, struct=result.schema,
+                         primary_keys=cfg.primary_keys)
+    merged = registry.update(schema)
+    if [f.name for f in merged.struct.fields] != result.columns:
+        from .operators.schema_align import align_to_schema
+        result = align_to_schema(result, merged.struct)
+
     if cfg.output_format == "csv":
         write_csv(result, path)
     else:
         write_parquet(result, path)
 
-    schema = TableSchema(name=table_name, struct=result.schema,
-                         primary_keys=cfg.primary_keys)
-    registry = SchemaRegistry()
-    registry.update(schema)
-    registry.save(os.path.join(out_dir, "schema.json"))
-    write_manifest(schema, path + ".manifest", incremental=cfg.incremental)
+    registry.save(registry_path)
+    write_manifest(merged, path + ".manifest", incremental=cfg.incremental)
 
     # Advance offsets to the max consumed coordinates (bounded-run end,
     # the reference's "captured target position", P6).

@@ -97,3 +97,34 @@ def test_chained_soft_delete_survives_runs(spark, sf_dir, tmp_path):
                    for r in expected.filter(F.col(SC.deleted)).collect()}
     assert deleted_keys == exp_deleted
     assert exp_deleted          # scenario is non-vacuous at sf0.001
+
+
+def test_schema_drift_drop_column_survives_runs(spark, sf_dir, tmp_path):
+    """T5 drop-column drift through chained engine.sync runs (reference
+    scenario schema-drift-drop-non-null): run 2's source lost a column →
+    the output keeps it, NULL-padded, per the merged registry schema."""
+    import json
+
+    from python_cdc_component_spark.engine import SyncConfig, sync
+
+    out = str(tmp_path / "drift_out")
+
+    # run 1: full column set
+    sync(spark, sf_dir, out, SyncConfig(mode="DEDUPE",
+                                        primary_keys=["user_id"]))
+    with open(f"{out}/schema.json") as fh:
+        cols_run1 = [f["name"] for f in
+                     json.load(fh)["events"]["schema"]["fields"]]
+    assert "props" in cols_run1
+
+    # run 2: 'props' dropped from the source
+    sync(spark, sf_dir, out,
+         SyncConfig(mode="DEDUPE", primary_keys=["user_id"],
+                    column_exclude=["props"]))
+    got = spark.read.parquet(f"{out}/events")
+    assert "props" in got.columns                   # survived the drop
+    assert got.filter(F.col("props").isNotNull()).count() == 0  # NULL-pad
+    with open(f"{out}/schema.json") as fh:
+        doc = json.load(fh)["events"]["schema"]["fields"]
+    props_field = next(f for f in doc if f["name"] == "props")
+    assert props_field["nullable"] is True
