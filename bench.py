@@ -33,6 +33,10 @@ HEADLINE = [
     "text_quality",          # explode-agg text op
     "minhash_lsh_pairs",     # near-dup LSH pipeline
     "embedding_topk",        # brute-force ANN
+    "tfidf_top_terms",       # broadcast-join scoring + per-doc top-k
+    "hopping_window_agg",    # sliding event-time windows
+    "sessionize_events",     # gaps-and-islands windows
+    "disjunctive_pushdown",  # OR-of-ranges parquet pushdown
 ]
 
 
