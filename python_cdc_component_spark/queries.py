@@ -1849,3 +1849,40 @@ def greatest_least_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("l_tax") * 100).alias("g"),
         F.least(F.col("l_quantity"), F.col("l_discount") * 100,
                 F.col("l_tax") * 100).alias("l"))
+
+
+@query("envelope_roundtrip", """
+WITH env AS (
+  SELECT to_json(struct_pack(
+           schema := struct_pack(name := 'testdb.events.Value'),
+           payload := struct_pack(event_id := event_id,
+                                  user_id := user_id,
+                                  event_type := event_type))) AS j
+  FROM events)
+SELECT replace(replace(json_extract_string(j, '$.schema.name'),
+               '.Value', ''), '.', '_') AS _table,
+       CAST(json_extract(j, '$.payload.event_id') AS BIGINT) AS event_id,
+       CAST(json_extract(j, '$.payload.user_id') AS BIGINT) AS user_id,
+       json_extract_string(j, '$.payload.event_type') AS event_type
+FROM env
+""")
+def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/F5 envelope parsing round-trip: build Kafka-Connect-style
+    envelope JSON from the event rows, then parse it back with
+    sources.envelope.parse_envelope (from_json + schema.name table
+    extraction) — the reference's extractTableNameAndPayload
+    (DbChangeConsumer.java:164-229) as one JVM-side pipeline."""
+    from pyspark.sql import types as T
+    from .sources.envelope import parse_envelope
+
+    ev = read_events(_spark(spark), sf_dir)
+    env = ev.select(F.to_json(F.struct(
+        F.struct(F.lit("testdb.events.Value").alias("name")).alias("schema"),
+        F.struct("event_id", "user_id", "event_type").alias("payload"),
+    )).alias("j"))
+    payload = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    return parse_envelope(env, "j", payload)

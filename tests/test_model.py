@@ -86,3 +86,21 @@ def test_registry_merge_across_runs():
         T.StructField("new", T.DoubleType(), True)]), ["id"]))
     names = [f.name for f in merged.struct.fields]
     assert names == ["id", "new", "old"]
+
+
+def test_parse_envelope_drops_tombstones(spark):
+    from pyspark.sql import types as T
+    from python_cdc_component_spark.sources.envelope import parse_envelope
+
+    payload = T.StructType([T.StructField("id", T.LongType())])
+    rows = [
+        ('{"schema": {"name": "db.t1.Value"}, "payload": {"id": 1}}',),
+        (None,),                                   # tombstone
+        ('not json at all',),                      # malformed
+        ('{"schema": {"name": "db.t2.Value"}, "payload": null}',),  # null payload
+        ('{"schema": {"name": "db.t1.Value"}, "payload": {"id": 2}}',),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    out = parse_envelope(df, "j", payload).collect()
+    assert {(r["_table"], r["id"]) for r in out} \
+        == {("db_t1", 1), ("db_t1", 2)}
