@@ -1886,3 +1886,24 @@ def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("event_type", T.StringType()),
     ])
     return parse_envelope(env, "j", payload)
+
+
+@query("conditional_ratio_promo", """
+SELECT CAST(100.0 * SUM(CAST(CASE WHEN event_type = 'purchase'
+                             THEN "value" ELSE 0 END AS DECIMAL(18,6)))
+            AS DOUBLE)
+       / CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS promo_pct,
+       COUNT(*) AS n_rows
+FROM events
+""")
+def conditional_ratio_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional-aggregate ratio (share of value from
+    one event class) — both sums exact-decimal, ratio in double of
+    identical operands."""
+    ev = read_events(_spark(spark), sf_dir)
+    promo = F.sum(F.when(F.col("event_type") == "purchase",
+                         F.col("value")).otherwise(0.0).cast(DEC)) \
+             .cast("double")
+    total = F.sum(F.col("value").cast(DEC)).cast("double")
+    return ev.agg((F.lit(100.0) * promo / total).alias("promo_pct"),
+                  F.count(F.lit(1)).alias("n_rows"))
