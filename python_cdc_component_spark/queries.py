@@ -1907,3 +1907,68 @@ def conditional_ratio_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.sum(F.col("value").cast(DEC)).cast("double")
     return ev.agg((F.lit(100.0) * promo / total).alias("promo_pct"),
                   F.count(F.lit(1)).alias("n_rows"))
+
+
+@query("repetition_stats", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t
+        WHERE len(t) >= 2),
+bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg FROM idx),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+SELECT doc_id,
+       SUM(c) AS n_bigrams,
+       MAX(c) AS max_bigram_count,
+       round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+FROM cnt GROUP BY doc_id
+""")
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition detection (the Gopher/C4-style
+    duplicate-n-gram quality signal): fraction of all bigrams taken by
+    the most frequent bigram. Two keyed aggregations, shuffle on
+    (doc, bigram) then doc — no self-joins."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    bg = (t.filter(F.size("t") >= 2)
+           .select("doc_id", F.explode(F.expr(
+               "transform(sequence(1, size(t) - 1), "
+               "i -> array_join(slice(t, i, 2), ' '))")).alias("bg")))
+    cnt = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("max_bigram_count"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6)
+         .alias("top_bigram_frac"))
+
+
+@query("gopher_quality_filter", f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text
+           FROM documents),
+m AS (SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+               AS mean_word_len,
+             len(list_filter(toks, w -> w IN {_STOP_SQL})) AS n_stop
+      FROM t)
+SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len, n_stop,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND n_stop >= 2) AS keep
+FROM m
+""")
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style document quality filter: word-count
+    bounds, mean-word-length bounds, minimum stopword presence → one
+    boolean keep flag. Pure map stage (no shuffle) — the shape of every
+    rule-based corpus filter at 100 TB."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    mwl = (F.length("text") - (n - 1)).cast("double") / n
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS))) \
+        .cast("long")
+    keep = ((n >= 50) & (n <= 100000)
+            & (mwl >= 3) & (mwl <= 10)
+            & (n_stop >= 2))
+    return d.select("doc_id", n.alias("n_words"),
+                    F.round(mwl, 6).alias("mean_word_len"),
+                    n_stop.alias("n_stop"), keep.alias("keep"))
