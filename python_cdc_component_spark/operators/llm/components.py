@@ -1,0 +1,55 @@
+"""Distributed connected components (label propagation to fixpoint).
+
+Beyond-reference operator: near-dup *groups* need the transitive closure
+of the pairwise LSH candidate graph — A~B and B~C put A,B,C in one
+group even when A,C never collide in a band. The 1-hop form is
+``lsh_dup_groups``; this operator iterates it to convergence.
+
+Algorithm: min-label propagation. Every node starts labeled with its own
+id; each round every node takes the min of its label and its neighbors'
+labels; stop when no label changed. Each round is one shuffle-bounded
+join+groupBy (no driver-side graph) — the Pregel-style pattern that
+scales to billions of edges. Rounds needed ≤ graph diameter (near-dup
+clusters are tiny-diameter, so 3-5 rounds in practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 15) -> DataFrame:
+    """(node, component) for every node in the undirected edge list;
+    component = min node id reachable. Deterministic for any input
+    partitioning (min is order-independent)."""
+    both = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"),
+                                      F.col(src).alias("b")))
+            .distinct()
+            .persist())
+    labels = (both.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .persist())
+
+    for _ in range(max_iter):
+        # neighbor labels: for each edge a→b, b's current label is a
+        # candidate for a
+        nbr = (both.join(labels.withColumnRenamed("node", "b"), "b")
+               .select(F.col("a").alias("node"),
+                       F.col("label").alias("nbr_label")))
+        new_labels = (labels.unionByName(
+                        nbr.withColumnRenamed("nbr_label", "label"))
+                      .groupBy("node").agg(F.min("label").alias("label"))
+                      .persist())
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "node")
+                   .filter(F.col("label") != F.col("old")).limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -1972,3 +1972,60 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", n.alias("n_words"),
                     F.round(mwl, 6).alias("mean_word_len"),
                     n_stop.alias("n_stop"), keep.alias("keep"))
+
+
+@query("dup_components", """
+WITH sig AS ({sig}),
+bands AS (
+  SELECT doc_id, 0 AS band, CONCAT_WS('|', h0, h1, h2, h3) AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, CONCAT_WS('|', h4, h5, h6, h7) FROM sig
+  UNION ALL SELECT doc_id, 2, CONCAT_WS('|', h8, h9, h10, h11) FROM sig
+  UNION ALL SELECT doc_id, 3, CONCAT_WS('|', h12, h13, h14, h15) FROM sig),
+edges AS (
+  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id <> b.doc_id),
+reach AS (
+  SELECT s AS n, d AS m FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+),
+all_nodes AS (SELECT DISTINCT doc_id AS n FROM sig),
+lbl AS (
+  SELECT n, m FROM reach
+  UNION ALL SELECT n, n FROM all_nodes)
+SELECT n AS doc_id, MIN(m) AS component
+FROM lbl GROUP BY n
+""".format(sig=_MINHASH_SIG_SQL.format(mins=_MINHASH_MINS)).replace(
+    "WITH sig AS", "WITH RECURSIVE sig AS"))
+def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS as the transitive closure of the LSH candidate
+    graph (operators.llm.components.connected_components — Pregel-style
+    min-label propagation, one shuffle-bounded join per round). The
+    oracle computes the same components via a recursive-CTE transitive
+    closure — feasible at oracle scale only; the iterative form is the
+    100 TB path. Docs with no band collisions are their own component."""
+    from .operators.llm.components import connected_components
+
+    sig = _minhash_sig_df(_spark(spark), sf_dir).persist()
+    bands = union_epochs([
+        sig.select("doc_id", F.lit(b).alias("band"),
+                   F.concat_ws("|", *[F.col(f"h{b * 4 + i}")
+                                      for i in range(4)]).alias("bv"))
+        for b in range(_LSH_BANDS)])
+    a, b = bands.alias("a"), bands.alias("b")
+    edges = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")))
+              .select(F.col("a.doc_id").alias("src"),
+                      F.col("b.doc_id").alias("dst"))
+              .distinct())
+    comp = connected_components(edges)
+    # singletons (no collisions) label themselves
+    singles = (sig.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("component")))
+    return union_epochs([
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        singles,
+    ])

@@ -79,3 +79,17 @@ def test_regex_tokens(spark):
     df = spark.createDataFrame([("ab 12, c!",)], ["text"])
     out = df.select(regex_tokens(F.col("text")).alias("t")).collect()[0].t
     assert out == ["ab", "12", ",", "c", "!"]
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    from python_cdc_component_spark.operators.llm.components import (
+        connected_components)
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long")
+    got = {(r.node, r.component)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)}
