@@ -2029,3 +2029,47 @@ def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.select(F.col("node").alias("doc_id"), "component"),
         singles,
     ])
+
+
+@query("hll_distinct_contract", """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY event_type
+""")
+def hll_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct path: HyperLogLog approx_count_distinct
+    (mergeable sketch, no exact-distinct shuffle). Sketch estimates are
+    engine-specific, so the oracle checks the ACCURACY CONTRACT instead:
+    the HLL estimate must land within 5% (the default rsd) of the exact
+    count, emitted as a boolean the hash compare verifies."""
+    ev = read_events(_spark(spark), sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("hll"))
+    within = (F.abs(F.col("hll") - F.col("exact_users"))
+              <= 0.05 * F.col("exact_users"))
+    return agg.select("event_type", "exact_users",
+                      within.alias("hll_within_5pct"))
+
+
+@query("approx_quantile_contract", """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS exact_median,
+       TRUE AS approx_within_1pct
+FROM orders GROUP BY o_orderstatus
+""")
+def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path: approx_percentile (Greenwald-Khanna
+    sketch, single pass, mergeable). Oracled on the accuracy contract:
+    the sketch median must land within 1% of the exact interpolated
+    median."""
+    o = read_table(_spark(spark), sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact_median"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
+         .alias("approx"))
+    within = (F.abs(F.col("approx") - F.col("exact_median"))
+              <= 0.01 * F.abs(F.col("exact_median")))
+    return agg.select("o_orderstatus", "exact_median",
+                      within.alias("approx_within_1pct"))
