@@ -29,9 +29,13 @@ def connected_components(edges: DataFrame, src: str = "src",
                                       F.col(src).alias("b")))
             .distinct()
             .persist())
-    labels = (both.select(F.col("a").alias("node"))
-              .distinct()
-              .withColumn("label", F.col("node"))
+    # seed with the 1-hop minimum (min over self + direct neighbors):
+    # one aggregation that typically halves the rounds to convergence
+    labels = (both.select(F.col("a").alias("node"),
+                          F.col("b").alias("label"))
+              .unionByName(both.select(F.col("a").alias("node"),
+                                       F.col("a").alias("label")))
+              .groupBy("node").agg(F.min("label").alias("label"))
               .persist())
 
     for _ in range(max_iter):
