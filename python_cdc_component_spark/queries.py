@@ -2041,12 +2041,12 @@ def hll_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB distinct path: HyperLogLog approx_count_distinct
     (mergeable sketch, no exact-distinct shuffle). Sketch estimates are
     engine-specific, so the oracle checks the ACCURACY CONTRACT instead:
-    the HLL estimate must land within 5% (the default rsd) of the exact
-    count, emitted as a boolean the hash compare verifies."""
+    an rsd=0.01 HLL estimate must land within 5% (a 5-sigma bound) of
+    the exact count, emitted as a boolean the hash compare verifies."""
     ev = read_events(_spark(spark), sf_dir)
     agg = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id").alias("hll"))
+        F.approx_count_distinct("user_id", 0.01).alias("hll"))
     within = (F.abs(F.col("hll") - F.col("exact_users"))
               <= 0.05 * F.col("exact_users"))
     return agg.select("event_type", "exact_users",
