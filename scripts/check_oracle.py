@@ -10,6 +10,7 @@ names, and order-insensitive values. Usage::
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -83,7 +84,19 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+    if os.environ.get("SPARK_GRAFT_HOSTILE"):
+        # driver simulation: vanilla session, non-UTC TZ, no AQE, default
+        # 200 shuffle partitions — results must be config-invariant
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4]")
+                 .appName("check_oracle_hostile")
+                 .config("spark.sql.session.timeZone", "America/New_York")
+                 .config("spark.sql.adaptive.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "200")
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
