@@ -2073,3 +2073,30 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
               <= 0.01 * F.abs(F.col("exact_median")))
     return agg.select("o_orderstatus", "exact_median",
                       within.alias("approx_within_1pct"))
+
+
+@query("train_split_assign", """
+WITH h AS (SELECT doc_id,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                    % 100 AS bucket
+           FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""")
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the stable id into
+    100 buckets (md5 → same split in ANY engine, ANY partitioning, ANY
+    run — the property random() samplers lack), 80/10/10. Shuffle-free
+    map stage; joins downstream stay reproducible."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                       .cast("binary")), 1, 7), 16, 10)
+              .cast("long") % 100)
+    return (d.select("doc_id", bucket.alias("bucket"))
+             .withColumn("split",
+                         F.when(F.col("bucket") < 80, "train")
+                          .when(F.col("bucket") < 90, "val")
+                          .otherwise("test")))
