@@ -2100,3 +2100,44 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.when(F.col("bucket") < 80, "train")
                           .when(F.col("bucket") < 90, "val")
                           .otherwise("test")))
+
+
+@query("grouped_centroids_pandas", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+b AS (SELECT vec_id, e, vec_id % 4 AS bucket FROM v),
+u AS (SELECT bucket, i AS dim,
+             CAST(round(e[i] * 1000000) AS BIGINT) AS scaled
+      FROM b, unnest(range(1, 65)) t(i))
+SELECT bucket, CAST(dim AS INTEGER) AS dim,
+       SUM(scaled) AS sum_scaled, COUNT(*) AS n_vecs
+FROM u GROUP BY bucket, dim
+""")
+def grouped_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the third Arrow API next to
+    mapInPandas and applyInPandasWithState): per-bucket embedding
+    centroid accumulators. Values are scaled to int64 before summing so
+    the aggregation is exact and order-independent — the sum is
+    hash-comparable against SQL regardless of row order inside the
+    pandas group."""
+    import pandas as pd
+
+    s = _spark(spark)
+    emb = (read_table(s, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"),
+                   (F.col("vec_id") % 4).alias("bucket")))
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        E = np.vstack(pdf["e"].to_numpy())                    # (n, 64)
+        scaled = np.rint(E * 1_000_000).astype("int64")
+        return pd.DataFrame({
+            "bucket": pdf["bucket"].iloc[0],
+            "dim": np.arange(1, E.shape[1] + 1, dtype="int32"),
+            "sum_scaled": scaled.sum(axis=0),                 # exact int64
+            "n_vecs": len(E),
+        })
+
+    return emb.groupBy("bucket").applyInPandas(
+        centroid, "bucket long, dim int, sum_scaled long, n_vecs long")
