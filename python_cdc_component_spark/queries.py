@@ -2141,3 +2141,65 @@ def grouped_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return emb.groupBy("bucket").applyInPandas(
         centroid, "bucket long, dim int, sum_scaled long, n_vecs long")
+
+
+@query("q10_returned_revenue", """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item revenue: filters push to both fact
+    scans, nation broadcasts, top-k via TakeOrderedAndProject with a
+    deterministic tie-break."""
+    s = _spark(spark)
+    cust = read_table(s, sf_dir, "customer")
+    orders = read_table(s, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    li = read_table(s, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = read_table(s, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name")
+              .agg(_dec_sum(disc_price, "revenue"))
+              .select("c_custkey", "c_name", "n_name", "revenue")
+              .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+              .limit(20))
+
+
+@query("q12_priority_by_quantity_band", """
+SELECT CASE WHEN l_quantity >= 25 THEN 'high' ELSE 'low' END AS qty_band,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""")
+def q12_priority_by_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional counts over a join, grouped by a
+    derived band — the CASE aggregation pattern entirely inside
+    whole-stage codegen."""
+    s = _spark(spark)
+    o = read_table(s, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = read_table(s, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy(F.when(F.col("l_quantity") >= 25, "high")
+                        .otherwise("low").alias("qty_band"))
+              .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                   F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count")))
