@@ -2203,3 +2203,48 @@ def q12_priority_by_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame
                         .otherwise("low").alias("qty_band"))
               .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
                    F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count")))
+
+
+@query("snapshot_diff_events", """
+WITH old_state AS (
+  SELECT user_id, event_type, "value", event_id FROM events
+  WHERE event_id <= (SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1),
+new_state AS (
+  SELECT user_id, event_type, "value", event_id FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'c'
+            WHEN n.user_id IS NULL THEN 'd'
+            WHEN o.event_id <> n.event_id THEN 'u'
+            ELSE 'noop' END AS op,
+       o.event_id AS old_pos, n.event_id AS new_pos
+FROM old_state o FULL JOIN new_state n ON o.user_id = n.user_id
+WHERE NOT (o.event_id IS NOT DISTINCT FROM n.event_id)
+""")
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the inverse of CDC consumption:
+    diff two table states (per-PK full outer join) and synthesize the
+    change events (c/u/d) that transform old into new. The op every
+    CDC pipeline needs when the log has a gap and only snapshots
+    remain. One shuffle on the PK; both states come from the same W1
+    dedup operator."""
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    mn, mx = ev.agg(F.min(SC.pos), F.max(SC.pos)).collect()[0]
+    mid = (mn + mx) // 2
+    old = (dedup_latest(ev.filter(F.col(SC.pos) <= mid), ["user_id"])
+           .select(F.col("user_id").alias("o_uid"),
+                   F.col(SC.pos).alias("old_pos")))
+    new = (dedup_latest(ev, ["user_id"])
+           .select(F.col("user_id").alias("n_uid"),
+                   F.col(SC.pos).alias("new_pos")))
+    j = old.join(new, old.o_uid == new.n_uid, "full_outer")
+    op = (F.when(F.col("o_uid").isNull(), "c")
+           .when(F.col("n_uid").isNull(), "d")
+           .when(F.col("old_pos") != F.col("new_pos"), "u")
+           .otherwise("noop"))
+    return (j.select(F.coalesce("o_uid", "n_uid").alias("user_id"),
+                     op.alias("op"), "old_pos", "new_pos")
+             .filter(~F.col("old_pos").eqNullSafe(F.col("new_pos"))))
