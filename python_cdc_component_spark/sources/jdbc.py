@@ -12,9 +12,10 @@ Parity targets:
   ``metadata.py:13-49``) → ``information_schema`` queries through the
   same JDBC reader, yielding TableSchema.
 
-No live database exists in the test environment; these build real Spark
-readers and are exercised by unit tests only up to plan construction
-(driver correctness uses the file-backed source).
+Integration-tested against the embedded Derby engine that ships with
+Spark (``tests/test_jdbc_integration.py``: full snapshot, partitioned
+range read, statement override); driver correctness uses the
+file-backed source.
 """
 
 from __future__ import annotations
