@@ -57,3 +57,44 @@ def test_snapshot_statement_override(spark, seeded_url):
     got = df.collect()
     assert len(got) == 10
     assert set(df.columns) == {"ID", "VAL"}
+
+
+def test_info_schema_query_runs_on_standard_information_schema():
+    """S5: the metadata SQL must be valid against a standard
+    information_schema implementation (DuckDB's, in-process). The is_pk
+    join uses MySQL's constraint_name='PRIMARY' convention, so PK
+    detection is target-specific — mapping is tested separately below."""
+    import duckdb
+    from python_cdc_component_spark.sources.jdbc import _INFO_SCHEMA_QUERY
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE main.users (id INTEGER PRIMARY KEY, "
+                "name VARCHAR(30), bal DECIMAL(10,2))")
+    rows = con.execute(_INFO_SCHEMA_QUERY.format(schema="main")).fetchall()
+    by_col = {r[2]: r for r in rows}
+    assert set(by_col) == {"id", "name", "bal"}
+    assert by_col["name"][3] == "VARCHAR"
+    assert by_col["bal"][5] == 10 and by_col["bal"][6] == 2   # precision/scale
+    assert by_col["id"][7] == "NO"                            # not nullable
+
+
+def test_rows_to_table_schema_mapping():
+    from pyspark.sql import types as T
+    from python_cdc_component_spark.sources.jdbc import rows_to_table_schema
+
+    rows = [
+        # (column_name, data_type, char_len, precision, scale,
+        #  is_nullable, is_pk) — the query's trailing 7 columns
+        ("id", "int", None, 10, 0, "NO", 1),
+        ("name", "varchar", 30, None, None, "YES", 0),
+        ("bal", "decimal", None, 10, 2, "YES", 0),
+        ("created", "timestamp", None, None, None, "YES", 0),
+    ]
+    ts = rows_to_table_schema(rows, "users")
+    assert ts.primary_keys == ["id"]
+    fields = {f.name: f for f in ts.struct.fields}
+    assert isinstance(fields["id"].dataType, T.LongType)
+    assert isinstance(fields["name"].dataType, T.StringType)
+    assert fields["bal"].dataType == T.DecimalType(10, 2)
+    assert isinstance(fields["created"].dataType, T.TimestampType)
+    assert fields["id"].nullable is False
