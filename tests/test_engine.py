@@ -81,3 +81,30 @@ def test_entry_contract(spark):
     # every declared operator family has an oracle unless explicitly
     # non-SQL-expressible
     assert len(oracles) >= 20
+
+
+def test_estimate_partitions_targets_slice_size(spark):
+    from python_cdc_component_spark.sinks.csv_sink import _estimate_partitions
+
+    df = spark.range(100_000).selectExpr("id", "repeat('x', 100) AS pad")
+    # tiny target → many slices; huge target → single slice
+    many = _estimate_partitions(df, target_bytes=100 * 1024)
+    one = _estimate_partitions(df, target_bytes=1 << 40)
+    assert one == 1
+    assert many is not None and many > one
+    assert many <= 10_000                     # clamped
+
+
+def test_write_parquet_partition_pruning(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+    from python_cdc_component_spark.sinks.csv_sink import write_parquet
+    from python_cdc_component_spark.sources.events import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type")
+    out = str(tmp_path / "by_type")
+    write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    # partition pruning: the filtered scan reads only the click directory
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == ev.filter("event_type = 'click'").count()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
