@@ -2248,3 +2248,69 @@ def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.select(F.coalesce("o_uid", "n_uid").alias("user_id"),
                      op.alias("op"), "old_pos", "new_pos")
              .filter(~F.col("old_pos").eqNullSafe(F.col("new_pos"))))
+
+
+@query("relational_division", """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice < 50000)
+""")
+def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("customers ALL of whose orders are large"):
+    a semi-join for existence plus an anti-join for the violating set —
+    the two J1-style primitives composed; no aggregation needed."""
+    s = _spark(spark)
+    cust = read_table(s, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = read_table(s, sf_dir, "orders")
+    any_order = orders.select("o_custkey").distinct()
+    small_order = (orders.filter(F.col("o_totalprice") < 50000)
+                   .select("o_custkey").distinct())
+    return (cust.join(any_order, cust.c_custkey == any_order.o_custkey,
+                      "left_semi")
+                .join(small_order,
+                      cust.c_custkey == small_order.o_custkey, "left_anti"))
+
+
+@query("range_frame_running_sum", """
+SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS odate_ms,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+       OVER (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+             RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
+       AS DOUBLE) AS sum_30d
+FROM orders
+""")
+def range_frame_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame: per customer, total order value
+    within the trailing 30 days of each order — the frame is bounded by
+    the ORDER BY VALUE (epoch ms), not row offsets, so ties and gaps
+    behave identically in both engines."""
+    o = read_table(_spark(spark), sf_dir, "orders")
+    # NTZ → TZ cast under the pinned UTC session ≡ DuckDB's naive epoch_ms
+    odate_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    w = (Window.partitionBy("o_custkey").orderBy(odate_ms.alias("odate_ms"))
+         .rangeBetween(-2592000000, Window.currentRow))
+    return o.select(
+        "o_orderkey", "o_custkey", odate_ms.alias("odate_ms"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+         .cast("double").alias("sum_30d"))
+
+
+@query("rank_fractions", """
+SELECT o_orderkey, o_custkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""")
+def rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist window fractions (deterministic: the
+    order key is unique via the o_orderkey tie-break; 6dp rounding
+    guards the (n-1) division's last float bit)."""
+    o = read_table(_spark(spark), sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))
