@@ -2314,3 +2314,48 @@ def rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey",
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
+@query("snapshot_backfill_region", """
+SELECT r_regionkey, r_name,
+       'r' AS kbc__operation, FALSE AS kbc__deleted
+FROM region
+""")
+def snapshot_backfill_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 initial-snapshot backfill via control.backfill_plan: a batch
+    scan emitted as op='r' snapshot-read events with CDC system columns
+    (the snapshot phase of snapshot-then-stream orchestration, T3)."""
+    from .control import backfill_plan
+    plans = backfill_plan(_spark(spark), sf_dir, ["region"])
+    df = plans["region"]
+    return df.select(
+        "r_regionkey", "r_name",
+        F.col("kbc__operation"),
+        F.col("__deleted").alias("kbc__deleted"))
+
+
+@query("scd2_intervals", """
+WITH e AS (SELECT user_id, "value", event_id,
+                  epoch_ms(ts) AS tms FROM events)
+SELECT user_id, "value", event_id AS valid_from_pos,
+       LEAD(event_id) OVER w AS valid_to_pos,
+       (LEAD(event_id) OVER w IS NULL) AS is_current
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
+""")
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 derived from the event log: each
+    event opens a validity interval closed by the key's next event
+    (lead over the per-key event order); the open interval marks the
+    current row. The history-table view of the same log the W1 dedup
+    compacts to current state."""
+    ev = read_events(_spark(spark), sf_dir).select(
+        "user_id", "value", "event_id",
+        F.expr("ts_ns div 1000000").alias("tms"))
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    nxt = F.lead("event_id").over(w)
+    return ev.select(
+        "user_id", "value",
+        F.col("event_id").alias("valid_from_pos"),
+        nxt.alias("valid_to_pos"),
+        nxt.isNull().alias("is_current"))
