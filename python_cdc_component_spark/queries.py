@@ -430,7 +430,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("text_quality", f"""
 SELECT doc_id, COUNT(*) AS n_tokens,
-       COALESCE(SUM(CASE WHEN t IN {_STOP_SQL} THEN 1 ELSE 0 END), 0) AS n_stop,
+       CAST(COALESCE(SUM(CASE WHEN t IN {_STOP_SQL} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_stop,
        CAST(COALESCE(SUM(CASE WHEN t IN {_STOP_SQL} THEN 1 ELSE 0 END), 0) AS DOUBLE)
          / COUNT(*) AS stop_ratio
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
@@ -758,8 +758,8 @@ g AS (SELECT user_id, event_id, tus,
                   OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
 s AS (SELECT user_id, event_id, tus,
-        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_no
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM g)
 SELECT user_id, session_no, COUNT(*) AS n_events,
        MIN(event_id) AS first_pos, MAX(event_id) AS last_pos
@@ -1146,11 +1146,11 @@ def anti_join_unreturned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("pivot_event_counts", """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY user_id
 """)
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1544,8 +1544,9 @@ def schema_changes_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("hopping_window_agg", """
 WITH e AS (SELECT event_type, "value", epoch_ms(ts) AS tms FROM events),
 w AS (SELECT event_type, "value",
-             unnest([to_timestamp((tms // 1800000) * 1800),
-                     to_timestamp((tms // 1800000) * 1800 - 1800)]) AS window_start
+             unnest([make_timestamp((tms // 1800000) * 1800 * 1000000),
+                     make_timestamp(((tms // 1800000) * 1800 - 1800) * 1000000)])
+               AS window_start
       FROM e)
 SELECT window_start, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -1617,11 +1618,12 @@ WITH t AS (SELECT doc_id, lang,
                   len(string_split(text, ' ')) AS n_tokens
            FROM documents),
 r AS (SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
       FROM t)
 SELECT doc_id, lang, n_tokens, cum_tokens,
-       (cum_tokens - 1) // 512 AS pack_id
+       CAST((cum_tokens - 1) // 512 AS BIGINT) AS pack_id
 FROM r
 """)
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1916,7 +1918,7 @@ idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t
 bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg FROM idx),
 cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
 SELECT doc_id,
-       SUM(c) AS n_bigrams,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
        MAX(c) AS max_bigram_count,
        round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
 FROM cnt GROUP BY doc_id
@@ -2110,7 +2112,7 @@ u AS (SELECT bucket, i AS dim,
              CAST(round(e[i] * 1000000) AS BIGINT) AS scaled
       FROM b, unnest(range(1, 65)) t(i))
 SELECT bucket, CAST(dim AS INTEGER) AS dim,
-       SUM(scaled) AS sum_scaled, COUNT(*) AS n_vecs
+       CAST(SUM(scaled) AS BIGINT) AS sum_scaled, COUNT(*) AS n_vecs
 FROM u GROUP BY bucket, dim
 """)
 def grouped_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2183,10 +2185,10 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q12_priority_by_quantity_band", """
 SELECT CASE WHEN l_quantity >= 25 THEN 'high' ELSE 'low' END AS qty_band,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1
 """)

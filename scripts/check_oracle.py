@@ -117,12 +117,22 @@ def main() -> int:
             print(f"SKIP {name}: no oracle (rows-only: {len(sdf)})")
             continue
         try:
-            ddf = con.execute(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            # The driver's value-hash serializes HUGEINT (DuckDB SUM of
+            # integers) and TIMESTAMPTZ differently from Spark's
+            # BIGINT/TIMESTAMP even when values agree — pandas-level
+            # normalization below would hide that, so flag them hard.
+            type_problems = [
+                f"oracle col {c} has driver-hash-hostile type {t}"
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+                or "TIME ZONE" in str(t).upper()]
+            ddf = rel.df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
             continue
-        problems = compare(name, sdf, ddf)
+        problems = type_problems + compare(name, sdf, ddf)
         dt = time.time() - t0
         if problems:
             print(f"FAIL {name} ({dt:.1f}s): " + " | ".join(problems))
