@@ -116,8 +116,13 @@ def sync(spark: SparkSession, sf_dir: str, out_dir: str,
     bounds = result.agg(
         F.max(SC.EVENT_TIMESTAMP_MS).alias("ts"),
         F.max(SC.POS).alias("pos")).collect()[0]
-    state.offsets[table_name] = {"ts": bounds["ts"], "file": "binlog.000001",
-                                 "pos": bounds["pos"]}
+    if bounds["ts"] is not None and bounds["pos"] is not None:
+        # An empty source yields NULL bounds — keep the prior offsets so
+        # is_initial_run semantics survive an empty run (the reference
+        # likewise only advances offsets on consumed events).
+        state.offsets[table_name] = {"ts": bounds["ts"],
+                                     "file": "binlog.000001",
+                                     "pos": bounds["pos"]}
     state.last_synced_tables = [table_name]
     state.previous_mode = cfg.mode
     state.save(os.path.join(out_dir, "state.json"))

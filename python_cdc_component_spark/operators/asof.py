@@ -31,8 +31,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
 
+    # Alias right payload columns to a private prefix BEFORE the union so
+    # a shared payload name between left and right never merges into one
+    # column (which would make the final drop erase left data).
+    priv = {c: f"__asof_r_{c}" for c in right_cols}
     l_tag = left.withColumn("__is_left", F.lit(1))
-    r_tag = (right.select(on, ts, *right_cols)
+    r_tag = (right.select(on, ts,
+                          *[F.col(c).alias(priv[c]) for c in right_cols])
              .withColumn("__is_left", F.lit(0)))
     # align schemas: left payload columns are NULL on right rows and
     # vice versa (unionByName pads)
@@ -43,14 +48,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     w = (Window.partitionBy(on)
          .orderBy(F.col(ts), F.col("__is_left"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(F.when(F.col("__is_left") == 0, F.col(c)), True)
+    carried = [F.last(F.when(F.col("__is_left") == 0, F.col(priv[c])), True)
                 .over(w).alias(f"{c}_asof") for c in right_cols]
     asof_ts = F.last(F.when(F.col("__is_left") == 0, F.col(ts)), True) \
         .over(w).alias("asof_ts")
 
     out = (merged.select("*", *carried, asof_ts)
            .filter(F.col("__is_left") == 1)
-           .drop("__is_left", *right_cols))
+           .drop("__is_left", *priv.values()))
     if tolerance is not None:
         cond = F.col("asof_ts") >= (F.col(ts) - tolerance)
         out = out.withColumn("asof_ts", F.when(cond, F.col("asof_ts")))

@@ -1,0 +1,99 @@
+"""Incremental keyed-upsert (MERGE) compaction sink.
+
+Parity target: the reference's DEDUPE export keeps one compacted row per
+primary key across chained incremental runs
+(``db_components/db_common/staging.py:216-282``; chained test
+``ex_mysql_cdc/tests/functional/incremental-dedupe-chained/``). The
+round-1 implementation re-read and overwrote the *entire* compacted
+table every micro-batch — O(total-state x batches) I/O.
+
+Spark-first design: the compacted state is a parquet table hash-bucketed
+on the primary key (``_kbc_bucket = pmod(xxhash64(pk...), N)`` as a
+partition directory). A micro-batch can only change rows in the buckets
+its own keys hash into, so the merge
+
+1. computes the batch's touched bucket ids (a <=N-int driver scalar),
+2. reads ONLY those buckets back (partition-pruned scan — the plan shows
+   a PartitionFilters entry, never a full-state scan),
+3. window-dedups batch+bucket rows per key (same W1 operator as batch
+   mode), and
+4. rewrites ONLY the touched buckets via dynamic partition overwrite —
+   untouched buckets' files are never opened or rewritten; Spark's file
+   commit protocol stages new files and swaps per-partition, so a crash
+   mid-write leaves the previous bucket contents in place.
+
+Per-batch I/O is O(|batch| + touched_buckets * state/N), proportional to
+the batch for keyed workloads. At 100 TB, N scales with state size
+(N ~ state_bytes / target_partition_bytes) and the bucket key gives every
+run the same partitioning, so the per-bucket merge shuffle is bounded and
+skew-free for uniform key hashes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_latest
+from ..operators.schema_align import union_epochs
+
+BUCKET_COL = "_kbc_bucket"
+_OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit state-path existence check through the Hadoop FS API —
+    works for any supported filesystem, and keeps real read errors
+    (corrupt footer, permissions) fatal instead of silently treating the
+    batch as the whole state."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath)
+
+
+@dataclass
+class MergeCompactor:
+    """Keyed-upsert sink: ``merge`` is called once per micro-batch (from
+    ``foreachBatch``) or once per chained batch run."""
+
+    state_path: str
+    keys: list[str]
+    num_buckets: int = 32
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
+                      F.lit(self.num_buckets)).cast("int")
+
+    def merge(self, spark: SparkSession, batch_df: DataFrame) -> int:
+        """Upsert one batch into the compacted state. Returns the number
+        of buckets rewritten (0 for an empty batch)."""
+        batch = batch_df.withColumn(BUCKET_COL, self._bucket())
+        batch.persist()
+        try:
+            touched = [r[0] for r in
+                       batch.select(BUCKET_COL).distinct().collect()]
+            if not touched:
+                return 0
+            if _fs_exists(spark, self.state_path):
+                current = (spark.read.parquet(self.state_path)
+                           .filter(F.col(BUCKET_COL).isin(touched)))
+                merged = union_epochs([current, batch])
+            else:
+                merged = batch
+            compacted = dedup_latest(merged, self.keys)
+            prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
+            spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
+            try:
+                (compacted.write.partitionBy(BUCKET_COL)
+                 .mode("overwrite").parquet(self.state_path))
+            finally:
+                spark.conf.set(_OVERWRITE_MODE_KEY, prev)
+            return len(touched)
+        finally:
+            batch.unpersist()
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The compacted table (bucket column dropped)."""
+        return spark.read.parquet(self.state_path).drop(BUCKET_COL)

@@ -35,8 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
 from ..model.envelope import OP_SNAPSHOT_READ, SYSTEM_COLUMNS as SC
-from ..operators.dedup import dedup_latest
-from ..operators.schema_align import union_epochs
+from ..sinks.merge import MergeCompactor
 from ..sources.events import EVENTS_RAW_SCHEMA, PAYLOAD_COLS, _op_expr
 
 
@@ -51,6 +50,7 @@ class BoundedStreamConfig:
     max_duration_s: float = 85500.0            # reference MySQL default
     max_wait_s: float = 30.0                   # idle stop
     max_files_per_trigger: int | None = None   # engine batch-size analogue
+    num_state_buckets: int = 32                # MERGE-sink hash buckets
 
 
 def read_event_stream(spark: SparkSession, events_dir: str,
@@ -105,20 +105,13 @@ class _IdleStopListener(StreamingQueryListener):
         pass
 
 
-def _compact(spark: SparkSession, batch_df: DataFrame, out_path: str,
-             keys: list[str]) -> None:
-    """DEDUPE-mode foreachBatch: merge the micro-batch with the current
-    compacted table and keep the latest event per key. Same operator as
-    batch mode (operators.dedup.dedup_latest) — W1 applied incrementally.
-    """
-    batch_df = batch_df.drop("_snapshot_phase")
-    try:
-        current = spark.read.parquet(out_path)
-        merged = union_epochs([current, batch_df])
-    except Exception:
-        merged = batch_df
-    compacted = dedup_latest(merged, keys).localCheckpoint(eager=True)
-    compacted.write.mode("overwrite").parquet(out_path)
+def _compact(spark: SparkSession, batch_df: DataFrame,
+             compactor: MergeCompactor) -> None:
+    """DEDUPE-mode foreachBatch: keyed upsert of the micro-batch into the
+    bucketed compacted state (same W1 operator as batch mode, applied
+    incrementally). Per-batch I/O is proportional to the batch's touched
+    buckets, never the whole table — see ``sinks.merge``."""
+    compactor.merge(spark, batch_df.drop("_snapshot_phase"))
 
 
 def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
@@ -135,10 +128,20 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
 
     listener = _IdleStopListener()
     spark.streams.addListener(listener)
+    # T3: snapshot-phase gate — while the most recent micro-batch still
+    # carried snapshot (op='r') rows, the idle stop must not fire
+    # (reference AbstractDebeziumTask.java:176-178 gates `ended` on the
+    # snapshot notification being closed).
+    phase = {"snapshot_active": False}
     try:
         if cfg.mode.upper() == "DEDUPE":
+            compactor = MergeCompactor(out_path, cfg.primary_keys,
+                                       cfg.num_state_buckets)
+
             def sink(batch_df: DataFrame, batch_id: int) -> None:
-                _compact(spark, batch_df, out_path, cfg.primary_keys)
+                phase["snapshot_active"] = not (
+                    batch_df.filter(F.col("_snapshot_phase")).isEmpty())
+                _compact(spark, batch_df, compactor)
 
             writer = stream.writeStream.foreachBatch(sink)
         else:
@@ -161,7 +164,17 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                 stopped_reason = "max_duration"
                 query.stop()
                 break
+            # A long-running micro-batch emits no progress events until
+            # it completes — consult the live trigger status so an
+            # in-flight first batch is "busy", not "idle" (reference's
+            # `taskState == RUNNING` guard in AbstractDebeziumTask).
+            try:
+                trigger_active = bool(query.status.get("isTriggerActive"))
+            except Exception:
+                trigger_active = False
             if (not listener.busy
+                    and not trigger_active
+                    and not phase["snapshot_active"]
                     and time.time() - listener.last_data_ts > cfg.max_wait_s):
                 stopped_reason = "idle_timeout"
                 query.stop()

@@ -37,7 +37,10 @@ def streaming_dedup_latest(stream: DataFrame, key_col: str, order_col: str,
     Output mode is *update*: a key is emitted only when its latest event
     changed in this micro-batch.
     """
-    cols = [c.strip().split()[0] for c in schema_ddl.split(",")]
+    # Parse the DDL through Spark's own parser — a naive split(",") would
+    # shred parameterized types like decimal(10,2) or map<string,int>.
+    from pyspark.sql.types import _parse_datatype_string
+    cols = [f.name for f in _parse_datatype_string(schema_ddl).fields]
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:

@@ -108,3 +108,24 @@ def test_write_parquet_partition_pruning(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert back.count() == ev.filter("event_type = 'click'").count()
     assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_sync_empty_source_keeps_initial_run(spark, sf_dir, tmp_path):
+    """An empty source must not write NULL offsets: is_initial_run stays
+    True so the next run is still classified as the initial load
+    (ADVICE r1, engine.py)."""
+    from pyspark.sql import functions as F
+    from python_cdc_component_spark.sources.events import read_events
+
+    empty_sf = str(tmp_path / "empty_sf")
+    os.makedirs(empty_sf)
+    (read_events(spark, sf_dir)
+     .select("event_id", F.col("ts_ns").alias("ts"), "user_id",
+             "event_type", "value", "props")
+     .filter(F.lit(False)).coalesce(1)
+     .write.parquet(os.path.join(empty_sf, "events.parquet")))
+
+    out = str(tmp_path / "empty_out")
+    sync(spark, empty_sf, out)
+    st = RunState.load(os.path.join(out, "state.json"))
+    assert st.is_initial_run

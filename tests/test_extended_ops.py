@@ -93,3 +93,16 @@ def test_connected_components_chain_triangle_singleton(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10), (12, 10),
                    (20, 20), (21, 20)}
+
+
+def test_asof_join_shared_payload_column_preserved(spark):
+    """Left and right both carry a payload column named `v`: the right
+    side must not clobber the left's column through the union (ADVICE r1,
+    asof.py) — left `v` survives, right `v` arrives as `v_asof`."""
+    left = spark.createDataFrame(
+        [(1, 100, "left-v1"), (1, 200, "left-v2")], ["k", "t", "v"])
+    right = spark.createDataFrame(
+        [(1, 90, "right-v1"), (1, 150, "right-v2")], ["k", "t", "v"])
+    rows = {(r.v, r.v_asof)
+            for r in asof_join(left, right, on="k", ts="t").collect()}
+    assert rows == {("left-v1", "right-v1"), ("left-v2", "right-v2")}

@@ -44,3 +44,15 @@ def test_stateful_dedup_matches_batch(spark, sf_dir, tmp_path):
                 for r in dedup_latest(read_cdc_events(spark, sf_dir),
                                       ["user_id"]).collect()}
     assert got == expected
+
+
+def test_stateful_dedup_parameterized_type_ddl(spark, sf_dir, tmp_path):
+    """DDL with comma-bearing types (decimal(10,2)) must parse into the
+    right column list (ADVICE r1: naive split(',') shredded these)."""
+    src = str(tmp_path / "src_ddl")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "p0.parquet"))
+    stream = read_event_stream(spark, src)
+    ddl = f"user_id long, {SC.pos} long, value decimal(10,2)"
+    out = streaming_dedup_latest(stream, "user_id", SC.pos, ddl)
+    assert out.schema.fieldNames() == ["user_id", SC.pos, "value"]
