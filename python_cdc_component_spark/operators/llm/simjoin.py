@@ -1,0 +1,96 @@
+"""Exact cosine near-duplicate pair join with centroid-bucket pruning.
+
+Beyond-reference operator (reference has no similarity ops; SURVEY §2.4
+"none"). Round 1 shipped the brute-force ``a JOIN b ON ida < idb`` form,
+which is O(n²) shuffle and cannot run at 100 TB. This is the scale path:
+an **exact** metric similarity self-join using coarse quantization plus
+triangle-inequality bucket-pair pruning (the classic exact cluster-
+pruned similarity join; same family as the IVF blocking in
+``embedding_ivf_ann`` but with a coverage guarantee).
+
+Why it stays exact: for unit vectors, ``cos(x,y) >= t`` is equivalent to
+``||x-y|| <= sqrt(2-2t)``. Assign every normalized vector to its nearest
+of K centroids; let ``R_b`` be bucket b's radius (max distance of a
+member to its centroid). By the triangle inequality a qualifying pair
+(x in b1, y in b2) forces ``d(c1,c2) <= R_b1 + R_b2 + sqrt(2-2t)``, so
+scoring only bucket pairs that satisfy that bound loses nothing. The
+candidate bucket-pair list is K² driver-side scalars (K is small);
+the data join is two hash equi-joins on the bucket key — no cross join,
+no all-pairs shuffle. At 100 TB, K scales with sqrt(n) and pruning
+drops almost all bucket pairs for real near-dup thresholds (~0.9).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "e", threshold: float = 0.4,
+                     n_centroids: int = 8, round_dp: int = 6) -> DataFrame:
+    """All pairs with round(cosine, round_dp) >= threshold, emitted as
+    (vec_a < vec_b, sim). ``vec_col`` must be ``array<double>``.
+
+    Centroids are the ``n_centroids`` lowest-id vectors (a deterministic
+    coarse quantizer, same convention as ``embedding_ivf_ann``)."""
+    spark = emb.sparkSession
+    norm = F.sqrt(F.aggregate(F.transform("_e", lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    # normalized vector: bucketing geometry lives on the unit sphere
+    n = (emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+         .withColumn("_nrm", norm)
+         .withColumn("_u", F.transform("_e", lambda x: x / F.col("_nrm"))))
+
+    # TakeOrdered (distributed top-K), not a global-sort window
+    cent_rows = (n.select(F.col("_id").alias("_cid"),
+                          F.col("_u").alias("_cu"))
+                  .orderBy("_cid").limit(n_centroids).collect())
+    centroids = [(r["_cid"], list(r["_cu"])) for r in cent_rows]
+    cent_df = spark.createDataFrame(
+        [(cid, cu) for cid, cu in centroids], "_cid long, _cu array<double>")
+
+    sqdist = F.aggregate(F.zip_with("_u", "_cu", lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda a, x: a + x)
+    d = n.crossJoin(F.broadcast(cent_df)).withColumn("_d2", sqdist)
+    w_assign = Window.partitionBy("_id").orderBy("_d2", "_cid")
+    # persist: the assignment subtree feeds the radius agg and BOTH join
+    # sides — without it the normalize+assign work runs three times
+    assigned = (d.withColumn("_rn", F.row_number().over(w_assign))
+                 .filter(F.col("_rn") == 1)
+                 .select("_id", "_e", "_nrm", "_cid",
+                         F.sqrt("_d2").alias("_r"))
+                 .persist())
+
+    # bucket radii: K driver-side scalars
+    radii = {r["_cid"]: r["R"] for r in
+             assigned.groupBy("_cid").agg(F.max("_r").alias("R")).collect()}
+    d_max = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+
+    def _dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    cand = [(c1, c2) for i, (c1, u1) in enumerate(centroids)
+            for (c2, u2) in centroids[i:]
+            if _dist(u1, u2) <= radii.get(c1, 0.0) + radii.get(c2, 0.0) + d_max]
+    cand_df = F.broadcast(spark.createDataFrame(
+        cand, "_b1 long, _b2 long"))
+
+    a = assigned.select(F.col("_id").alias("_ida"), F.col("_e").alias("_ea"),
+                        F.col("_nrm").alias("_na"), F.col("_cid").alias("_ba"))
+    b = assigned.select(F.col("_id").alias("_idb"), F.col("_e").alias("_eb"),
+                        F.col("_nrm").alias("_nb"), F.col("_cid").alias("_bb"))
+    dot = F.aggregate(F.zip_with("_ea", "_eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (a.join(cand_df, a["_ba"] == cand_df["_b1"])
+              .join(b, F.col("_b2") == b["_bb"])
+              .filter((F.col("_ba") < F.col("_bb"))
+                      | ((F.col("_ba") == F.col("_bb"))
+                         & (F.col("_ida") < F.col("_idb"))))
+              .select(F.least("_ida", "_idb").alias("vec_a"),
+                      F.greatest("_ida", "_idb").alias("vec_b"),
+                      F.round(dot / (F.col("_na") * F.col("_nb")), round_dp)
+                       .alias("sim")))
+    return pairs.filter(F.col("sim") >= threshold)

@@ -1181,29 +1181,20 @@ s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.4
 """)
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force all-pairs at oracle
-    scale; the 100 TB path blocks by LSH/IVF bucket first — see
-    embedding_ivf_ann — so only same-bucket pairs are scored)."""
+    """Embedding-cosine near-dup pairs via the EXACT centroid-bucketed
+    similarity join (operators.llm.simjoin): triangle-inequality pruning
+    of bucket pairs, two hash equi-joins on the bucket key — no all-pairs
+    join anywhere in the plan. The brute-force form lives only in the
+    oracle SQL. Threshold 0.4 keeps the check non-vacuous at sf0.01 (the
+    synthetic embeddings have no true dups; max pairwise cosine ≈ 0.51);
+    both engines filter on the 6dp-rounded sim so boundary values agree.
+    """
+    from .operators.llm.simjoin import cosine_dup_pairs
     s = _spark(spark)
     emb = read_table(s, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    norm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
-                              F.lit(0.0), lambda a, x: a + x))
-    n = emb.withColumn("nrm", norm)
-    a = n.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-                 F.col("nrm").alias("na"))
-    b = n.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-                 F.col("nrm").alias("nb"))
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    pairs = (a.join(b, F.col("vec_a") < F.col("vec_b"))
-              .select("vec_a", "vec_b",
-                      F.round(dot / (F.col("na") * F.col("nb")), 6)
-                       .alias("sim")))
-    # threshold chosen so the check is non-vacuous at sf0.01 (the synthetic
-    # embeddings have no true dups; max pairwise cosine ≈ 0.51). Both
-    # engines filter on the 6dp-rounded sim so boundary values agree.
-    return pairs.filter(F.col("sim") >= 0.4)
+    return cosine_dup_pairs(emb, id_col="vec_id", vec_col="e",
+                            threshold=0.4, n_centroids=8)
 
 
 # ---------------------------------------------------------------------------
