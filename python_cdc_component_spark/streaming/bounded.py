@@ -51,6 +51,13 @@ class BoundedStreamConfig:
     max_wait_s: float = 30.0                   # idle stop
     max_files_per_trigger: int | None = None   # engine batch-size analogue
     num_state_buckets: int = 32                # MERGE-sink hash buckets
+    # live=False: Trigger.AvailableNow — drain to the end captured at
+    # start, then stop (P6, the reference's bounded run). live=True:
+    # keep polling for NEW files arriving mid-run (the reference's
+    # long-running engine loop, AbstractDebeziumTask.java:116) until the
+    # idle timeout or max duration fires.
+    live: bool = False
+    poll_interval_ms: int = 250
 
 
 def read_event_stream(spark: SparkSession, events_dir: str,
@@ -149,10 +156,13 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                       .writeStream.format("parquet")
                       .option("path", out_path))
 
-        query = (writer
-                 .option("checkpointLocation", checkpoint_dir)
-                 .trigger(availableNow=True)
-                 .start())
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+        if cfg.live:
+            writer = writer.trigger(
+                processingTime=f"{cfg.poll_interval_ms} milliseconds")
+        else:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
 
         start = time.time()
         stopped_reason = "drained"
