@@ -88,6 +88,68 @@ def read_signal_file(path: str) -> list[SnapshotSignal]:
     return out
 
 
+SIGNAL_TABLE_SCHEMA = "id string, type string, data string"
+
+
+def write_signal_table(spark: SparkSession, signals: list[SnapshotSignal],
+                       table_path: str) -> None:
+    """S4 source-channel: append ``(id, type, data)`` rows to the signal
+    *table*, mirroring the reference's ``_signal_via_source`` INSERT INTO
+    the Debezium signal table (``db_components/debezium/executor.py:
+    244-303``). The table is an ordinary parquet table, so a live
+    deployment can point it at the same path the stream reads."""
+    rows = [(s.to_row()["id"], s.to_row()["type"], s.to_row()["data"])
+            for s in signals]
+    (spark.createDataFrame(rows, SIGNAL_TABLE_SCHEMA)
+     .write.mode("append").parquet(table_path))
+
+
+def read_signal_table(spark: SparkSession, table_path: str,
+                      exclude_ids: set[str] | None = None
+                      ) -> list[SnapshotSignal]:
+    """Read pending signals from the table channel; ``exclude_ids``
+    filters signals a previous run already executed (the engine records
+    them in RunState, playing the role of Debezium consuming the signal
+    row)."""
+    from .sinks.merge import _fs_exists
+    if not _fs_exists(spark, table_path):
+        return []       # explicit: only absence is empty; read errors raise
+    rows = spark.read.parquet(table_path).collect()
+    exclude = exclude_ids or set()
+    out: list[SnapshotSignal] = []
+    for row in sorted(rows, key=lambda r: r["id"]):
+        if row["id"] in exclude:
+            continue
+        data = json.loads(row["data"] or "{}")
+        out.append(SnapshotSignal(
+            tables=list(data.get("data-collections", [])),
+            signal_type=row["type"] or "execute-snapshot",
+            mode=str(data.get("type", "BLOCKING")).lower(),
+            id=row["id"]))
+    return out
+
+
+def pending_signals(spark: SparkSession, file_path: str | None = None,
+                    table_path: str | None = None,
+                    exclude_ids: set[str] | None = None
+                    ) -> list[SnapshotSignal]:
+    """Union of both S4 channels (file + source table), de-duplicated by
+    signal id — the reference accepts either channel per config."""
+    seen: set[str] = set(exclude_ids or set())
+    out: list[SnapshotSignal] = []
+    chans: list[SnapshotSignal] = []
+    if file_path:
+        chans.extend(read_signal_file(file_path))
+    if table_path:
+        chans.extend(read_signal_table(spark, table_path))
+    for s in chans:
+        if s.id in seen:
+            continue
+        seen.add(s.id)
+        out.append(s)
+    return out
+
+
 def backfill_plan(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict[str, DataFrame]:
     """Blocking-snapshot backfill: batch-read each signalled table and tag
     rows as snapshot reads (op='r'), ready to union into the stream

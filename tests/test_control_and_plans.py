@@ -89,3 +89,37 @@ def test_salted_join_result_parity_already_covered():
     """salted_join parity is covered in test_extended_ops; this guard
     pins that the plan helpers at least parse every headline query."""
     pytest.skip("covered elsewhere")
+
+
+def test_signal_table_drives_blocking_snapshot(spark, sf_dir, tmp_path):
+    """S4 source-channel parity: a signal row in the signal *table*
+    (reference _signal_via_source, executor.py:244-303) triggers the
+    blocking-snapshot backfill exactly like the file channel."""
+    from python_cdc_component_spark.control import (
+        pending_signals, read_signal_table, write_signal_table)
+
+    tbl = str(tmp_path / "signal_table")
+    sig = SnapshotSignal(tables=["region"], mode="blocking")
+    write_signal_table(spark, [sig], tbl)
+
+    got = read_signal_table(spark, tbl)
+    assert [s.tables for s in got] == [["region"]]
+    assert got[0].mode == "blocking"
+
+    plans = backfill_plan(spark, sf_dir, got[0].tables)
+    rows = plans["region"].collect()
+    assert rows and all(r["kbc__operation"] == "r" for r in rows)
+
+    # consumed signals are excluded on the next poll (Debezium semantics:
+    # the engine eats the signal row)
+    assert read_signal_table(spark, tbl, exclude_ids={sig.id}) == []
+    # channel union dedups by id
+    f = str(tmp_path / "signals.jsonl")
+    write_signal_file([sig], f)
+    both = pending_signals(spark, file_path=f, table_path=tbl)
+    assert len(both) == 1
+
+
+def test_signal_table_missing_is_empty(spark, tmp_path):
+    from python_cdc_component_spark.control import read_signal_table
+    assert read_signal_table(spark, str(tmp_path / "nope")) == []
