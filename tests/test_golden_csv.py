@@ -1,0 +1,152 @@
+"""Golden-CSV byte parity with the reference's chained dedupe scenario.
+
+Replays ``incremental-dedupe-chained`` (reference fixtures:
+``ex_mysql_cdc/tests/sql_test_traits/sales_table.sql`` initial rows,
+``.../incremental-dedupe-chained/02_inserts_updates_deletes/source/
+transactions.sql`` event workload) through the Spark engine and
+byte-compares the CSV egress with the reference's expected outputs
+(``.../expected/data/out/tables/inventory_sales.csv``). This is the
+type-fidelity gate of SURVEY §7.4: DECIMAL(12,5) scale preserved as
+``708.00000``, booleans lowercase, soft-deleted row kept with op=d.
+
+The reference test framework strips nondeterministic columns
+(KBC__EVENT_TIMESTAMP_MS/FILE/POS) and sorts by KBC__BATCH_EVENT_ORDER
+before diffing (``db_components/debezium/tests/functional.py:95-135``);
+the goldens here are already in that canonical form, so the test writes
+the same projection.
+"""
+
+import os
+from decimal import Decimal
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_cdc_component_spark.engine import to_output_columns
+from python_cdc_component_spark.operators.dedup import dedup_latest
+from python_cdc_component_spark.sinks.csv_sink import write_csv
+
+REF = ("/root/reference/db_components/ex_mysql_cdc/tests/functional/"
+       "incremental-dedupe-chained")
+GOLD_1 = f"{REF}/01_simple-full-load/expected/data/out/tables/inventory_sales.csv"
+GOLD_2 = (f"{REF}/02_inserts_updates_deletes/expected/data/out/tables/"
+          "inventory_sales.csv/slice_0.csv")
+
+PAYLOAD = ["usergender", "usercity", "usersentiment", "zipcode", "sku",
+           "createdate", "category", "price", "county", "countycode",
+           "userstate", "categorygroup"]
+
+SCHEMA = T.StructType(
+    [T.StructField("usergender", T.StringType()),
+     T.StructField("usercity", T.StringType()),
+     T.StructField("usersentiment", T.IntegerType()),
+     T.StructField("zipcode", T.StringType()),
+     T.StructField("sku", T.StringType()),
+     T.StructField("createdate", T.StringType()),
+     T.StructField("category", T.StringType()),
+     T.StructField("price", T.DecimalType(12, 5)),
+     T.StructField("county", T.StringType()),
+     T.StructField("countycode", T.StringType()),
+     T.StructField("userstate", T.StringType()),
+     T.StructField("categorygroup", T.StringType()),
+     T.StructField("kbc__operation", T.StringType()),
+     T.StructField("__deleted", T.BooleanType()),
+     T.StructField("kbc__batch_event_order", T.LongType())])
+
+# sales_table.sql initial rows: (payload..., op, deleted, order)
+INITIAL = [
+    ("Female", "Mize", -1, "39153", "SKU1", "2013-09-23 22:38:29",
+     "Cameras", Decimal("708"), "Smith", "28129", "Mississippi",
+     "Electronics"),
+    ("Male", "The Lakes", 1, "89124", "SKU2", "2013-09-23 22:38:30",
+     "Televisions", Decimal("1546"), "Clark", "32003", "Nevada",
+     "Electronics"),
+    ("Male", "Baldwin", 1, "21020", "ZD111483", "2013-09-23 22:38:31",
+     "Loose Stones", Decimal("1262"), "Baltimore", "24005", "Maryland",
+     "Jewelry"),
+    ("Female", "Archbald", 1, "18501", "ZD111395", "2013-09-23 22:38:32",
+     "Stereo", Decimal("104"), "Lackawanna", "42069", "Pennsylvania",
+     "Electronics"),
+    ("Male", "Berea", 0, "44127", "ZD111451", "2013-09-23 22:38:33",
+     "Earings", Decimal("1007"), "Cuyahoga", "39035", "Ohio", "Jewelry"),
+]
+
+# transactions.sql rows the statements touch
+_R2013_SKU1 = INITIAL[0]
+_R2013_SKU2 = INITIAL[1]
+_NY = ("Male", "New York", 1, "10001", "SKU1", "2023-01-01",
+       "Electronics", None, "New York", "NY", "NY", "Electronics")
+_LA = ("Female", "Los Angeles", 5, "90001", "SKU2", "2023-01-02",
+       "Books", None, "Los Angeles", "CA", "CA", "Books")
+_CHI = ("Female", "Chicago", 3, "60007", "SKU3", "2023-01-03",
+        "Clothing", None, "Cook", "IL", "IL", "Fashion")
+
+
+def _with_price(row, price):
+    r = list(row)
+    r[7] = Decimal(price)
+    return tuple(r)
+
+
+def _events_stage2():
+    """The 19 change events transactions.sql produces, in binlog order:
+    UPDATE ... WHERE sku='SKU1' touches BOTH the 2013 row and the new
+    2023 row (sku is not the PK), each update emitting one event per
+    affected row."""
+    ev = []
+
+    def emit(row, op, deleted=False):
+        ev.append(row + (op, deleted, len(ev)))
+
+    emit(_with_price(_NY, "199.99"), "c")            # order 0
+    emit(_with_price(_LA, "14.99"), "c")             # 1
+    emit(_with_price(_CHI, "49.99"), "c")            # 2
+    for p in ("249.99", "299.99", "349.99"):         # 3..8
+        emit(_with_price(_R2013_SKU1, p), "u")
+        emit(_with_price(_NY, p), "u")
+    for p in ("19.99", "24.99", "29.99"):            # 9..14
+        emit(_with_price(_R2013_SKU2, p), "u")
+        emit(_with_price(_LA, p), "u")
+    for p in ("59.99", "69.99", "79.99"):            # 15..17
+        emit(_with_price(_CHI, p), "u")
+    emit(_with_price(_CHI, "79.99"), "d", True)      # 18: before-image
+    return ev
+
+
+def _export(df, out_dir):
+    """Canonical egress: strip nondeterministic cols, sort by the order
+    column, one slice (the goldens are single-slice)."""
+    cols = PAYLOAD + ["KBC__OPERATION", "KBC__DELETED",
+                      "KBC__BATCH_EVENT_ORDER"]
+    out = (to_output_columns(df).select(*cols)
+           .repartition(1)
+           .sortWithinPartitions("KBC__BATCH_EVENT_ORDER"))
+    write_csv(out, out_dir)
+    part = next(f for f in sorted(os.listdir(out_dir))
+                if f.endswith(".csv"))
+    with open(os.path.join(out_dir, part), "rb") as fh:
+        return fh.read()
+
+
+@pytest.fixture()
+def order_col():
+    return [F.col("kbc__batch_event_order").desc()]
+
+
+def test_stage1_full_load_byte_match(spark, tmp_path, order_col):
+    rows = [r + ("r", False, i) for i, r in enumerate(INITIAL)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    dedup = dedup_latest(df, ["createdate"], order_by=order_col)
+    got = _export(dedup, str(tmp_path / "out1"))
+    with open(GOLD_1, "rb") as fh:
+        assert got == fh.read()
+
+
+def test_stage2_incremental_dedupe_byte_match(spark, tmp_path, order_col):
+    df = spark.createDataFrame(_events_stage2(), SCHEMA)
+    dedup = dedup_latest(df, ["createdate"], order_by=order_col)
+    got = _export(dedup, str(tmp_path / "out2"))
+    with open(GOLD_2, "rb") as fh:
+        assert got == fh.read()
