@@ -1586,6 +1586,33 @@ def streaming_bounded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col(SC.pos).alias("kbc__pos"))
 
 
+@query("merge_upsert_dedup", f"""
+SELECT user_id, event_type, "value", props, event_id AS kbc__pos
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+""")
+def merge_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE compaction (sinks.merge.MergeCompactor) driven
+    as two chained batches: the second upsert reads back and rewrites
+    ONLY the hash buckets its keys touch (partition-pruned state scan +
+    dynamic partition overwrite), yet the final state must equal the
+    one-shot W1 window over all events — the oracle is that plain
+    window."""
+    import tempfile
+
+    s = _spark(spark)
+    ev = read_cdc_events(s, sf_dir)
+    mid = ev.agg(F.max(SC.pos)).collect()[0][0] // 2
+    from .sinks.merge import MergeCompactor
+    state = tempfile.mkdtemp(prefix="sparkcdc_merge_") + "/state"
+    c = MergeCompactor(state, ["user_id"], num_buckets=16)
+    c.merge(s, ev.filter(F.col(SC.pos) <= mid))
+    c.merge(s, ev.filter(F.col(SC.pos) > mid))
+    return c.read(s).select("user_id", "event_type", "value", "props",
+                            F.col(SC.pos).alias("kbc__pos"))
+
+
 @query("training_mix_caps", """
 SELECT source, doc_id, n_chars
 FROM documents
