@@ -52,6 +52,45 @@ class RunState:
         with open(path) as fh:
             return cls.from_doc(json.load(fh))
 
+    # -- reference-format interop (K5/K6 parity) ------------------------
+    # The reference state doc (``ex_mysql_cdc/src/component.py:488-509``
+    # ``_write_result_state``) is {last_offset: <b64 raw Debezium offset
+    # file>, last_schema: {table_key: schema-dict}, last_debezium_schema,
+    # last_synced_tables}; the offset blob is reconstructed verbatim on
+    # the next run (``:292-305``). These two methods round-trip that
+    # exact shape so a user can migrate an existing reference state file.
+
+    def to_reference_doc(self, raw_offset_bytes: bytes | None = None) -> dict:
+        offset = raw_offset_bytes if raw_offset_bytes is not None else \
+            json.dumps(self.offsets, sort_keys=True).encode()
+        return {
+            "last_offset": base64.b64encode(offset).decode("ascii"),
+            "last_schema": dict(self.last_schema),
+            "last_debezium_schema": {},
+            "last_synced_tables": list(self.last_synced_tables),
+        }
+
+    @classmethod
+    def from_reference_doc(cls, doc: dict) -> tuple["RunState", bytes]:
+        """Returns (state, raw_offset_bytes). The offset blob is opaque —
+        Debezium's own offset file content — and is surfaced unchanged,
+        exactly like the reference's ``_reconstruct_offsset_from_state``.
+        """
+        raw = b""
+        if doc.get("last_offset"):
+            raw = base64.b64decode(doc["last_offset"].encode("ascii"))
+        offsets: dict = {}
+        try:
+            parsed = json.loads(raw.decode()) if raw else {}
+            if isinstance(parsed, dict):
+                offsets = parsed
+        except (ValueError, UnicodeDecodeError):
+            pass    # non-JSON (native Debezium) offset: keep opaque only
+        state = cls(offsets=offsets,
+                    last_schema=dict(doc.get("last_schema", {})),
+                    last_synced_tables=list(doc.get("last_synced_tables", [])))
+        return state, raw
+
     @property
     def is_initial_run(self) -> bool:
         """Empty offsets → initial load; DEDUPE on an empty state takes the

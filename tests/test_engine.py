@@ -129,3 +129,32 @@ def test_sync_empty_source_keeps_initial_run(spark, sf_dir, tmp_path):
     sync(spark, empty_sf, out)
     st = RunState.load(os.path.join(out, "state.json"))
     assert st.is_initial_run
+
+
+def test_state_reference_doc_roundtrip():
+    """K5 interop with the reference's state-file shape
+    (_write_result_state: last_offset b64 blob + last_schema +
+    last_synced_tables): a reference-format doc loads, the opaque offset
+    blob survives byte-identically, and re-export matches."""
+    import base64
+
+    raw_offset = b'{"file":"mysql-bin.000048","pos":21182}'
+    ref_doc = {
+        "last_offset": base64.b64encode(raw_offset).decode("ascii"),
+        "last_schema": {"topic_db_t1": {"name": "t1", "fields": []}},
+        "last_debezium_schema": {},
+        "last_synced_tables": ["db.t1"],
+    }
+    st, blob = RunState.from_reference_doc(ref_doc)
+    assert blob == raw_offset
+    assert st.last_synced_tables == ["db.t1"]
+    assert not st.is_initial_run          # JSON offsets were recovered
+    out = st.to_reference_doc(raw_offset_bytes=blob)
+    assert out["last_offset"] == ref_doc["last_offset"]
+    assert out["last_schema"] == ref_doc["last_schema"]
+
+    # native (non-JSON) Debezium offset blob: opaque but preserved
+    st2, blob2 = RunState.from_reference_doc(
+        {"last_offset": base64.b64encode(b"\x00\x01java").decode("ascii")})
+    assert blob2 == b"\x00\x01java"
+    assert st2.is_initial_run             # nothing parseable into offsets
