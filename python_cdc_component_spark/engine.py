@@ -127,3 +127,69 @@ def sync(spark: SparkSession, sf_dir: str, out_dir: str,
     state.previous_mode = cfg.mode
     state.save(os.path.join(out_dir, "state.json"))
     return {table_name: result}
+
+
+def sync_multi(spark: SparkSession, events: DataFrame, out_dir: str,
+               cfgs: dict[str, SyncConfig],
+               state: RunState | None = None) -> dict[str, DataFrame]:
+    """Multi-table sync: one normalized event stream carrying several
+    tables (``_table`` discriminator from the envelope's ``schema.name``,
+    reference ``DbChangeConsumer.java:164-199``), routed per table and
+    run through the same per-table plan the single-table ``sync`` uses.
+    The reference iterates tables in ``_load_tables_to_stage``
+    (``component.py:355-364``); here each table is an independent branch
+    of the same scan — Catalyst pushes the ``_table`` filter into each
+    branch, and a ``_table``-partitioned source prunes to one directory
+    per branch.
+
+    Schema-change (DDL) events, if present, are split off first and
+    appended to the fixed-schema side table (T6: always incremental).
+    """
+    from .operators.routing import split_schema_changes
+
+    state = state or RunState()
+    os.makedirs(out_dir, exist_ok=True)
+
+    if "ddl" in events.columns:
+        events, ddl = split_schema_changes(events)
+        if not ddl.isEmpty():
+            (ddl.write.mode("append")
+             .parquet(os.path.join(out_dir, "schema_changes")))
+
+    registry_path = os.path.join(out_dir, "schema.json")
+    registry = (SchemaRegistry.load(registry_path)
+                if os.path.exists(registry_path) else SchemaRegistry())
+
+    results: dict[str, DataFrame] = {}
+    for table_name, cfg in sorted(cfgs.items()):
+        branch = events.filter(F.col("_table") == table_name).drop("_table")
+        result = plan_table(branch, cfg)
+        path = os.path.join(out_dir, table_name)
+
+        schema = TableSchema(name=table_name, struct=result.schema,
+                             primary_keys=cfg.primary_keys)
+        merged = registry.update(schema)
+        if [f.name for f in merged.struct.fields] != result.columns:
+            from .operators.schema_align import align_to_schema
+            result = align_to_schema(result, merged.struct)
+
+        if cfg.output_format == "csv":
+            write_csv(result, path)
+        else:
+            write_parquet(result, path)
+        write_manifest(merged, path + ".manifest",
+                       incremental=cfg.incremental)
+
+        bounds = result.agg(
+            F.max(SC.EVENT_TIMESTAMP_MS).alias("ts"),
+            F.max(SC.POS).alias("pos")).collect()[0]
+        if bounds["ts"] is not None and bounds["pos"] is not None:
+            state.offsets[table_name] = {"ts": bounds["ts"],
+                                         "file": "binlog.000001",
+                                         "pos": bounds["pos"]}
+        results[table_name] = result
+
+    registry.save(registry_path)
+    state.last_synced_tables = sorted(cfgs)
+    state.save(os.path.join(out_dir, "state.json"))
+    return results

@@ -1586,6 +1586,39 @@ def streaming_bounded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col(SC.pos).alias("kbc__pos"))
 
 
+@query("multi_table_sync_dedup", """
+SELECT user_id, event_type, "value", props, event_id AS kbc__pos
+FROM events
+WHERE event_type IN ('click', 'view')
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+""")
+def multi_table_sync_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table engine lifecycle (engine.sync_multi): the event stream
+    is routed on its _table discriminator into independent per-table
+    plans (DEDUPE tab_a = click/view, APPEND tab_b = rest), each with
+    manifest/registry/offsets. The oracle checks the tab_a branch: W1
+    over only that table's events — proving the routing leaks nothing
+    across tables."""
+    import tempfile
+
+    from .engine import SyncConfig, sync_multi
+
+    s = _spark(spark)
+    ev = read_cdc_events(s, sf_dir)
+    multi = ev.withColumn(
+        "_table", F.when(F.col("event_type").isin("click", "view"), "tab_a")
+                   .otherwise("tab_b"))
+    out = tempfile.mkdtemp(prefix="sparkcdc_multi_")
+    results = sync_multi(s, multi, out, {
+        "tab_a": SyncConfig(mode="DEDUPE", primary_keys=["user_id"]),
+        "tab_b": SyncConfig(mode="APPEND"),
+    })
+    return results["tab_a"].select(
+        "user_id", "event_type", "value", "props",
+        F.col("KBC__POS").alias("kbc__pos"))
+
+
 @query("merge_upsert_dedup", f"""
 SELECT user_id, event_type, "value", props, event_id AS kbc__pos
 FROM events
@@ -2120,6 +2153,60 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.when(F.col("bucket") < 80, "train")
                           .when(F.col("bucket") < 90, "val")
                           .otherwise("test")))
+
+
+@query("stratified_sample_docs", """
+WITH h AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                    % 1000 AS bucket
+           FROM documents)
+SELECT doc_id, lang, bucket FROM h
+WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 100 END
+""")
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (per-language rates, en 50% /
+    rest 10%): hash-bucket the stable id instead of random() so the
+    sample is identical across engines, partitionings and reruns — the
+    reproducibility property corpus-mixing pipelines need. Map-only, no
+    shuffle."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                       .cast("binary")), 1, 7), 16, 10)
+              .cast("long") % 1000)
+    rate = F.when(F.col("lang") == "en", 500).otherwise(100)
+    return (d.select("doc_id", "lang", bucket.alias("bucket"))
+             .filter(F.col("bucket") < rate))
+
+
+@query("decontaminate_train_docs", """
+WITH h AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+                    AS fp,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                    % 100 AS bucket
+           FROM documents)
+SELECT t.doc_id, t.fp FROM h t
+WHERE t.bucket < 80
+  AND NOT EXISTS (SELECT 1 FROM h e WHERE e.bucket >= 90 AND e.fp = t.fp)
+""")
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: drop any train-split document whose
+    order-insensitive content fingerprint also appears in the held-out
+    split (the exact-match contamination check run before training).
+    Eval fingerprints are a broadcast anti-join side — at 100 TB the
+    eval set is tiny relative to train, so no shuffle of the train side.
+    """
+    d = read_table(_spark(spark), sf_dir, "documents")
+    fp = F.md5(F.array_join(F.sort_array(F.split(F.lower("text"), " ")), " ")
+               .cast("binary"))
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                       .cast("binary")), 1, 7), 16, 10)
+              .cast("long") % 100)
+    h = d.select("doc_id", fp.alias("fp"), bucket.alias("bucket"))
+    train = h.filter(F.col("bucket") < 80).select("doc_id", "fp")
+    eval_fps = h.filter(F.col("bucket") >= 90).select("fp").distinct()
+    return train.join(F.broadcast(eval_fps), on="fp", how="left_anti") \
+                .select("doc_id", "fp")
 
 
 @query("grouped_centroids_pandas", """

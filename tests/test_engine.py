@@ -158,3 +158,48 @@ def test_state_reference_doc_roundtrip():
         {"last_offset": base64.b64encode(b"\x00\x01java").decode("ascii")})
     assert blob2 == b"\x00\x01java"
     assert st2.is_initial_run             # nothing parseable into offsets
+
+
+def test_sync_multi_table_routing(spark, sf_dir, tmp_path):
+    """Multi-table sync: one event stream with a _table discriminator
+    routed per table (reference _load_tables_to_stage iteration), DDL
+    events split to the side table, per-table manifests and offsets."""
+    from pyspark.sql import functions as F
+    from python_cdc_component_spark.engine import sync_multi
+    from python_cdc_component_spark.sources.events import read_cdc_events
+
+    ev = read_cdc_events(spark, sf_dir)
+    tab = F.when(F.col("event_type").isin("click", "view"), "tab_a") \
+           .otherwise("tab_b")
+    multi = (ev.withColumn("_table", tab)
+               .withColumn("ddl", F.when(F.col("kbc__pos") == 1,
+                                         "ALTER TABLE t ADD COLUMN c int")))
+
+    out = str(tmp_path / "multi_out")
+    results = sync_multi(spark, multi, out, {
+        "tab_a": SyncConfig(mode="DEDUPE", primary_keys=["user_id"]),
+        "tab_b": SyncConfig(mode="APPEND"),
+    })
+
+    # DEDUPE branch: one row per user within tab_a
+    a = results["tab_a"]
+    assert a.count() == a.select("user_id").distinct().count()
+    # APPEND branch keeps every non-DDL tab_b event
+    n_b = multi.filter((F.col("_table") == "tab_b")
+                       & F.col("ddl").isNull()).count()
+    assert results["tab_b"].count() == n_b
+    # no cross-table leakage
+    total_data = multi.filter(F.col("ddl").isNull()).count()
+    assert (a.count() <= total_data
+            and results["tab_b"].count() < total_data)
+
+    # DDL side table (T6)
+    assert spark.read.parquet(os.path.join(out, "schema_changes")).count() == 1
+
+    # per-table manifests + shared registry + state offsets
+    for t in ("tab_a", "tab_b"):
+        assert os.path.exists(os.path.join(out, f"{t}.manifest"))
+    st = RunState.load(os.path.join(out, "state.json"))
+    assert st.last_synced_tables == ["tab_a", "tab_b"]
+    assert st.offsets["tab_a"]["pos"] is not None
+    assert st.offsets["tab_b"]["pos"] is not None
