@@ -2155,6 +2155,45 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .otherwise("test")))
 
 
+@query("all_datatypes_decode", """
+SELECT event_id AS kbc__pos,
+       CAST(DATE '1970-01-01' + CAST(event_id % 20000 AS INTEGER) AS VARCHAR)
+         AS d_epoch_day,
+       make_timestamp(epoch_ms(ts) * 1000) AS ts_epoch_ms,
+       CAST(CAST("value" AS DECIMAL(18,6)) AS VARCHAR) AS dec_as_string,
+       CAST(json_object('uid', user_id, 'pos', event_id) AS VARCHAR)
+         AS json_stringified,
+       hex(encode(event_type)) AS bin_hex,
+       to_base64(encode(event_type)) AS bin_b64,
+       CAST(user_id AS VARCHAR) AS uuidish_passthrough
+FROM events
+""")
+def all_datatypes_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Debezium wire-type decode map (§1.2 / model/types.py) in one
+    row shape, mirroring the reference's all-data-types fixtures:
+    epoch-day int → DATE (F3, AbstractDbConverter.java:105-108),
+    epoch-ms → TIMESTAMP (F4, :109-110), decimal.handling.mode=string
+    with scale preserved (mysql_extractor.py:157), nested values
+    stringified as JSON (F10, :111-115), binary hex/base64 modes (F9,
+    :159). Pure projection — whole-stage codegen, zero shuffles."""
+    ev = read_events(_spark(spark), sf_dir)
+    return ev.select(
+        F.col("event_id").alias("kbc__pos"),
+        # the reference renders epoch-day dates as ISO strings at append
+        # time (AbstractDbConverter.java:105-108) — match that exactly
+        F.date_from_unix_date((F.col("event_id") % 20000).cast("int"))
+         .cast("string").alias("d_epoch_day"),
+        F.timestamp_millis(F.expr("ts_ns div 1000000")).alias("ts_epoch_ms"),
+        F.col("value").cast("decimal(18,6)").cast("string")
+         .alias("dec_as_string"),
+        F.to_json(F.struct(F.col("user_id").alias("uid"),
+                           F.col("event_id").alias("pos")))
+         .alias("json_stringified"),
+        F.hex(F.col("event_type").cast("binary")).alias("bin_hex"),
+        F.base64(F.col("event_type").cast("binary")).alias("bin_b64"),
+        F.col("user_id").cast("string").alias("uuidish_passthrough"))
+
+
 @query("stratified_sample_docs", """
 WITH h AS (SELECT doc_id, lang,
                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
