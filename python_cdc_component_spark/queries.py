@@ -2155,6 +2155,112 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .otherwise("test")))
 
 
+@query("doc_chunk_split", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(range(0, CAST(greatest(1, ceil((len(toks) - 8) / 56.0))
+                                  AS BIGINT))) AS i
+      FROM t)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(toks[i*56+1 : i*56+64], ' ') AS chunk_text,
+       CAST(len(toks[i*56+1 : i*56+64]) AS BIGINT) AS chunk_tokens
+FROM c
+""")
+def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for training examples: 64-token
+    chunks, 8-token overlap (stride 56) — the context-window splitter
+    that precedes packing. Map-only (posexplode of a computed chunk
+    range), no shuffle; at 100 TB this is a pure scan→flatMap stage."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size("toks") - 8) / 56.0)).cast("long")
+    c = t.select("doc_id", "toks",
+                 F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"))
+    sl = F.slice("toks", (F.col("i") * 56 + 1).cast("int"), 64)
+    return c.select("doc_id", F.col("i").alias("chunk_id"),
+                    F.array_join(sl, " ").alias("chunk_text"),
+                    F.size(sl).cast("long").alias("chunk_tokens"))
+
+
+# Deterministic pseudo-random hyperplanes shared by BOTH engines: integer
+# arithmetic only, so the plane coefficients are bit-identical and the
+# sign bits (and therefore the candidate set) agree exactly.
+_HP = "(((1 + (j*64 + i) * 2654435761) % 1000003) / 1000003.0 - 0.5)"
+
+@query("embedding_hyperplane_lsh_pairs", f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+u AS (SELECT vec_id, e, nrm,
+             list_transform(e, x -> x / nrm) AS uv FROM n),
+sig AS (SELECT vec_id, e, nrm,
+               list_transform(range(0, 16), j -> CASE WHEN
+                 list_sum(list_transform(range(0, 64),
+                          i -> uv[i+1] * {_HP})) >= 0
+                 THEN 1 ELSE 0 END) AS bits
+        FROM u),
+bands AS (SELECT vec_id, e, nrm, b,
+                 bits[4*b+1]*8 + bits[4*b+2]*4 + bits[4*b+3]*2 + bits[4*b+4]
+                   AS band_key
+          FROM sig, unnest(range(0, 4)) t(b)),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_sum(list_transform(range(1, 65),
+                               i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6)
+                  AS sim
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.band_key = b.band_key
+          AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, sim FROM cand WHERE sim >= 0.4
+""")
+def embedding_hyperplane_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) LSH near-dup candidates:
+    16 sign bits from deterministic integer-arithmetic hyperplanes, 4
+    bands x 4 bits, candidates = same-band pairs, then exact cosine
+    filter. The APPROXIMATE scale path next to the exact bucketed join
+    (operators/llm/simjoin.py): band keys are uniform, the self-join is
+    an equi-join on (band, key), and the shuffle carries 16 bits per
+    vector — this is how cosine near-dup runs when even centroid
+    pruning is too expensive."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                             F.lit(0.0), lambda a, x: a + x))
+    u = (emb.withColumn("nrm", nrm)
+            .withColumn("uv", F.expr("transform(e, x -> x / nrm)")))
+    bits = F.expr(f"""transform(sequence(0, 15), j -> CASE WHEN
+        aggregate(sequence(0, 63), cast(0 as double),
+                  (acc, i) -> acc + element_at(uv, i+1) * {_HP}) >= 0
+        THEN 1 ELSE 0 END)""")
+    sig = u.withColumn("bits", bits).persist()
+    bands = sig.select(
+        "vec_id", "e", "nrm",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+        F.col("bits")).select(
+        "vec_id", "e", "nrm", "b",
+        (F.expr("element_at(bits, 4*b+1)") * 8
+         + F.expr("element_at(bits, 4*b+2)") * 4
+         + F.expr("element_at(bits, 4*b+3)") * 2
+         + F.expr("element_at(bits, 4*b+4)")).alias("band_key"))
+    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                     F.col("nrm").alias("na"), "b", "band_key")
+    bb = bands.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                      F.col("nrm").alias("nb"), F.col("b").alias("b2"),
+                      F.col("band_key").alias("band_key2"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cand = (a.join(bb, (F.col("b") == F.col("b2"))
+                   & (F.col("band_key") == F.col("band_key2"))
+                   & (F.col("vec_a") < F.col("vec_b")))
+             .select("vec_a", "vec_b",
+                     F.round(dot / (F.col("na") * F.col("nb")), 6)
+                      .alias("sim"))
+             .distinct())
+    return cand.filter(F.col("sim") >= 0.4)
+
+
 @query("all_datatypes_decode", """
 SELECT event_id AS kbc__pos,
        CAST(DATE '1970-01-01' + CAST(event_id % 20000 AS INTEGER) AS VARCHAR)
