@@ -77,7 +77,13 @@ class MergeCompactor:
             if not touched:
                 return 0
             if _fs_exists(spark, self.state_path):
-                current = (spark.read.parquet(self.state_path)
+                # mergeSchema: after schema drift, buckets rewritten in
+                # different batches carry different file schemas; without
+                # it Spark infers from ONE arbitrary file and drifted
+                # columns silently vanish. Footer merging is bounded by
+                # the pruned bucket set here.
+                current = (spark.read.option("mergeSchema", "true")
+                           .parquet(self.state_path)
                            .filter(F.col(BUCKET_COL).isin(touched)))
                 merged = union_epochs([current, batch])
             else:
@@ -95,5 +101,10 @@ class MergeCompactor:
             batch.unpersist()
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """The compacted table (bucket column dropped)."""
-        return spark.read.parquet(self.state_path).drop(BUCKET_COL)
+        """The compacted table (bucket column dropped). mergeSchema keeps
+        post-drift columns visible regardless of which bucket's files the
+        schema would otherwise be inferred from; at very large state,
+        pass the registry's merged StructType via ``spark.read.schema``
+        instead to skip footer merging."""
+        return (spark.read.option("mergeSchema", "true")
+                .parquet(self.state_path).drop(BUCKET_COL))

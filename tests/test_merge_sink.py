@@ -97,3 +97,25 @@ def test_merge_missing_state_errors_propagate(spark, sf_dir, tmp_path):
     with pytest.raises(Exception):
         c.merge(spark, ev.limit(10))
         c.read(spark).collect()
+
+
+def test_merge_schema_drift_across_batches(spark, sf_dir, tmp_path):
+    """T4/T5 through the merge sink: batch 2 adds a column and batch 1
+    lacked one — the compacted state carries the union schema with NULL
+    padding on both sides, deterministically (mergeSchema, not
+    whichever file's footer schema inference happens to pick)."""
+    ev = read_cdc_events(spark, sf_dir)
+    c = MergeCompactor(str(tmp_path / "drift_state"), ["user_id"],
+                       num_buckets=4)
+    c.merge(spark, ev.filter(F.col(SC.pos) <= 100).drop("props"))
+    c.merge(spark, (ev.filter((F.col(SC.pos) > 100) & (F.col(SC.pos) <= 130))
+                      .withColumn("extra", F.lit("X"))))
+    out = c.read(spark)
+    assert "extra" in out.columns and "props" in out.columns
+    # rows from the old epoch have NULL extra; drifted rows carry it
+    assert out.filter(F.col("extra").isNull()).count() > 0
+    assert out.filter(F.col("extra") == "X").count() > 0
+    # upsert semantics still hold across the drift
+    expected = dedup_latest(ev.filter(F.col(SC.pos) <= 130), ["user_id"])
+    assert ({(r.user_id, r[SC.pos]) for r in out.collect()}
+            == {(r.user_id, r[SC.pos]) for r in expected.collect()})
