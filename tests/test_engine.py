@@ -203,3 +203,26 @@ def test_sync_multi_table_routing(spark, sf_dir, tmp_path):
     assert st.last_synced_tables == ["tab_a", "tab_b"]
     assert st.offsets["tab_a"]["pos"] is not None
     assert st.offsets["tab_b"]["pos"] is not None
+
+
+def test_sync_column_filter_chained(spark, sf_dir, tmp_path):
+    """incremental-column-filter-chained shape: two chained syncs with an
+    exclude list — filtered columns never reach the output or the
+    manifest, system columns are protected, and the registry stays
+    consistent across runs."""
+    out = str(tmp_path / "colf_out")
+    cfg = SyncConfig(mode="DEDUPE", primary_keys=["user_id"],
+                     column_exclude=["props"])
+    r1 = sync(spark, sf_dir, out, cfg)["events"]
+    assert "props" not in r1.columns
+    assert "KBC__OPERATION" in r1.columns          # system col protected
+    with open(os.path.join(out, "events.manifest")) as fh:
+        m1 = json.load(fh)
+    assert all(c["name"] != "props" for c in m1["schema"])
+
+    # chained second run with the SAME registry: schema stays filtered
+    st = RunState.load(os.path.join(out, "state.json"))
+    r2 = sync(spark, sf_dir, out, cfg, state=st)["events"]
+    assert "props" not in r2.columns
+    st2 = RunState.load(os.path.join(out, "state.json"))
+    assert not st2.is_initial_run
