@@ -76,12 +76,14 @@ def bench_many_tables(spark, n_tables: int = 150, rows_per_table: int = 10_000,
 
         with ThreadPoolExecutor(max_workers=workers) as ex:
             lat = sorted(ex.map(one, range(n_tables)))
+        import math
+        p99_idx = min(len(lat) - 1, math.ceil(0.99 * len(lat)) - 1)
         return {
             "n_tables": n_tables, "rows_per_table": rows_per_table,
             "workers": workers,
             "total_sec": round(sum(lat), 3),
             "p50_sec": round(statistics.median(lat), 3),
-            "p99_sec": round(lat[int(len(lat) * 0.99) - 1], 3),
+            "p99_sec": round(lat[p99_idx], 3),
             "max_sec": round(lat[-1], 3),
         }
     finally:
@@ -114,17 +116,27 @@ def bench_skew(spark, n: int = 1_000_000, hot_frac: float = 0.5) -> dict:
 
     timings = {}
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    timings["plain_shuffle_join"] = run(fact.join(dim.hint("merge"), "key"))
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    timings["aqe_skew_join"] = run(fact.join(dim.hint("merge"), "key"))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
-    timings["salted_join"] = run(salted_join(fact, dim, on="key", buckets=16,
-                                             salt_by="id"))
-    timings["broadcast_join"] = run(fact.join(F.broadcast(dim), "key"))
-    fact.unpersist()
-    dim.unpersist()
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        # broadcast stays disabled through the salted rung too, so the
+        # ladder actually measures the salted SHUFFLE join and not a
+        # broadcast plan wearing a salt costume
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timings["plain_shuffle_join"] = run(
+            fact.join(dim.hint("merge"), "key"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        timings["aqe_skew_join"] = run(fact.join(dim.hint("merge"), "key"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timings["salted_join"] = run(
+            salted_join(fact, dim, on="key", buckets=16, salt_by="id"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        timings["broadcast_join"] = run(fact.join(F.broadcast(dim), "key"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+        fact.unpersist()
+        dim.unpersist()
     return {"rows": n, "hot_frac": hot_frac, "timings": timings}
 
 

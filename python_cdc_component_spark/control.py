@@ -111,8 +111,8 @@ def read_signal_table(spark: SparkSession, table_path: str,
     filters signals a previous run already executed (the engine records
     them in RunState, playing the role of Debezium consuming the signal
     row)."""
-    from .sinks.merge import _fs_exists
-    if not _fs_exists(spark, table_path):
+    from .fs import fs_exists
+    if not fs_exists(spark, table_path):
         return []       # explicit: only absence is empty; read errors raise
     rows = spark.read.parquet(table_path).collect()
     exclude = exclude_ids or set()

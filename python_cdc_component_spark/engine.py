@@ -155,6 +155,9 @@ def sync_multi(spark: SparkSession, events: DataFrame, out_dir: str,
         if not ddl.isEmpty():
             (ddl.write.mode("append")
              .parquet(os.path.join(out_dir, "schema_changes")))
+        # the ddl column belongs to the side table only — the data
+        # tables (and their manifests/registry) must never carry it
+        events = events.drop("ddl")
 
     registry_path = os.path.join(out_dir, "schema.json")
     registry = (SchemaRegistry.load(registry_path)

@@ -1,0 +1,15 @@
+"""Filesystem helpers shared by sinks and the control plane."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit path-existence check through the Hadoop FS API — works
+    for any supported filesystem, and keeps real read errors (corrupt
+    footer, permissions) fatal instead of being conflated with
+    absence."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath)

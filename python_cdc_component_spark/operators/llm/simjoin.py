@@ -67,7 +67,12 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
     # bucket radii: K driver-side scalars
     radii = {r["_cid"]: r["R"] for r in
              assigned.groupBy("_cid").agg(F.max("_r").alias("R")).collect()}
-    d_max = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+    # the qualifying filter is round(cos, dp) >= t, so the lowest true
+    # cosine that qualifies is t - 0.5*10^-dp — the distance bound must
+    # cover that rounding slack (plus float fuzz), or a boundary pair
+    # could be pruned and "exact" would be a lie
+    t_eff = threshold - 0.5 * 10.0 ** (-round_dp)
+    d_max = math.sqrt(max(0.0, 2.0 - 2.0 * t_eff)) + 1e-9
 
     def _dist(a, b):
         return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))

@@ -36,21 +36,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fs import fs_exists as _fs_exists
 from ..operators.dedup import dedup_latest
 from ..operators.schema_align import union_epochs
 
 BUCKET_COL = "_kbc_bucket"
 _OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
-
-
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    """Explicit state-path existence check through the Hadoop FS API —
-    works for any supported filesystem, and keeps real read errors
-    (corrupt footer, permissions) fatal instead of silently treating the
-    batch as the whole state."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(jpath)
 
 
 @dataclass

@@ -90,9 +90,10 @@ class _IdleStopListener(StreamingQueryListener):
     exceeds ``max_wait_s`` (reference ``AbstractDebeziumTask.java:171-183``
     idle check, gated off during snapshot)."""
 
-    def __init__(self):
+    def __init__(self, phase: dict | None = None):
         self.last_data_ts = time.time()
         self.busy = False
+        self.phase = phase      # shared snapshot-phase gate (T3)
 
     def onQueryStarted(self, event):
         self.last_data_ts = time.time()
@@ -103,10 +104,17 @@ class _IdleStopListener(StreamingQueryListener):
             self.last_data_ts = time.time()
             self.busy = True
         else:
+            # an empty trigger means the source is drained — any
+            # snapshot phase is over (clears the gate even though
+            # foreachBatch is not invoked for empty batches)
             self.busy = False
+            if self.phase is not None:
+                self.phase["snapshot_active"] = False
 
     def onQueryIdle(self, event):
         self.busy = False
+        if self.phase is not None:
+            self.phase["snapshot_active"] = False
 
     def onQueryTerminated(self, event):
         pass
@@ -133,21 +141,26 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
     cfg = cfg or BoundedStreamConfig()
     stream = read_event_stream(spark, events_dir, cfg.max_files_per_trigger)
 
-    listener = _IdleStopListener()
-    spark.streams.addListener(listener)
     # T3: snapshot-phase gate — while the most recent micro-batch still
     # carried snapshot (op='r') rows, the idle stop must not fire
     # (reference AbstractDebeziumTask.java:176-178 gates `ended` on the
-    # snapshot notification being closed).
+    # snapshot notification being closed). The listener clears the gate
+    # on an empty trigger (source drained → snapshot over), so the flag
+    # cannot latch True forever when foreachBatch stops being invoked.
     phase = {"snapshot_active": False}
+    listener = _IdleStopListener(phase)
+    spark.streams.addListener(listener)
     try:
         if cfg.mode.upper() == "DEDUPE":
             compactor = MergeCompactor(out_path, cfg.primary_keys,
                                        cfg.num_state_buckets)
 
             def sink(batch_df: DataFrame, batch_id: int) -> None:
-                phase["snapshot_active"] = not (
-                    batch_df.filter(F.col("_snapshot_phase")).isEmpty())
+                if cfg.live:
+                    # limit(1) probe; only the live path needs the gate
+                    # (AvailableNow terminates on its own)
+                    phase["snapshot_active"] = not (
+                        batch_df.filter(F.col("_snapshot_phase")).isEmpty())
                 _compact(spark, batch_df, compactor)
 
             writer = stream.writeStream.foreachBatch(sink)

@@ -123,3 +123,44 @@ def test_signal_table_drives_blocking_snapshot(spark, sf_dir, tmp_path):
 def test_signal_table_missing_is_empty(spark, tmp_path):
     from python_cdc_component_spark.control import read_signal_table
     assert read_signal_table(spark, str(tmp_path / "nope")) == []
+
+
+def test_table_addition_triggers_blocking_snapshot_e2e(spark, sf_dir, tmp_path):
+    """all-tables scenario: a table added to the config after run 1 gets
+    a blocking snapshot (op='r' backfill) unioned into run 2's output,
+    while the already-synced table keeps streaming — the full S4 loop:
+    detect → signal → backfill → union (reference component.py:149-153
+    + executor.py signal_snapshot)."""
+    from python_cdc_component_spark.control import (
+        backfill_plan, pending_signals, write_signal_table)
+    from python_cdc_component_spark.operators.schema_align import union_epochs
+
+    # run 1 synced only 'events'; config now lists events + region
+    state = RunState(offsets={"events": {"ts": 1, "file": "f", "pos": 9}},
+                     last_synced_tables=["events"])
+    need = tables_needing_snapshot(["events", "region"], state)
+    assert need == ["region"]
+
+    # signal through the source-table channel
+    tbl = str(tmp_path / "signals")
+    write_signal_table(spark, [SnapshotSignal(tables=need)], tbl)
+    sigs = pending_signals(spark, table_path=tbl)
+    assert [s.tables for s in sigs] == [["region"]]
+
+    # blocking backfill for the new table, streamed table untouched
+    plans = backfill_plan(spark, sf_dir, sigs[0].tables)
+    region = plans["region"]
+    assert {r["kbc__operation"] for r in region.collect()} == {"r"}
+
+    # union into the per-table outputs: new table = snapshot rows only
+    stream_branch = read_cdc_events(spark, sf_dir).limit(5)
+    out = union_epochs([stream_branch.select("_table", "kbc__operation"),
+                        region.select(F.lit("region").alias("_table"),
+                                      "kbc__operation")])
+    per_table = {r["_table"]: r["n"] for r in
+                 out.groupBy("_table").agg(F.count("*").alias("n")).collect()}
+    assert per_table["region"] == region.count()
+    assert per_table["events"] == 5
+    # post-run state now includes the new table
+    state.last_synced_tables = ["events", "region"]
+    assert tables_needing_snapshot(["events", "region"], state) == []

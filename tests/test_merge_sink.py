@@ -87,16 +87,17 @@ def test_merge_missing_state_errors_propagate(spark, sf_dir, tmp_path):
     ev = read_cdc_events(spark, sf_dir)
     c = MergeCompactor(state, ["user_id"], num_buckets=4)
     c.merge(spark, ev.limit(10))
-    # corrupt one bucket's parquet file
-    files = _bucket_files(state)
-    d, fs = next(iter(files.items()))
-    victim = os.path.join(state, d, next(iter(fs)))
-    with open(victim, "wb") as fh:
-        fh.write(b"not a parquet file")
+    # corrupt EVERY bucket file so whichever buckets the next batch
+    # touches, the pruned read-back hits corruption
+    for d, fs in _bucket_files(state).items():
+        for f in fs:
+            with open(os.path.join(state, d, f), "wb") as fh:
+                fh.write(b"not a parquet file")
     import pytest
+    # merge itself must raise (reading the corrupt bucket back), never
+    # silently discard the existing state
     with pytest.raises(Exception):
         c.merge(spark, ev.limit(10))
-        c.read(spark).collect()
 
 
 def test_merge_schema_drift_across_batches(spark, sf_dir, tmp_path):
