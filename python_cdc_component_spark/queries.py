@@ -2611,3 +2611,10 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("valid_from_pos"),
         nxt.alias("valid_to_pos"),
         nxt.isNull().alias("is_current"))
+
+
+# ---------------------------------------------------------------------------
+# IO/lifecycle queries (CSV round-trip, live JDBC, manifest/state writers)
+# register themselves into QUERIES/ORACLES on import.
+
+from . import queries_lifecycle  # noqa: E402,F401  (registration side-effect)

@@ -1,0 +1,350 @@
+"""Driver-oracled queries for the IO/lifecycle operators (SURVEY §2
+S2/S3/S5/S7, K1/K2/K4/K5, P3/P4/P7, F8/F10, §3.3 sync actions, T8).
+
+Round 1 verified these components only through the local pytest suite;
+this module gives each a ``queries()`` entry so the driver's hard
+CORRECTNESS gate covers them too. Each query runs the REAL component
+end-to-end (a CSV sink→source round-trip, a live embedded-Derby JDBC
+snapshot, the manifest/state writers) and returns the result as a
+DataFrame whose oracle is plain SQL over the same driver tables.
+
+The Derby-backed queries work under any driver session because the
+Derby jars ship inside pyspark's own ``jars/`` directory — no extra
+classpath configuration is needed.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .queries import query, _spark
+from .sources.events import read_cdc_events, read_table
+
+# ---------------------------------------------------------------------------
+# K1/K2 + S7: sliced CSV export → explicit-schema scan round-trip
+
+
+@query("csv_roundtrip_nation", """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+""")
+def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 sliced headerless CSV export (reference ``staging.py:188-201,
+    266-282`` COPY TO + kbc_slicer) piped straight into the S7
+    explicit-schema CSV scan (``staging.py:454-462``), NULLs riding the
+    ``KBC__NULL`` sentinel both ways. The oracle sees only the original
+    parquet table — a value-hash match proves the round-trip is
+    lossless, sentinel included."""
+    from .sinks.csv_sink import write_csv
+    from .sources.csv import read_csv_with_schema
+
+    nat = read_table(_spark(spark), sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
+         .otherwise(F.col("n_name")).alias("n_name"),
+        "n_regionkey")
+    out = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "nation_csv")
+    write_csv(nat, out, columns=["n_nationkey", "n_name", "n_regionkey"])
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    return read_csv_with_schema(spark, out, schema)
+
+
+# ---------------------------------------------------------------------------
+# S2/S3 + S5: live embedded-Derby JDBC snapshot + metadata scan
+
+_NATION_DDL = ("CREATE TABLE nation_src (n_nationkey INT PRIMARY KEY, "
+               "n_name VARCHAR(32), n_regionkey INT)")
+
+
+def _seed_nation_derby(spark: SparkSession, sf_dir: str) -> str:
+    """Create a throwaway embedded-Derby database holding the nation
+    table (25 rows — a control-plane-sized seed), returning its JDBC
+    url. Plays the 'real source database' role the reference snapshots
+    from (``mysql_extractor.py:142-195``)."""
+    db = os.path.join(tempfile.mkdtemp(prefix="derby_"), f"db_{uuid.uuid4().hex[:8]}")
+    url = f"jdbc:derby:{db};create=true"
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate(_NATION_DDL)
+        st.close()
+        ps = conn.prepareStatement("INSERT INTO nation_src VALUES (?, ?, ?)")
+        rows = (read_table(spark, sf_dir, "nation")
+                .select("n_nationkey", "n_name", "n_regionkey").collect())
+        for r in rows:
+            ps.setInt(1, r["n_nationkey"])
+            ps.setString(2, r["n_name"])
+            ps.setInt(3, r["n_regionkey"])
+            ps.executeUpdate()
+        ps.close()
+    finally:
+        conn.close()
+    return url
+
+
+@query("jdbc_snapshot_override", """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+WHERE n_regionkey < 3
+""")
+def jdbc_snapshot_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3: live JDBC snapshot against an embedded Derby database —
+    seeded from the nation parquet, then read back through
+    ``snapshot_read`` with a snapshot-statement override (reference
+    ``snapshot.select.statement.overrides``, ``mysql_extractor.py:
+    175-179``) and range-partitioned parallel fetch (``snapshot.max.
+    threads``, ``:154-156``). The oracle is the same predicate on the
+    original parquet — a hash match proves source→DB→JDBC-snapshot
+    fidelity."""
+    from .sources.jdbc import snapshot_read
+
+    url = _seed_nation_derby(_spark(spark), sf_dir)
+    df = snapshot_read(
+        spark, url, "nation_src",
+        statement_override=("SELECT n_nationkey, n_name, n_regionkey "
+                            "FROM nation_src WHERE n_regionkey < 3"),
+        partition_column="N_NATIONKEY", lower_bound=0, upper_bound=25,
+        num_partitions=4)
+    # F7 name normalization at the ingest boundary: Derby uppercases
+    # unquoted identifiers; the envelope uses lowercase.
+    return df.select(*[F.col(c).alias(c.lower()) for c in df.columns])
+
+
+@query("jdbc_metadata_schema", """
+SELECT * FROM (VALUES
+  (1, 'n_nationkey', 'bigint',  FALSE, TRUE),
+  (2, 'n_name',      'string',  TRUE,  FALSE),
+  (3, 'n_regionkey', 'bigint',  TRUE,  FALSE)
+) AS t(ordinal, column_name, spark_type, nullable, is_pk)
+""")
+def jdbc_metadata_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: live JDBC metadata scan — reads column + primary-key metadata
+    from a real Derby database via ``DatabaseMetaData`` (the per-table
+    scan the reference does in ``db_connection.py:111-200``), maps it
+    through ``rows_to_table_schema`` (``metadata.py:13-49`` type
+    mapping), and emits the resulting TableSchema as rows. The oracle is
+    the expected schema contract: INT columns widen to bigint (the
+    reference maps all integer families to its INTEGER base type), the
+    PK column is non-nullable and flagged."""
+    from .sources.jdbc import rows_to_table_schema
+
+    url = _seed_nation_derby(_spark(spark), sf_dir)
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        md = conn.getMetaData()
+        pks = set()
+        rs = md.getPrimaryKeys(None, "APP", "NATION_SRC")
+        while rs.next():
+            pks.add(rs.getString("COLUMN_NAME"))
+        rs.close()
+        meta_rows = []
+        rs = md.getColumns(None, "APP", "NATION_SRC", None)
+        while rs.next():
+            col = rs.getString("COLUMN_NAME")
+            meta_rows.append((
+                rs.getInt("ORDINAL_POSITION"),
+                col.lower(),
+                rs.getString("TYPE_NAME"),
+                rs.getInt("COLUMN_SIZE"),
+                None, None,
+                rs.getString("IS_NULLABLE"),
+                1 if col in pks else 0))
+        rs.close()
+    finally:
+        conn.close()
+
+    meta_rows.sort()
+    ts = rows_to_table_schema(
+        [(c, dt, size, prec, scale, nullable, pk)
+         for (_, c, dt, size, prec, scale, nullable, pk) in meta_rows],
+        "nation_src")
+    out = [(i + 1, f.name, f.dataType.simpleString(), f.nullable,
+            f.name in set(ts.primary_keys))
+           for i, f in enumerate(ts.struct.fields)]
+    return spark.createDataFrame(
+        out, "ordinal int, column_name string, spark_type string, "
+             "nullable boolean, is_pk boolean")
+
+
+# ---------------------------------------------------------------------------
+# K4: manifest writer contract
+
+
+@query("manifest_contract", """
+SELECT * FROM (VALUES
+  (1,  'l_orderkey',      'INTEGER',   NULL,       TRUE, TRUE),
+  (2,  'l_partkey',       'INTEGER',   NULL,       TRUE, FALSE),
+  (3,  'l_suppkey',       'INTEGER',   NULL,       TRUE, FALSE),
+  (4,  'l_linenumber',    'INTEGER',   NULL,       TRUE, TRUE),
+  (5,  'l_quantity',      'FLOAT',     NULL,       TRUE, FALSE),
+  (6,  'l_extendedprice', 'FLOAT',     NULL,       TRUE, FALSE),
+  (7,  'l_discount',      'FLOAT',     NULL,       TRUE, FALSE),
+  (8,  'l_tax',           'FLOAT',     NULL,       TRUE, FALSE),
+  (9,  'l_returnflag',    'STRING',    '16777216', TRUE, FALSE),
+  (10, 'l_linestatus',    'STRING',    '16777216', TRUE, FALSE),
+  (11, 'l_shipdate',      'TIMESTAMP', NULL,       TRUE, FALSE)
+) AS t(ordinal, column_name, base_type, length, nullable, is_pk)
+""")
+def manifest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: run the manifest writer over the live lineitem schema and
+    emit the manifest's column metadata as rows (reference
+    ``component.py:380-425`` column metadata assembly; golden manifest
+    at ``incremental-dedupe-chained/.../inventory_sales.csv.manifest``).
+    The manifest JSON itself is written to disk (exercising the file
+    path), then flattened for the oracle: the expected base-type map —
+    ints→INTEGER, doubles→FLOAT, strings→STRING+length cap,
+    timestamp→TIMESTAMP — with the configured PK flagged."""
+    import tempfile as _tf
+    from .model.schema import TableSchema
+    from .sinks.manifest import write_manifest
+
+    struct = read_table(_spark(spark), sf_dir, "lineitem").schema
+    ts = TableSchema(name="lineitem", struct=struct,
+                     primary_keys=["l_orderkey", "l_linenumber"])
+    path = os.path.join(_tf.mkdtemp(prefix="manifest_"),
+                        "lineitem.csv.manifest")
+    doc = write_manifest(ts, path, incremental=True,
+                         destination="in.c-main.lineitem")
+    assert os.path.exists(path) and doc["incremental"] is True
+    pk = set(doc["primary_key"])
+    rows = [(i + 1, c["name"], c["data_type"]["base"]["type"],
+             c["data_type"]["base"].get("length"), c["nullable"],
+             c["name"] in pk)
+            for i, c in enumerate(doc["schema"])]
+    return spark.createDataFrame(
+        rows, "ordinal int, column_name string, base_type string, "
+              "length string, nullable boolean, is_pk boolean")
+
+
+# ---------------------------------------------------------------------------
+# K5: state writer round-trip
+
+
+@query("state_offsets_roundtrip", """
+SELECT 'events' AS tbl,
+       CAST(max(epoch_ms(ts)) AS BIGINT) AS ts_ms,
+       'binlog.000001' AS file,
+       CAST(max(event_id) AS BIGINT) AS pos
+FROM events
+""")
+def state_offsets_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: capture the end position from the live event stream (P6,
+    reference ``SHOW MASTER STATUS`` capture, ``mysql_extractor.py:
+    245-258``), persist it through the base64-wrapped state document
+    (``component.py:490-509`` ``_write_result_state``), reload, and
+    emit the reloaded offsets. The oracle recomputes the same watermark
+    straight from the events table — a match proves the state doc
+    round-trips offsets losslessly through the b64 envelope."""
+    import tempfile as _tf
+    from .control import capture_end_position
+    from .sinks.state import RunState
+
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    pos = capture_end_position(ev)
+    path = os.path.join(_tf.mkdtemp(prefix="state_"), "state.json")
+    RunState(offsets={"events": pos},
+             last_synced_tables=["events"]).save(path)
+    got = RunState.load(path).offsets["events"]
+    return spark.createDataFrame(
+        [("events", int(got["ts"]), got["file"], int(got["pos"]))],
+        "tbl string, ts_ms long, file string, pos long")
+
+
+# ---------------------------------------------------------------------------
+# P3/P4/P7 + F8: column filters and output-name normalization
+
+
+@query("column_filter_outputs", """
+SELECT user_id,
+       epoch_ms(ts) AS "KBC__EVENT_TIMESTAMP_MS",
+       'binlog.000001' AS "KBC__FILE",
+       event_id AS "KBC__POS",
+       (event_type = 'error') AS "KBC__DELETED"
+FROM events
+""")
+def column_filter_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 include/exclude column filter (Debezium ``column.include.list``
+    full-match regex semantics) + P7 table include filter + F8
+    ``kbc__*``→``KBC__*`` output naming (reference ``component.py:
+    628-644``) + P4 helper-column drop (the reference's ALTER TABLE DROP
+    of the dedup helpers) — chained exactly as ``plan_table`` chains
+    them. The include list keeps user_id and event_*; the exclude list
+    then drops event_type; system columns ride through protected; the
+    helper drop removes KBC__BATCH_EVENT_ORDER / KBC__OPERATION."""
+    from .engine import to_output_columns
+    from .operators.filters import (apply_column_filter,
+                                    drop_helper_columns,
+                                    table_include_filter)
+
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    ev = table_include_filter(ev, ["events"])
+    ev = apply_column_filter(ev, include=["user_id", "event_.*"],
+                             exclude=["event_type"])
+    return drop_helper_columns(to_output_columns(ev))
+
+
+# ---------------------------------------------------------------------------
+# F10: JSON stringify at the egress boundary
+
+
+@query("json_stringify_orders", """
+SELECT o_orderkey,
+       '{"o_orderkey":' || o_orderkey ||
+       ',"o_orderstatus":"' || o_orderstatus ||
+       '","o_orderpriority":"' || o_orderpriority || '"}' AS payload_json
+FROM orders
+""")
+def json_stringify_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: JSON-stringify structured payloads at the egress boundary
+    (the reference serializes complex columns to JSON strings before
+    staging). ``to_json`` runs JVM-side inside codegen — no UDF; the
+    oracle rebuilds the exact byte string, so the hash match pins
+    Spark's JSON rendering (key order = struct order, no spaces) to the
+    declared contract."""
+    orders = read_table(_spark(spark), sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.to_json(F.struct("o_orderkey", "o_orderstatus",
+                           "o_orderpriority")).alias("payload_json"))
+
+
+# ---------------------------------------------------------------------------
+# §3.3 sync actions + T8 heartbeat contract
+
+
+@query("sync_actions_contract", """
+SELECT * FROM (VALUES
+  ('get_schemas',     'default'),
+  ('get_tables',      'customer,documents,embeddings,events,lineitem,nation,orders,part,region,supplier'),
+  ('heartbeat',       'noop'),
+  ('test_connection', 'true')
+) AS t(action, result)
+""")
+def sync_actions_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 interactive sync actions (reference ``component.py:594-626``
+    testConnection / get_schemas / get_tables) + T8 heartbeat, run live
+    against the source directory and emitted as (action, result) rows.
+    The oracle pins the expected catalog: the driver's ten tables, one
+    flat schema, a successful probe, and the heartbeat no-op."""
+    from .control import (get_schemas, get_tables, heartbeat,
+                          test_connection)
+
+    rows = [
+        ("get_schemas", ",".join(get_schemas(sf_dir))),
+        ("get_tables", ",".join(get_tables(sf_dir))),
+        ("heartbeat", heartbeat()["status"]),
+        ("test_connection", str(test_connection(spark, sf_dir)).lower()),
+    ]
+    return spark.createDataFrame(rows, "action string, result string")

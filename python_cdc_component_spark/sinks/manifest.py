@@ -30,7 +30,7 @@ def _spark_type_to_base(dt: T.DataType) -> tuple[str, str | None]:
         return BaseType.BOOLEAN.value, None
     if isinstance(dt, T.DateType):
         return BaseType.DATE.value, None
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return BaseType.TIMESTAMP.value, None
     # strings + everything serialized as text; length capped like
     # reference component.py:427-447.
