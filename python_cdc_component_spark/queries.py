@@ -2618,3 +2618,71 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # register themselves into QUERIES/ORACLES on import.
 
 from . import queries_lifecycle  # noqa: E402,F401  (registration side-effect)
+
+
+# ---------------------------------------------------------------------------
+# S4 incremental mode: chunked snapshot merged with the live stream
+
+@query("incremental_snapshot_users", f"""
+WITH bounds AS (
+  SELECT min(user_id) AS lo, max(user_id) AS hi FROM events
+), wm AS (
+  SELECT u.user_id,
+         5000 + (LEAST(3, (u.user_id - b.lo) //
+                 ((b.hi - b.lo + 1 + 3) // 4)) + 1) * 500 AS wm
+  FROM (SELECT DISTINCT user_id FROM events) u, bounds b
+), snap AS (
+  SELECT e.user_id, e.event_type, e."value",
+         'r' AS kbc__operation, w.wm AS kbc__pos, 0 AS is_stream
+  FROM events e JOIN wm w ON e.user_id = w.user_id
+  WHERE e.event_id <= w.wm
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+      ORDER BY epoch_ms(e.ts) DESC, e.event_id DESC) = 1
+), stream AS (
+  SELECT user_id, event_type, "value",
+         {_OP_SQL} AS kbc__operation,
+         event_id AS kbc__pos, 1 AS is_stream
+  FROM events WHERE event_id > 5000
+), merged AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM stream
+)
+SELECT user_id, event_type, "value", kbc__operation,
+       CAST(kbc__pos AS BIGINT) AS kbc__pos
+FROM merged
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY kbc__pos DESC, is_stream DESC) = 1
+""")
+def incremental_snapshot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 ``incremental`` snapshot mode — the DBLog watermark algorithm
+    (Debezium incremental snapshot; signal built by reference
+    ``db_components/debezium/executor.py:244-303`` with
+    ``type: INCREMENTAL``): the user table is backfilled in 4 PK-range
+    chunks WHILE the stream keeps flowing from position 5000; chunk i
+    closes at watermark 5000+(i+1)*500, its rows carry that watermark as
+    their stream position, and any stream event for the same key at or
+    after the watermark supersedes the snapshot row (stream wins ties).
+    One union + one W1 window — chunking changes watermark bookkeeping,
+    not the shuffle count. The min/max chunk bounds are two control-
+    plane scalars (parquet footer stats / ``SELECT min,max`` at a real
+    source, exactly how Debezium sizes its chunks).
+    """
+    from .operators.snapshot_inc import (chunk_reads, merge_incremental,
+                                         plan_chunks)
+
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    chunks = plan_chunks(int(lo), int(hi), 4)
+    watermarks = [5000 + (i + 1) * 500 for i in range(len(chunks))]
+
+    chunk_dfs = []
+    for (clo, chi), wmk in zip(chunks, watermarks):
+        # a real chunk SELECT sees the table state at its watermark
+        state = dedup_latest(ev.filter(F.col(SC.pos) <= wmk), ["user_id"])
+        chunk_dfs.extend(chunk_reads(state, "user_id", [(clo, chi)], [wmk]))
+    stream = ev.filter(F.col(SC.pos) > 5000)
+
+    out = merge_incremental(chunk_dfs, stream, ["user_id"])
+    return out.select(
+        "user_id", "event_type", "value",
+        F.col(SC.operation).alias("kbc__operation"),
+        F.col(SC.pos).alias("kbc__pos"))

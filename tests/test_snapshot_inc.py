@@ -1,0 +1,65 @@
+"""Incremental (DBLog watermark) snapshot merge — S4 incremental mode
+(operators/snapshot_inc.py)."""
+
+from pyspark.sql import functions as F
+
+from python_cdc_component_spark.model.envelope import SYSTEM_COLUMNS as SC
+from python_cdc_component_spark.operators.snapshot_inc import (
+    chunk_reads, merge_incremental, plan_chunks)
+
+
+def test_plan_chunks_covers_range_exactly():
+    chunks = plan_chunks(0, 9, 4)
+    assert chunks == [(0, 2), (3, 5), (6, 8), (9, 9)]
+    # exhaustive + disjoint
+    seen = [k for lo, hi in chunks for k in range(lo, hi + 1)]
+    assert seen == list(range(10))
+    assert plan_chunks(5, 4, 3) == []
+    assert plan_chunks(1, 2, 10) == [(1, 1), (2, 2)]  # capped at range size
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, f"user_id long, v string, {SC.operation} string, "
+              f"{SC.pos} long")
+
+
+def test_stream_event_at_watermark_supersedes_chunk_row(spark):
+    # chunk read closed at watermark 100 carrying user 1's snapshot row;
+    # a stream UPDATE for user 1 at pos exactly 100 must win (Debezium
+    # drops the buffered snapshot row in the dedup window).
+    snap = _mk(spark, [(1, "snap", "r", 100), (2, "snap", "r", 100)])
+    stream = _mk(spark, [(1, "stream", "u", 100)])
+    out = {r["user_id"]: r["v"]
+           for r in merge_incremental([snap], stream, ["user_id"]).collect()}
+    assert out == {1: "stream", 2: "snap"}
+
+
+def test_chunk_row_wins_over_older_stream_event(spark):
+    # stream event BEFORE the watermark is already reflected in the
+    # chunk's SELECT — the snapshot row (newer state) must win.
+    snap = _mk(spark, [(1, "snap@150", "r", 150)])
+    stream = _mk(spark, [(1, "old", "u", 149)])
+    out = merge_incremental([snap], stream, ["user_id"]).collect()
+    assert [(r["user_id"], r["v"]) for r in out] == [(1, "snap@150")]
+
+
+def test_chunked_reads_prune_and_merge_to_current_state(spark, sf_dir):
+    from python_cdc_component_spark.operators.dedup import dedup_latest
+    from python_cdc_component_spark.sources.events import read_cdc_events
+
+    ev = read_cdc_events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    chunks = plan_chunks(int(lo), int(hi), 3)
+    end_pos = ev.agg(F.max(SC.pos)).collect()[0][0]
+    # watermarks past the end of the log: chunk state == final state,
+    # stream replays everything — merged result must equal plain W1.
+    wms = [end_pos + i + 1 for i in range(len(chunks))]
+    state = dedup_latest(ev, ["user_id"])
+    chunk_dfs = []
+    for (clo, chi), wm in zip(chunks, wms):
+        chunk_dfs.extend(chunk_reads(state, "user_id", [(clo, chi)], [wm]))
+    merged = merge_incremental(chunk_dfs, ev, ["user_id"])
+    want = {(r["user_id"], r["event_type"]) for r in state.collect()}
+    got = {(r["user_id"], r["event_type"]) for r in merged.collect()}
+    assert got == want
