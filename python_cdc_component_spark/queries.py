@@ -2686,3 +2686,286 @@ def incremental_snapshot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "value",
         F.col(SC.operation).alias("kbc__operation"),
         F.col(SC.pos).alias("kbc__pos"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth (Q7/Q8/Q15/Q17/Q18/Q21/Q22-shaped, adapted to the driver
+# schema: no partsupp/receiptdate/phone/container columns exist, so the
+# adapted predicates are documented per query)
+
+@query("q7_nation_volume", """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, l_year
+""")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations by ship year. Both
+    nation joins broadcast (25 rows); supplier/customer broadcast; the
+    only shuffles are lineitem⨝orders and the final partial→final agg —
+    the plan that survives a 100× fact scale-up."""
+    s = _spark(spark)
+    li, orders = read_table(s, sf_dir, "lineitem"), read_table(s, sf_dir, "orders")
+    supp, cust = read_table(s, sf_dir, "supplier"), read_table(s, sf_dir, "customer")
+    sn = read_table(s, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = read_table(s, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+           .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+           .filter(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                   | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))))
+    return (j.withColumn("l_year", F.year("l_shipdate").cast("long"))
+             .groupBy("supp_nation", "cust_nation", "l_year")
+             .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                           "revenue")))
+
+
+@query("q8_market_share", """
+SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END
+                AS DECIMAL(18,6))) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) t
+GROUP BY o_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_5's share of PROMO-part
+    revenue among ASIA-region customers, by order year. All dims
+    broadcast; conditional + total sums both exact-decimal, share is a
+    double ratio of identical operands in both engines."""
+    s = _spark(spark)
+    li, orders = read_table(s, sf_dir, "lineitem"), read_table(s, sf_dir, "orders")
+    part, cust = read_table(s, sf_dir, "part"), read_table(s, sf_dir, "customer")
+    supp, region = read_table(s, sf_dir, "supplier"), read_table(s, sf_dir, "region")
+    cn = read_table(s, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey"))
+    sn = read_table(s, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    t = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                 li.l_partkey == F.col("p_partkey"))
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+           .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                 F.col("cn_rkey") == F.col("r_regionkey"))
+           .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+           .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                   (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+                   "supp_nation"))
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                 .otherwise(0.0).cast(DEC)).cast("double")
+    tot = F.sum(F.col("volume").cast(DEC)).cast("double")
+    return t.groupBy("o_year").agg((nat / tot).alias("mkt_share"))
+
+
+@query("q15_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: revenue view over a ship-date half-year,
+    then the supplier(s) hitting the max. The revenue subtree is built
+    once and reused for both the max and the join (Spark caches the
+    exchange; the max side is a 1-row broadcast). Exact-decimal revenue
+    makes the max comparison deterministic in both engines."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    supp = read_table(s, sf_dir, "supplier")
+    rev = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1996-07-01"))
+             .groupBy(F.col("l_suppkey").alias("supplier_no"))
+             .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                           "total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (supp.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+                .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+                .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@query("q17_small_quantity_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_size < 10
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(l2.l_quantity))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue (container predicate
+    adapted to ``p_size < 10`` — the driver part table has no
+    p_container). The correlated per-part average becomes one grouped
+    aggregate broadcast back onto the fact scan — no per-row subquery
+    execution; avg is exact-decimal-sum / count so the 0.2× threshold is
+    bit-identical in both engines."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    part = read_table(s, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10))
+    avg_q = (li.groupBy(F.col("l_partkey").alias("ap_key"))
+               .agg((F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                     / F.count("l_quantity")).alias("avg_qty")))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .join(avg_q, li.l_partkey == F.col("ap_key"))
+           .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")))
+    return j.agg((F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                  / F.lit(7.0)).alias("avg_yearly"))
+
+
+@query("q18_large_volume_customers", """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""")
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose line quantities sum
+    past 250. The inner sum groups on the order PK, so the orders ⨝
+    customer side broadcasts; deterministic top-100 via the
+    (totalprice, orderkey) tie-break; order date emitted as ISO string
+    (the cross-engine DATE canonicalization hazard)."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    orders, cust = read_table(s, sf_dir, "orders"), read_table(s, sf_dir, "customer")
+    per_order = (li.groupBy("l_orderkey")
+                   .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qdec"))
+                   .filter(F.col("qdec") > 250))
+    return (per_order
+            .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                    "o_totalprice",
+                    F.col("qdec").cast("double").alias("sum_qty"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100))
+
+
+@query("q21_late_supplier_blame", """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), agg AS (
+  SELECT l_orderkey, count(*) AS ns, CAST(sum(late) AS BIGINT) AS nl
+  FROM f GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM f
+JOIN agg USING (l_orderkey)
+JOIN supplier ON f.l_suppkey = s_suppkey
+WHERE f.late = 1 AND agg.ns >= 2 AND agg.nl = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q21_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "suppliers who kept orders waiting" (the driver
+    lineitem has no receipt/commit dates, so "late" is adapted to
+    ``l_shipdate > o_orderdate + 60 days``): on multi-supplier orders
+    where exactly one supplier shipped late, blame that supplier. The
+    double-correlated EXISTS / NOT EXISTS of the original collapses into
+    one per-(order,supplier) flag aggregate + one per-order rollup —
+    two shuffles on the order key, then a broadcast supplier join."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    orders, supp = read_table(s, sf_dir, "orders"), read_table(s, sf_dir, "supplier")
+    f = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max(F.when(F.col("l_shipdate") >
+                             F.date_add(F.col("o_orderdate"), 60), 1)
+                       .otherwise(0)).alias("late")))
+    agg = (f.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("ns"),
+                 F.sum("late").cast("long").alias("nl")))
+    return (f.join(agg, "l_orderkey")
+             .filter((F.col("late") == 1) & (F.col("ns") >= 2) & (F.col("nl") == 1))
+             .join(F.broadcast(supp), f.l_suppkey == supp.s_suppkey)
+             .groupBy("s_name")
+             .agg(F.count(F.lit(1)).alias("numwait"))
+             .orderBy(F.col("numwait").desc(), "s_name")
+             .limit(20))
+
+
+@query("q22_dormant_customers", """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c_nationkey
+""")
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant high-balance customers (no phone column
+    → grouped by nation; "no orders" adapted to "no orders since
+    2000-01-01" so the result is non-empty at every SF): balance above
+    the positive-balance average AND absent from recent orders. The
+    average is a 1-row broadcast; the NOT IN becomes a left-anti join
+    against the distinct recent-customer keys."""
+    s = _spark(spark)
+    cust = read_table(s, sf_dir, "customer")
+    orders = read_table(s, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+         / F.count(F.lit(1))).alias("ab"))
+    recent = (orders.filter(F.col("o_orderdate") >= "2000-01-01")
+                    .select("o_custkey").distinct())
+    return (cust.join(F.broadcast(avg_bal))
+                .filter(F.col("c_acctbal") > F.col("ab"))
+                .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+                .groupBy("c_nationkey")
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     _dec_sum(F.col("c_acctbal"), "totacctbal")))
