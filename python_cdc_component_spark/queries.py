@@ -2910,8 +2910,10 @@ def q21_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``l_shipdate > o_orderdate + 60 days``): on multi-supplier orders
     where exactly one supplier shipped late, blame that supplier. The
     double-correlated EXISTS / NOT EXISTS of the original collapses into
-    one per-(order,supplier) flag aggregate + one per-order rollup —
-    two shuffles on the order key, then a broadcast supplier join."""
+    one per-(order,supplier) flag aggregate + a per-order WINDOW rollup
+    (not a self-join — a self-join would scan the fact twice; the window
+    reuses the aggregate's output in place), then a broadcast supplier
+    join. One fact scan, three key-local shuffles."""
     s = _spark(spark)
     li = read_table(s, sf_dir, "lineitem")
     orders, supp = read_table(s, sf_dir, "orders"), read_table(s, sf_dir, "supplier")
@@ -2920,12 +2922,11 @@ def q21_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.max(F.when(F.col("l_shipdate") >
                              F.date_add(F.col("o_orderdate"), 60), 1)
                        .otherwise(0)).alias("late")))
-    agg = (f.groupBy("l_orderkey")
-            .agg(F.count(F.lit(1)).alias("ns"),
-                 F.sum("late").cast("long").alias("nl")))
-    return (f.join(agg, "l_orderkey")
-             .filter((F.col("late") == 1) & (F.col("ns") >= 2) & (F.col("nl") == 1))
-             .join(F.broadcast(supp), f.l_suppkey == supp.s_suppkey)
+    w = Window.partitionBy("l_orderkey")
+    g = (f.withColumn("ns", F.count(F.lit(1)).over(w))
+          .withColumn("nl", F.sum("late").over(w).cast("long")))
+    return (g.filter((F.col("late") == 1) & (F.col("ns") >= 2) & (F.col("nl") == 1))
+             .join(F.broadcast(supp), g.l_suppkey == supp.s_suppkey)
              .groupBy("s_name")
              .agg(F.count(F.lit(1)).alias("numwait"))
              .orderBy(F.col("numwait").desc(), "s_name")
