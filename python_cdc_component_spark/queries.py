@@ -2970,3 +2970,81 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("c_nationkey")
                 .agg(F.count(F.lit(1)).alias("numcust"),
                      _dec_sum(F.col("c_acctbal"), "totacctbal")))
+
+
+# ---------------------------------------------------------------------------
+# LLM text analysis, round 2: character entropy + winnowing fingerprints
+
+@query("char_entropy_quality", """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+hist AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM hist GROUP BY doc_id)
+SELECT doc_id, n AS n_chars_counted,
+       CAST(SUM(CAST(round((k / (1.0 * n)) * log2(n / (1.0 * k)), 9)
+                     AS DECIMAL(28,12))) AS DOUBLE) AS entropy_bits
+FROM hist JOIN tot USING (doc_id)
+GROUP BY doc_id, n
+""")
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic cheap
+    quality filter (low entropy ⇒ repetitive/boilerplate text; used
+    alongside the Gopher rules). Plan: explode to (doc, char) with
+    map-side partial counts → one shuffle on (doc, char) → per-doc
+    rollup. Each term is rounded to 9 dp then summed through exact
+    decimals, so the float accumulation is order-independent in both
+    engines (the tfidf convention)."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    hist = (d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+             .groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k")))
+    tot = hist.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n"))
+    term = F.round((F.col("k") / (1.0 * F.col("n")))
+                   * F.log2(F.col("n") / (1.0 * F.col("k"))), 9)
+    return (hist.join(tot, "doc_id")
+                .groupBy("doc_id", F.col("n").alias("n_chars_counted"))
+                .agg(F.sum(term.cast("decimal(28,12)")).cast("double")
+                      .alias("entropy_bits")))
+
+
+@query("winnowing_fingerprints", """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 8 + 2, 1))) AS p
+  FROM documents
+), g AS (
+  SELECT doc_id, p, md5(substr(text, CAST(p AS INTEGER), 8)) AS h FROM pos
+), sel AS (
+  SELECT doc_id, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+  FROM g
+  QUALIFY p <= max(p) OVER (PARTITION BY doc_id) - 3
+)
+SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_fp, min(s) AS min_fp
+FROM sel GROUP BY doc_id
+""")
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every 8-char k-gram, slide a 4-hash window,
+    keep each window's minimum — guaranteed-coverage fingerprints for
+    robust substring-level duplicate detection (the step up from
+    whole-doc hashing that exact-substring dedup pipelines use). Plan:
+    one explode (row per k-gram, linear like any shingler), one
+    partition+sort per doc for the sliding min, map-side-combined
+    distinct count. Documents shorter than k+w-1 chars yield no full
+    window and drop out in both engines."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    pos = d.select(
+        "doc_id", "text",
+        F.explode(F.when(F.length("text") >= 8,
+                         F.sequence(F.lit(1), F.length("text") - 7))
+                   .otherwise(F.array())).alias("p"))
+    g = pos.select("doc_id", "p",
+                   F.md5(F.expr("substring(text, p, 8)")).alias("h"))
+    w_roll = (Window.partitionBy("doc_id").orderBy("p")
+              .rowsBetween(Window.currentRow, 3))
+    w_doc = Window.partitionBy("doc_id")
+    sel = (g.withColumn("s", F.min("h").over(w_roll))
+            .withColumn("_mx", F.max("p").over(w_doc))
+            .filter(F.col("p") <= F.col("_mx") - 3))
+    return (sel.groupBy("doc_id")
+               .agg(F.count_distinct("s").alias("n_fp"),
+                    F.min("s").alias("min_fp")))
