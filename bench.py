@@ -37,6 +37,12 @@ HEADLINE = [
     "hopping_window_agg",    # sliding event-time windows
     "sessionize_events",     # gaps-and-islands windows
     "disjunctive_pushdown",  # OR-of-ranges parquet pushdown
+    # round-2 additions
+    "incremental_snapshot_users",    # DBLog watermark chunk merge (S4)
+    "q18_large_volume_customers",    # fact-fact join + HAVING + top-k
+    "q21_late_supplier_blame",       # window-rollup EXISTS collapse
+    "embedding_ivf_ann",             # bucketed ANN (the 100 TB path)
+    "winnowing_fingerprints",        # k-gram sliding-min fingerprints
 ]
 
 
