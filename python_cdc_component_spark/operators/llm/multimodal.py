@@ -97,10 +97,49 @@ def decode_frames(df: DataFrame, frame_bytes: int = FRAME_BYTES,
     return src.mapInPandas(decode, schema=FRAME_SCHEMA)
 
 
-def extract_features(df: DataFrame) -> DataFrame:
-    """Real feature extraction requires codec/model libraries not present
-    in this environment; the contract is (content_id, embedding
-    array<float>) produced by an Arrow-batched pandas UDF."""
-    raise NotImplementedError(
-        "feature extraction requires image/audio libraries; plug a model "
-        "into the decode_frames mapInPandas pattern")
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("content_id", T.LongType(), False),
+    T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+])
+
+N_FEATURE_BINS = 16
+
+
+def extract_features(df: DataFrame, backend: str = "histogram") -> DataFrame:
+    """Feature-extract each payload into ``(content_id, embedding)`` via
+    an Arrow-batched ``mapInPandas`` stage — the exact plumbing a model
+    encoder plugs into.
+
+    ``backend='histogram'`` is the DETERMINISTIC FAKE encoder (the real
+    codec/model libraries are not in this container): a 16-bin byte
+    histogram of the payload, L2-normalized, elements rounded to 9 dp.
+    It is a real featurizer (byte-distribution signature), so the whole
+    pipeline — binary column in, Arrow batches through Python, dense
+    vector out — is testable end-to-end and oracled by the driver.
+    ``backend='model'`` is the declared extension point and raises."""
+    if backend != "histogram":
+        raise NotImplementedError(
+            "model feature extraction requires image/audio libraries; "
+            "plug the encoder into this mapInPandas body")
+
+    import math
+
+    import numpy as np
+
+    src = df.select("content_id", "payload")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for cid, payload in zip(pdf["content_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(data >> 4, minlength=N_FEATURE_BINS)
+                hist = hist[:N_FEATURE_BINS].astype(np.float64)
+                norm = math.sqrt(float((hist * hist).sum())) or 1.0
+                ids.append(cid)
+                vecs.append([round(float(c) / norm, 9) for c in hist])
+            yield pd.DataFrame({"content_id": ids, "embedding": vecs})
+
+    return src.mapInPandas(encode, schema=FEATURE_SCHEMA)

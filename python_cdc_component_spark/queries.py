@@ -3048,3 +3048,46 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sel.groupBy("doc_id")
                .agg(F.count_distinct("s").alias("n_fp"),
                     F.min("s").alias("min_fp")))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction (deterministic fake encoder, end-to-end)
+
+@query("multimodal_features", """
+WITH ch AS (SELECT doc_id, ascii(c) // 16 AS bin FROM
+            (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+cnt AS (SELECT doc_id, bin, COUNT(*) AS k FROM ch GROUP BY doc_id, bin),
+bins AS (SELECT doc_id, b.bin FROM documents,
+         (SELECT unnest(range(0, 16)) AS bin) b),
+dense AS (SELECT bins.doc_id, bins.bin, CAST(COALESCE(cnt.k, 0) AS BIGINT) AS k
+          FROM bins LEFT JOIN cnt
+            ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin),
+nrm AS (SELECT doc_id, sqrt(CAST(SUM(k * k) AS DOUBLE)) AS nrm
+        FROM dense GROUP BY doc_id)
+SELECT d.doc_id AS content_id,
+       array_to_string(array_agg(printf('%.9f',
+           round(k / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END), 9))
+           ORDER BY bin), ',') AS emb_csv
+FROM dense d JOIN nrm USING (doc_id)
+GROUP BY d.doc_id
+""")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction END-TO-END: wrap the document text
+    as an opaque binary payload with typed metadata (``to_multimodal``),
+    then run the Arrow-batched ``mapInPandas`` encoder
+    (``extract_features``, deterministic byte-histogram backend — the
+    seam a real image/audio model plugs into). The oracle recomputes the
+    16-bin byte histogram in SQL (documents are ASCII, so codepoints =
+    utf-8 bytes); the embedding is emitted as ``%.9f`` CSV so float
+    formatting is engine-invariant. Proves the full binary-column →
+    Arrow → Python → dense-vector pipeline, not just the plumbing."""
+    from .operators.llm.multimodal import extract_features, to_multimodal
+
+    d = read_table(_spark(spark), sf_dir, "documents")
+    mm = to_multimodal(d, id_col="doc_id", payload_col="text",
+                       media_type="text", source_col="source")
+    feats = extract_features(mm, backend="histogram")
+    return feats.select(
+        "content_id",
+        F.expr("concat_ws(',', transform(embedding, "
+               "x -> format_string('%.9f', x)))").alias("emb_csv"))

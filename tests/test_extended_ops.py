@@ -59,9 +59,22 @@ def test_multimodal_decode_frames(spark):
     assert by_id[2][0].frame_hash == hashlib.md5(b"y" * 10).hexdigest()
 
 
-def test_extract_features_is_explicit_stub():
+def test_extract_features_model_backend_is_explicit_stub():
     with pytest.raises(NotImplementedError):
-        extract_features(None)
+        extract_features(None, backend="model")
+
+
+def test_extract_features_histogram_backend(spark):
+    import math
+    docs = spark.createDataFrame([(1, "aaaa"), (2, "")], "id long, t string")
+    mm = to_multimodal(docs, id_col="id", payload_col="t")
+    out = {r["content_id"]: r["embedding"]
+           for r in extract_features(mm).collect()}
+    # 'a' = 0x61 → bin 6; all mass in one bin → unit vector
+    assert out[1][6] == 1.0 and sum(out[1]) == 1.0 and len(out[1]) == 16
+    # empty payload: zero vector, norm guarded to 1 (no NaN)
+    assert out[2] == [0.0] * 16
+    assert not any(math.isnan(x) for x in out[2])
 
 
 def test_simhash_identical_docs_share_fingerprint(spark):
