@@ -3091,3 +3091,67 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_id",
         F.expr("concat_ws(',', transform(embedding, "
                "x -> format_string('%.9f', x)))").alias("emb_csv"))
+
+
+@query("session_window_agg", """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+g AS (SELECT user_id, event_id, tus,
+        CASE WHEN LAG(tus) OVER w IS NULL
+                  OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (SELECT user_id, tus,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM g)
+SELECT user_id,
+       MIN(tus) AS session_start_us,
+       MAX(tus) + 1800000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_no
+""")
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (30-min inactivity gap) — the
+    operator that runs unchanged under Structured Streaming with
+    watermarked state eviction, here proven equal to the explicit
+    gaps-and-islands SQL construction (``sessionize_events``'s oracle
+    family): window.start = first event, window.end = last event + gap.
+    Batch plan: one shuffle on user_id, sessions merged inside the
+    aggregation — no lag/running-sum chain needed."""
+    ev = read_events(_spark(spark), sf_dir)
+    sw = (ev.groupBy("user_id",
+                     F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    return sw.select(
+        "user_id",
+        F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+        F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+        "n_events")
+
+
+@query("dedup_pipeline_summary", """
+WITH comp AS ({comp})
+SELECT comp.component AS rep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(SUM(CASE WHEN comp.doc_id <> comp.component
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(d.n_chars) AS BIGINT) AS cluster_chars
+FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+GROUP BY comp.component
+""".format(comp=ORACLES["dup_components"]))
+def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup pipeline a training-data run executes as
+    ONE operator chain: shingle → MinHash signatures → LSH band buckets
+    → candidate edges → connected components → canonical representative
+    (min doc_id) → per-representative dedup decision (cluster size, docs
+    removed, bytes covered). Every stage is the scale-safe form (banded
+    self-join, Pregel-style label propagation — no all-pairs anywhere);
+    the deduped corpus is the rep_doc_id set, and `n_removed` totals the
+    discard decision the pipeline would apply."""
+    comp = QUERIES["dup_components"](spark, sf_dir)
+    docs = read_table(_spark(spark), sf_dir, "documents")
+    return (comp.join(docs, "doc_id")
+                .groupBy(F.col("component").alias("rep_doc_id"))
+                .agg(F.count(F.lit(1)).alias("cluster_size"),
+                     F.sum(F.when(F.col("doc_id") != F.col("component"), 1)
+                            .otherwise(0)).cast("long").alias("n_removed"),
+                     F.sum("n_chars").cast("long").alias("cluster_chars")))
