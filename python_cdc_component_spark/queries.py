@@ -3155,3 +3155,51 @@ def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum(F.when(F.col("doc_id") != F.col("component"), 1)
                             .otherwise(0)).cast("long").alias("n_removed"),
                      F.sum("n_chars").cast("long").alias("cluster_chars")))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 UDTF surface: Python table function flattening CDC JSON payloads
+
+def _json_kv_udtf_cls():
+    """Python UDTF (PySpark 4 table-function API) exploding a JSON object
+    column into (key, value-json) rows — the generic payload flattener
+    for CDC props blobs. Defined lazily so import of this module never
+    requires the UDTF API."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="k string, v string")
+    class JsonKV:
+        def eval(self, props: str):
+            if props:
+                for k, v in _json.loads(props).items():
+                    yield (k, _json.dumps(v))
+
+    return JsonKV
+
+
+@query("udtf_json_kv", """
+WITH keys AS (
+  SELECT event_id, props, unnest(json_keys(props)) AS k FROM events
+)
+SELECT event_id, k,
+       CAST(json_extract(props, '$.' || k) AS VARCHAR) AS v
+FROM keys
+""")
+def udtf_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 UDTF surface: a Python user-defined TABLE function applied
+    laterally per row — flattens each event's JSON props object into
+    (key, value) rows (the generic form of the reference's JSON
+    traversal F5). Completes the UDF triad alongside the Pandas scalar
+    UDFs (`embedding_topk_pandas`) and grouped-map UDAF
+    (`grouped_centroids_pandas`). Row-based Python is the slow path by
+    design — the F5 ``get_json_object``/``from_json`` builtins remain
+    the hot-path form; this pins the extension-point API."""
+    ev = read_events(_spark(spark), sf_dir)
+    spark.udtf.register("json_kv_udtf", _json_kv_udtf_cls())
+    ev.select("event_id", "props").createOrReplaceTempView("__ev_udtf_src")
+    return spark.sql("""
+        SELECT event_id, t.k, t.v
+        FROM __ev_udtf_src, LATERAL json_kv_udtf(props) AS t
+    """)
