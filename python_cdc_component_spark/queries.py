@@ -3203,3 +3203,28 @@ def udtf_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, t.k, t.v
         FROM __ev_udtf_src, LATERAL json_kv_udtf(props) AS t
     """)
+
+
+@query("q13_customer_distribution", """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+""")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT join keeps
+    zero-order customers (COUNT of the nullable key counts only matched
+    rows), then a histogram over the per-customer counts. Two
+    aggregations, each one shuffle; the second input is
+    customer-cardinality — always small relative to the fact."""
+    s = _spark(spark)
+    cust, orders = read_table(s, sf_dir, "customer"), read_table(s, sf_dir, "orders")
+    c_orders = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+    return (c_orders.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist")))
