@@ -162,6 +162,69 @@ def backfill_plan(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict[s
     return plans
 
 
+def incremental_backfill(spark: SparkSession, snapshot_df: DataFrame,
+                         stream: DataFrame | None, key_col: str,
+                         n_chunks: int = 4) -> DataFrame:
+    """Execute one table's ``incremental`` snapshot signal (Debezium
+    incremental snapshot, DBLog watermark algorithm — signal built by
+    reference ``db_components/debezium/executor.py:244-303`` with
+    ``type: INCREMENTAL``): chunk the table over its PK range and merge
+    the chunk reads with the in-flight stream; a stream event at or
+    after a chunk's watermark supersedes that chunk's row. In a bounded
+    run the snapshot SELECT executes at the captured end position, so
+    every chunk's high watermark is that position (ties → stream wins).
+    Chunk range filters push into the snapshot scan (PLANS.md
+    ``incremental_snapshot_users``); the merge is one W1 window."""
+    from pyspark.sql import functions as _F
+
+    from .operators.snapshot_inc import (chunk_reads, merge_incremental,
+                                         plan_chunks)
+
+    lo, hi = snapshot_df.agg(_F.min(key_col), _F.max(key_col)).collect()[0]
+    if lo is None:          # empty table: nothing to backfill
+        return snapshot_df.withColumn("kbc__operation", _F.lit("r")) \
+                          .withColumn("kbc__pos", _F.lit(0).cast("long"))
+    end_pos = 0
+    if stream is not None:
+        row = stream.agg(_F.max("kbc__pos").alias("p")).collect()[0]
+        end_pos = int(row["p"]) if row["p"] is not None else 0
+    chunks = plan_chunks(int(lo), int(hi), n_chunks)
+    wms = [end_pos] * len(chunks)
+    chunk_dfs = chunk_reads(snapshot_df, key_col, chunks, wms)
+    if stream is None:
+        from .operators.schema_align import union_epochs
+        return union_epochs(chunk_dfs)
+    return merge_incremental(chunk_dfs, stream, [key_col])
+
+
+def execute_signals(spark: SparkSession, sf_dir: str,
+                    signals: list[SnapshotSignal],
+                    stream_by_table: dict[str, DataFrame] | None = None,
+                    key_by_table: dict[str, str] | None = None,
+                    snapshot_by_table: dict[str, DataFrame] | None = None,
+                    n_chunks: int = 4) -> dict[str, DataFrame]:
+    """S4 execution dispatcher: each signalled table gets a blocking
+    backfill plan (op='r' full read) or the incremental chunked merge,
+    per the signal's mode — the engine-side counterpart of the
+    reference consuming an ``execute-snapshot`` signal row.
+    ``snapshot_by_table`` overrides the raw parquet read for sources
+    that need a schema-aware scan (e.g. the ns-timestamp events table)."""
+    streams = stream_by_table or {}
+    keys = key_by_table or {}
+    snaps = snapshot_by_table or {}
+    plans: dict[str, DataFrame] = {}
+    for sig in signals:
+        for t in sig.tables:
+            if sig.mode == "incremental" and t in keys:
+                snap = (snaps[t] if t in snaps
+                        else spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+                plans[t] = incremental_backfill(
+                    spark, snap, streams.get(t), keys[t], n_chunks)
+            else:
+                plans[t] = backfill_plan(spark, sf_dir, [t])[t]
+    return plans
+
+
 # ---------------------------------------------------------------------------
 # P6: end-position capture
 

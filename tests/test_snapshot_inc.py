@@ -63,3 +63,81 @@ def test_chunked_reads_prune_and_merge_to_current_state(spark, sf_dir):
     want = {(r["user_id"], r["event_type"]) for r in state.collect()}
     got = {(r["user_id"], r["event_type"]) for r in merged.collect()}
     assert got == want
+
+
+def test_execute_signals_routes_modes(spark, sf_dir):
+    """S4 dispatcher: blocking mode → op='r' full backfill; incremental
+    mode → chunked watermark merge with the in-flight stream, ending in
+    the stream's current state for streamed keys."""
+    from python_cdc_component_spark.control import (SnapshotSignal,
+                                                    execute_signals)
+    from python_cdc_component_spark.operators.dedup import dedup_latest
+    from python_cdc_component_spark.sources.events import read_cdc_events
+
+    ev = read_cdc_events(spark, sf_dir)
+    state = dedup_latest(ev, ["user_id"]).select(
+        "user_id", "event_type", "value")
+
+    plans = execute_signals(
+        spark, sf_dir,
+        [SnapshotSignal(tables=["region"], mode="blocking"),
+         SnapshotSignal(tables=["events"], mode="incremental")],
+        stream_by_table={"events": ev},
+        key_by_table={"events": "user_id"},
+        snapshot_by_table={"events": state})
+
+    region = plans["region"]
+    assert {r["kbc__operation"] for r in region.collect()} == {"r"}
+
+    merged = plans["events"]
+    got = {(r["user_id"], r["event_type"]) for r in merged.collect()}
+    want = {(r["user_id"], r["event_type"]) for r in state.collect()}
+    assert got == want        # snapshot @ end-pos + full stream ≡ state
+
+
+def test_merge_incremental_property_any_watermarks(spark):
+    """Property: for ANY watermark assignment, the merged state per key
+    is the stream's latest event if it is at-or-after the key's chunk
+    watermark, else the chunk's snapshot row — checked against a python
+    model over randomized watermarks."""
+    import random
+
+    from python_cdc_component_spark.model.envelope import \
+        SYSTEM_COLUMNS as SC
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_keys = 20
+        wm_by_chunk = sorted(rng.randint(0, 100) for _ in range(4))
+        stream_rows = [(k, f"s{p}", "u", p)
+                       for k in range(n_keys)
+                       for p in sorted(rng.sample(range(1, 101),
+                                                  rng.randint(0, 4)))]
+        chunks, chunk_dfs = [(0, 4), (5, 9), (10, 14), (15, 19)], []
+        snap_rows_all = []
+        for (lo, hi), wm in zip(chunks, wm_by_chunk):
+            # chunk SELECT sees the latest stream value ≤ wm (or initial)
+            rows = []
+            for k in range(lo, hi + 1):
+                pre = [r for r in stream_rows if r[0] == k and r[3] <= wm]
+                v = pre[-1][1] if pre else "init"
+                rows.append((k, v, "r", wm))
+            snap_rows_all.extend(rows)
+            chunk_dfs.append(spark.createDataFrame(
+                rows, f"user_id long, v string, {SC.operation} string, "
+                      f"{SC.pos} long"))
+        stream = spark.createDataFrame(
+            stream_rows or [(0, "s0", "u", 0)][:0],
+            f"user_id long, v string, {SC.operation} string, {SC.pos} long")
+        got = {r["user_id"]: r["v"] for r in
+               merge_incremental(chunk_dfs, stream, ["user_id"]).collect()}
+        # model: stream event with max pos wins iff pos >= chunk wm;
+        # else the chunk row (which already folded events ≤ wm)
+        for (lo, hi), wm in zip(chunks, wm_by_chunk):
+            for k in range(lo, hi + 1):
+                evs = [r for r in stream_rows if r[0] == k]
+                if evs and evs[-1][3] >= wm:
+                    assert got[k] == evs[-1][1], (trial, k)
+                else:
+                    pre = [r for r in evs if r[3] <= wm]
+                    assert got[k] == (pre[-1][1] if pre else "init"), (trial, k)
