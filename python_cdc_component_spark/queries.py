@@ -3228,3 +3228,177 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .agg(F.count("o_orderkey").alias("c_count")))
     return (c_orders.groupBy("c_count")
                     .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline round 3: PII redaction, C4-style segment dedup,
+# unigram-LM perplexity, bloom-filter incremental dedup.
+
+from .operators.llm.pii import EMAIL_RE, PHONE_RE, IPV4_RE, redact_pii  # noqa: E402
+
+_PII_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           CASE WHEN doc_id %% 3 = 0
+                THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com' END,
+           CASE WHEN doc_id %% 3 = 1
+                THEN '555-010-' || lpad(CAST(doc_id %% 10000 AS VARCHAR), 4, '0') END,
+           CASE WHEN doc_id %% 2 = 0
+                THEN '10.0.' || CAST(doc_id %% 256 AS VARCHAR) || '.'
+                     || CAST((doc_id * 7) %% 256 AS VARCHAR) END
+         ) AS t
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '%(email)s', '<EMAIL>', 'g'),
+      '%(phone)s', '<PHONE>', 'g'),
+      '%(ip)s', '<IP>', 'g') AS text_redacted,
+  CAST(len(regexp_extract_all(t, '%(email)s')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '%(phone)s')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '%(ip)s')) AS BIGINT) AS n_ips
+FROM aug
+""" % {"email": EMAIL_RE, "phone": PHONE_RE, "ip": IPV4_RE}
+
+
+@query("pii_redact", _PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators.llm.pii): the synthetic corpus carries
+    no PII, so the query first injects deterministic PII-shaped strings
+    (email / NANP phone / IPv4, keyed off doc_id so both engines build
+    the identical input), then runs the redactor. Pure regexp_replace /
+    regexp_extract_all — no shuffle, no UDF; scales embarrassingly."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(did % 3 == 0, F.concat(
+        F.lit("user"), did.cast("string"), F.lit("@example.com")))
+    phone = F.when(did % 3 == 1, F.concat(
+        F.lit("555-010-"), F.lpad((did % 10000).cast("string"), 4, "0")))
+    ip = F.when(did % 2 == 0, F.concat(
+        F.lit("10.0."), (did % 256).cast("string"), F.lit("."),
+        ((did * 7) % 256).cast("string")))
+    aug = d.select("doc_id",
+                   F.concat_ws(" ", F.col("text"), email, phone, ip)
+                    .alias("text"))
+    return redact_pii(aug).select("doc_id", "text_redacted",
+                                  "n_emails", "n_phones", "n_ips")
+
+
+_SEG_K = 5
+
+
+@query("segment_dedup_docs", f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(len(t) / {_SEG_K}.0) AS BIGINT))) AS i
+        FROM toks),
+segs AS (SELECT doc_id, i AS seg_idx,
+                array_to_string(t[i*{_SEG_K}+1 : i*{_SEG_K}+{_SEG_K}], ' ') AS seg
+         FROM idx),
+rk AS (SELECT doc_id, seg_idx, seg,
+              ROW_NUMBER() OVER (PARTITION BY seg
+                  ORDER BY doc_id, seg_idx) AS rn
+       FROM segs)
+SELECT doc_id,
+  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1),
+           '') AS text_dedup,
+  CAST(COUNT(*) AS BIGINT) AS n_segments,
+  CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+FROM rk GROUP BY doc_id
+""")
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style span-level exact dedup (operators.llm.segdedup):
+    every repeated {_SEG_K}-word segment after its corpus-wide first
+    occurrence is removed and documents are reassembled. Two shuffles
+    total (segment window + doc_id regroup), both O(corpus)."""
+    from .operators.llm.segdedup import segment_dedup
+    d = read_table(_spark(spark), sf_dir, "documents")
+    return segment_dedup(d, k=_SEG_K)
+
+
+@query("unigram_perplexity", """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+lp AS (SELECT w, CAST(round(log2(c / (1.0 * n_total)), 9)
+                      AS DECIMAL(28,9)) AS lp
+       FROM cnt, tot),
+j AS (SELECT doc_id, lp FROM words JOIN lp USING (w)),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp2
+        FROM j GROUP BY doc_id)
+SELECT doc_id, n_tokens, avg_logp2,
+       round(pow(2.0, -avg_logp2), 4) AS ppl
+FROM agg
+""")
+def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Gopher-style LM quality signal (operators.llm.lm): fit a
+    unigram model on the corpus (one vocab-sized shuffle), broadcast it,
+    score per-doc mean log2-prob and perplexity. Per-token logs are
+    decimal-accumulated so the sum is order-independent (float parity
+    with the oracle). A KenLM scorer drops in behind the same
+    (token → logprob) contract as an Arrow UDF."""
+    from .operators.llm.lm import unigram_fit, doc_perplexity
+    d = read_table(_spark(spark), sf_dir, "documents")
+    return doc_perplexity(d, unigram_fit(d))
+
+
+_BLOOM_M = 32    # deliberately small so the fp class is populated at sf
+
+_BLOOM_POS_SQL = """unnest([
+   ('0x' || substr(md5(key), 1, 7))::BIGINT %% {mb},
+   ('0x' || substr(md5(key), 9, 7))::BIGINT %% {mb},
+   ('0x' || substr(md5(key), 17, 7))::BIGINT %% {mb}]) AS p""".replace(
+    "%%", "%").format(mb=_BLOOM_M * 62)
+
+
+@query("bloom_dedup_incremental", f"""
+WITH d AS (SELECT doc_id,
+                  array_to_string(string_split(text, ' ')[1:5], ' ') AS key
+           FROM documents),
+seen AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+newd AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+pos AS (SELECT doc_id, {_BLOOM_POS_SQL} FROM seen),
+bloom AS (SELECT p // 62 AS word,
+                 bit_or(1::BIGINT << CAST(p % 62 AS INTEGER)) AS mask
+          FROM pos GROUP BY word),
+npos AS (SELECT doc_id, {_BLOOM_POS_SQL} FROM newd),
+probe AS (SELECT n.doc_id,
+                 COALESCE((b.mask >> CAST(n.p % 62 AS INTEGER)) & 1, 0) AS hit
+          FROM npos n LEFT JOIN bloom b ON n.p // 62 = b.word),
+mp AS (SELECT doc_id, MIN(hit) = 1 AS maybe_seen FROM probe GROUP BY doc_id),
+ts AS (SELECT doc_id, key IN (SELECT key FROM seen) AS truly_seen FROM newd)
+SELECT doc_id, maybe_seen, truly_seen,
+       CASE WHEN maybe_seen AND truly_seen THEN 'dup'
+            WHEN maybe_seen THEN 'fp' ELSE 'new' END AS verdict
+FROM mp JOIN ts USING (doc_id)
+""")
+def bloom_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup via bloom filter
+    (operators.llm.bloom): the 'seen' half of the corpus compresses to a
+    (word, mask) bitset; the 'new' half probes it with 3 md5-derived
+    hashes (broadcast join — the history is never re-shuffled). The
+    exact confirmation join prices the false positives: the output
+    labels each new doc dup / fp / new, and the fp count IS the measured
+    bloom error at this (m, k, n). Dedup key = 5-word prefix (the
+    corpus has no full-text dups)."""
+    from .operators.llm.bloom import bloom_build, bloom_probe
+    d = read_table(_spark(spark), sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ").alias("key"))
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    bloom = bloom_build(seen, F.col("key"), m_words=_BLOOM_M)
+    probed = bloom_probe(new, bloom, F.col("key"), m_words=_BLOOM_M)
+    truly = (new.join(seen.select("key").distinct()
+                         .withColumn("truly_seen", F.lit(True)),
+                      "key", "left")
+                .select("doc_id",
+                        F.coalesce("truly_seen", F.lit(False))
+                         .alias("truly_seen")))
+    return (probed.join(truly, "doc_id")
+                  .select("doc_id", "maybe_seen", "truly_seen",
+                          F.when(F.col("maybe_seen") & F.col("truly_seen"),
+                                 "dup")
+                           .when(F.col("maybe_seen"), "fp")
+                           .otherwise("new").alias("verdict")))
