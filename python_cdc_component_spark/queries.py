@@ -520,8 +520,13 @@ _MINHASH_AB = [
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared minhash signature builder: word-3-gram shingles → 28-bit
     shingle hash (md5 prefix) → per-doc min of 16 affine universal
-    hashes. One shuffle on doc_id with map-side partial mins."""
-    d = read_table(spark, sf_dir, "documents")
+    hashes. One data shuffle on doc_id with map-side partial mins, plus
+    a deliberate repartition of the RAW text first: shingling+md5 is
+    compute-bound, and a small parquet input arrives as one partition —
+    without the spread the whole hash pipeline serializes onto one core
+    (input-split remedy, scripts/bench_scale_curve.py)."""
+    d = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     # split once into a named column: referencing split(text) inside the
     # transform lambda would re-evaluate it per element (O(tokens²)/doc)
     t = d.select("doc_id", F.split("text", " ").alias("t"))
@@ -1424,10 +1429,13 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 tf-idf terms: tf and df aggregates, df + the
     corpus-size scalar broadcast into the scoring join, per-doc top-k
-    window. The df table is vocabulary-sized → always broadcastable."""
+    window. The df table is vocabulary-sized → always broadcastable.
+    The raw text is repartitioned before the explode so tokenization
+    parallelizes even when the input parquet is a single small file."""
     s = _spark(spark)
     d = read_table(s, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok = (d.repartition(s.sparkContext.defaultParallelism)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("w")))
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -3026,28 +3034,38 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     MOSS algorithm): hash every 8-char k-gram, slide a 4-hash window,
     keep each window's minimum — guaranteed-coverage fingerprints for
     robust substring-level duplicate detection (the step up from
-    whole-doc hashing that exact-substring dedup pipelines use). Plan:
-    one explode (row per k-gram, linear like any shingler), one
-    partition+sort per doc for the sliding min, map-side-combined
-    distinct count. Documents shorter than k+w-1 chars yield no full
+    whole-doc hashing that exact-substring dedup pipelines use).
+
+    Plan: the k-gram hashes, the sliding min, and the distinct count
+    are all per-document, so they run as array higher-order functions
+    inside one projection — no explode, no window sort, no text column
+    riding a data-sized shuffle. (An earlier form exploded one row per
+    k-gram and paid two window passes over a shuffle carrying the full
+    text.) The only exchange is a deliberate repartition of the RAW
+    text: this operator is compute-bound (one md5 per character), so
+    input splits must be sized for CPU, not IO — a small parquet file
+    arrives as one partition and would serialize the whole corpus onto
+    one core (the input-split remedy measured in
+    scripts/bench_scale_curve.py). For multi-MB documents where the
+    per-row hash array would bloat executor memory, the explode+window
+    form is the spill-safe fallback; at feed-document sizes this is
+    the right plan. Documents shorter than k+w-1 chars yield no full
     window and drop out in both engines."""
     d = read_table(_spark(spark), sf_dir, "documents")
-    pos = d.select(
-        "doc_id", "text",
-        F.explode(F.when(F.length("text") >= 8,
-                         F.sequence(F.lit(1), F.length("text") - 7))
-                   .otherwise(F.array())).alias("p"))
-    g = pos.select("doc_id", "p",
-                   F.md5(F.expr("substring(text, p, 8)")).alias("h"))
-    w_roll = (Window.partitionBy("doc_id").orderBy("p")
-              .rowsBetween(Window.currentRow, 3))
-    w_doc = Window.partitionBy("doc_id")
-    sel = (g.withColumn("s", F.min("h").over(w_roll))
-            .withColumn("_mx", F.max("p").over(w_doc))
-            .filter(F.col("p") <= F.col("_mx") - 3))
-    return (sel.groupBy("doc_id")
-               .agg(F.count_distinct("s").alias("n_fp"),
-                    F.min("s").alias("min_fp")))
+    # length >= 11 = k + w - 1 guarantees sequence() bounds ascend
+    hs = F.expr(
+        "transform(sequence(1, length(text) - 7), "
+        "i -> md5(substring(text, i, 8)))")
+    wins = F.expr(
+        "transform(sequence(0, size(hs) - 4), "
+        "i -> array_min(slice(hs, i + 1, 4)))")
+    return (d.filter(F.length("text") >= 11)
+             .repartition(spark.sparkContext.defaultParallelism)
+             .select("doc_id", hs.alias("hs"))
+             .select("doc_id", wins.alias("w"))
+             .select("doc_id",
+                     F.size(F.array_distinct("w")).cast("long").alias("n_fp"),
+                     F.array_min("w").alias("min_fp")))
 
 
 # ---------------------------------------------------------------------------
