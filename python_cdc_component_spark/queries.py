@@ -3420,3 +3420,148 @@ def bloom_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "dup")
                            .when(F.col("maybe_seen"), "fp")
                            .otherwise("new").alias("verdict")))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H fill-in: q10/q14/q19/q9-shaped (the remaining queries expressible
+# without a partsupp table; q2/q11/q16/q20 need ps_supplycost/availqty).
+
+@query("q10_returned_items", """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+       AS DOUBLE) AS revenue,
+  c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item reporting: which customers
+    returned the most revenue in a quarter. The quarter predicate
+    pushes into the orders scan and prunes the fact join before the
+    shuffle; customer and nation broadcast. Deterministic top-20
+    tie-break on c_custkey."""
+    s = _spark(spark)
+    orders = read_table(s, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    li = read_table(s, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = read_table(s, sf_dir, "customer")
+    nat = read_table(s, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+              .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+              .agg(_dec_sum(disc_price, "revenue"))
+              .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+              .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+              .limit(20))
+
+
+@query("q14_promo_revenue", """
+SELECT CAST(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+            AS DECIMAL(18,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share for one ship month. The
+    month predicate pushes into the lineitem scan; part broadcasts;
+    the whole query is one scan + broadcast join + scalar agg (the
+    conditional and unconditional sums accumulate in the same pass).
+    Both sums use exact decimal accumulation; the ratio is a single
+    double division at the end."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    part = read_table(s, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .agg((F.lit(100.0)
+                    * F.sum(promo.cast(DEC)).cast("double")
+                    / F.sum(disc_price.cast(DEC)).cast("double"))
+                   .cast("double").alias("promo_revenue_pct")))
+
+
+@query("q19_discounted_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+       AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join predicate (adapted: the driver
+    schema carries brand/size/quantity but no container/shipmode). The
+    OR-of-conjunctions spans both sides of the join, so it can't push
+    into either scan whole — but Catalyst derives the single-side
+    residuals (quantity ≤ 30 on lineitem, brand∈set ∧ size ≤ 15 on
+    part) and pushes those, shrinking the join inputs; part broadcasts
+    and the disjunction evaluates on the join output in one pass."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    part = read_table(s, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b, sz, q = F.col("p_brand"), F.col("p_size"), F.col("l_quantity")
+    cond = (((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+            | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+            | ((b == "Brand#4") & sz.between(1, 15) & q.between(20, 30)))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(_dec_sum(disc_price, "revenue"))
+
+
+@query("q9_nation_year_profit", """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+""")
+def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line profit by supplier nation × order
+    year (adapted: no partsupp table, so profit = discounted revenue
+    without the supplycost term). The p_name LIKE filter prunes part
+    BEFORE it broadcasts into the fact, so the semi-join effect of the
+    part filter reaches lineitem at the join, not after; supplier and
+    nation broadcast; the only shuffle is lineitem⨝orders on the order
+    key, then a 2-level group-by whose partial aggregation collapses
+    (nation × year) to a few hundred rows before the exchange."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    part = read_table(s, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%"))
+    supp = read_table(s, sf_dir, "supplier")
+    orders = read_table(s, sf_dir, "orders")
+    nat = read_table(s, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").cast("long").alias("o_year"))
+              .agg(_dec_sum(disc_price, "sum_profit")))
