@@ -3565,3 +3565,32 @@ def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy(F.col("n_name").alias("nation"),
                        F.year("o_orderdate").cast("long").alias("o_year"))
               .agg(_dec_sum(disc_price, "sum_profit")))
+
+
+@query("interval_join_clicks_buys", """
+WITH c AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'click'),
+b AS (SELECT user_id, event_id, ts, "value" FROM events
+      WHERE event_type = 'purchase')
+SELECT c.user_id AS l_user_id, c.event_id AS l_event_id,
+       b.event_id AS r_event_id, b."value" AS r_value
+FROM c JOIN b ON c.user_id = b.user_id
+ AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+""")
+def interval_join_clicks_buys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (streaming/joins.py `interval_join`):
+    purchases landing within 10 minutes after a click by the same user.
+    The SAME operator runs on two live streams with watermark-bounded
+    state (test_streaming_depth proves stream ≡ batch); this batch form
+    is the driver-oracled correctness anchor. Plan: one shuffle per
+    side on user_id, range predicate evaluated inside the sort-merge
+    join — no cross product."""
+    from .streaming.joins import interval_join
+    ev = read_events(_spark(spark), sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "event_id", "ts"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+              .select("user_id", "event_id", "ts", "value"))
+    out = interval_join(clicks, buys, "user_id", interval="10 minutes")
+    return out.select("l_user_id", "l_event_id", "r_event_id",
+                      F.col("r_value").alias("r_value"))

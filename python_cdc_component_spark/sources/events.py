@@ -57,6 +57,15 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (raw.withColumnRenamed("ts", "ts_ns")
                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000"))))
 
+def read_events_stream_raw(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming twin of ``read_events``: same raw schema + µs ``ts``
+    timestamp column, for event-time operators (watermarks, interval
+    joins) that need the raw payload rather than the CDC envelope."""
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(events_dir)
+    return (raw.withColumnRenamed("ts", "ts_ns")
+               .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000"))))
+
+
 def _op_expr():
     """event_type → Debezium op code (replay convention; see docstring)."""
     return (F.when(F.col("event_type") == "signup", F.lit("c"))

@@ -65,3 +65,60 @@ def streaming_dedup_latest(stream: DataFrame, key_col: str, order_col: str,
                 stateStructType=schema_ddl,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_running_stats(stream: DataFrame, key_col: str,
+                            value_col: str, order_col: str) -> DataFrame:
+    """Per-key running (count, sum, max-order) via the Spark 4
+    ``transformWithStateInPandas`` API — the successor to
+    applyInPandasWithState with typed, individually-evictable state
+    primitives (ValueState/ListState/MapState + TTL + timers).
+
+    Emits one update row per key per micro-batch the key appears in:
+    ``(key, n_events, sum_value, last_pos)``. State is one fixed-width
+    row per key, hash-partitioned across executors' state stores —
+    the same scale envelope as the keyed dedup above.
+
+    Runtime requirements (checked lazily, not at import): the RocksDB
+    state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package for the worker protocol — absent in minimal
+    sandboxes, in which case ``streaming_dedup_latest``'s
+    applyInPandasWithState path is the supported stateful form.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    state_schema = "n bigint, s double, last_pos bigint"
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s, last = (self._st.get() if self._st.exists()
+                          else (0, 0.0, None))
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += int(len(pdf))
+                s += float(pdf[value_col].sum())
+                mx = int(pdf[order_col].max())
+                last = mx if last is None else max(last, mx)
+            self._st.update((n, s, last))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n],
+                 "sum_value": [s], "last_pos": [last]})
+
+        def close(self) -> None:
+            pass
+
+    out_schema = (f"{key_col} long, n_events bigint, "
+                  f"sum_value double, last_pos bigint")
+    return (stream.select(key_col, value_col, order_col)
+            .groupBy(key_col)
+            .transformWithStateInPandas(
+                statefulProcessor=RunningStats(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None"))
