@@ -43,6 +43,10 @@ HEADLINE = [
     "q21_late_supplier_blame",       # window-rollup EXISTS collapse
     "embedding_ivf_ann",             # bucketed ANN (the 100 TB path)
     "winnowing_fingerprints",        # k-gram sliding-min fingerprints
+    # round-2 continuation additions
+    "segment_dedup_docs",            # C4-style span dedup (2 shuffles)
+    "bloom_dedup_incremental",       # cross-run bloom probe (broadcast)
+    "q9_nation_year_profit",         # 5-table profit rollup
 ]
 
 
