@@ -3594,3 +3594,80 @@ def interval_join_clicks_buys(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = interval_join(clicks, buys, "user_id", interval="10 minutes")
     return out.select("l_user_id", "l_event_id", "r_event_id",
                       F.col("r_value").alias("r_value"))
+
+
+@query("quality_weighted_sample", """
+SELECT doc_id,
+       least(1.0, n_chars / 400.0) AS w,
+       ('0x' || substr(md5('qs|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+         / 268435456.0 AS u,
+       ('0x' || substr(md5('qs|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+         / 268435456.0 < least(1.0, n_chars / 400.0) AS kept
+FROM documents
+""")
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted subsampling — the curriculum/mixture op that
+    downsamples low-value documents by an acceptance probability
+    instead of a hard filter. Deterministic and resumable: the uniform
+    draw is a seeded md5 of the doc id (u = 28-bit hash / 2^28, exact
+    in double), so re-runs keep the identical subset — no RNG state, no
+    shuffle, embarrassingly parallel, and the same rows drop on Spark
+    and the oracle. Weight here = length-based quality proxy
+    (min(1, n_chars/400)); any scored column plugs in."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("qs|"), F.col("doc_id").cast("string"))
+                   .cast("binary")), 1, 7), 16, 10)
+          .cast("double") / F.lit(float(1 << 28)))
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    return d.select("doc_id", w.alias("w"), u.alias("u"),
+                    (u < w).alias("kept"))
+
+
+@query("source_overlap_matrix", """
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT source, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS sh FROM idx),
+sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY a.source, b.source)
+SELECT src_a, src_b, n_common,
+       round(n_common / (1.0 * (sa.n + sb.n - n_common)), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+""")
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics: pairwise shingle-set Jaccard overlap BETWEEN
+    SOURCES — the aggregate view of cross-source duplication
+    (mirror detection, licensing audits) where the doc-level ops give
+    pairs. Same scale shape as ngram_jaccard_pairs: the self-join is
+    keyed on the shingle (blocked, uniform), never doc×doc or
+    source×source over raw text; per-source set sizes broadcast into
+    the final 10-row join."""
+    s = _spark(spark)
+    d = read_table(s, sf_dir, "documents").repartition(
+        s.sparkContext.defaultParallelism)
+    t = d.select("source", F.split("text", " ").alias("t"))
+    sh3 = F.expr("transform(sequence(1, size(t) - 2), "
+                 "i -> array_join(slice(t, i, 3), ' '))")
+    sh = (t.filter(F.size("t") >= 3)
+           .select("source", F.explode(sh3).alias("sh")).distinct())
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.source") < F.col("b.source")))
+              .groupBy(F.col("a.source").alias("src_a"),
+                       F.col("b.source").alias("src_b"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (inter.join(F.broadcast(sa), "src_a")
+                 .join(F.broadcast(sb), "src_b")
+                 .select("src_a", "src_b", "n_common",
+                         F.round(F.col("n_common")
+                                 / (1.0 * (F.col("na") + F.col("nb")
+                                           - F.col("n_common"))), 6)
+                          .alias("jaccard")))

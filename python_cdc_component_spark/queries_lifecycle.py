@@ -348,3 +348,37 @@ def sync_actions_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("test_connection", str(test_connection(spark, sf_dir)).lower()),
     ]
     return spark.createDataFrame(rows, "action string, result string")
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest round-trip: line-delimited JSON is the wire format CDC
+# envelopes actually travel in (Debezium ChangeEvent<String,String>).
+
+@query("jsonl_roundtrip_events", """
+SELECT event_id, user_id, event_type, "value",
+       epoch_ms(ts) AS ts_ms
+FROM events
+WHERE event_type IN ('click', 'purchase')
+""")
+def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 wire-format proof: events serialized to line-delimited JSON
+    (the Debezium envelope transport, ``DbChangeConsumer.java:68-102``)
+    and re-read with an explicit schema — no inference, the production
+    rule for a CDC source whose schema comes from the registry. The
+    oracle sees only the original parquet; a hash match proves the
+    JSONL hop is lossless for ints, doubles and epoch-ms timestamps."""
+    from .sources.events import read_events
+    ev = (read_events(_spark(spark), sf_dir)
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "user_id", "event_type", "value",
+                  F.expr("ts_ns div 1000000").alias("ts_ms")))
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "events_jsonl")
+    ev.write.mode("overwrite").json(out)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+    return spark.read.schema(schema).json(out)
