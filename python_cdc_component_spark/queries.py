@@ -3671,3 +3671,85 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  / (1.0 * (F.col("na") + F.col("nb")
                                            - F.col("n_common"))), 6)
                           .alias("jaccard")))
+
+
+@query("bpe_merges")  # rows-only: iterative (k data-dependent rounds), not SQL-expressible
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (operators.llm.bpe): 5 merge rounds over
+    the corpus; returns the learned merge table (rank, left, right,
+    freq). Iterative with data-dependent winners, so it carries no SQL
+    oracle — the driver records the rows-only check and the pytest
+    suite verifies the merges against a pure-Python reference BPE on
+    the same corpus (tests/test_bpe.py)."""
+    from .operators.llm.bpe import bpe_train
+    s = _spark(spark)
+    d = read_table(s, sf_dir, "documents").repartition(
+        s.sparkContext.defaultParallelism)
+    merges, _ = bpe_train(d, n_merges=5)
+    return s.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, left string, right string, freq long")
+
+
+_CMS_W = 256   # buckets per hash row (d=3 rows, md5-substring hashes)
+
+_CMS_POS = ["('0x' || substr(md5(w), {o}, 7))::BIGINT % {W}".format(o=o, W=_CMS_W)
+            for o in (1, 9, 17)]
+
+
+@query("countmin_heavy_hitters", f"""
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+cells AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT 0 AS j, {_CMS_POS[0]} AS bucket FROM words
+    UNION ALL SELECT 1, {_CMS_POS[1]} FROM words
+    UNION ALL SELECT 2, {_CMS_POS[2]} FROM words)
+  GROUP BY j, bucket),
+exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w
+          ORDER BY c DESC, w LIMIT 10),
+probes AS (
+  SELECT w, c, 0 AS j, {_CMS_POS[0]} AS bucket FROM exact
+  UNION ALL SELECT w, c, 1, {_CMS_POS[1]} FROM exact
+  UNION ALL SELECT w, c, 2, {_CMS_POS[2]} FROM exact)
+SELECT p.w, p.c AS exact_count, MIN(cells.cnt) AS est_count,
+       MIN(cells.cnt) - p.c AS overestimate
+FROM probes p JOIN cells ON p.j = cells.j AND p.bucket = cells.bucket
+GROUP BY p.w, p.c
+""")
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch completing the sketch family (HLL distinct,
+    approx quantiles, CMS frequency): the corpus word stream folds into
+    a fixed d×w = 3×256 cell grid (one explode + one groupBy whose
+    output size is the GRID, independent of corpus size — the mergeable
+    summary you'd ship from every partition at 100 TB), then the exact
+    top-10 words probe it. CMS guarantees est ≥ exact (no false
+    under-counting), with overestimate bounded by collisions — both
+    visible in the output, and the oracle recomputes the identical
+    sketch so the property is hash-verified, not just asserted."""
+    s = _spark(spark)
+    d = read_table(s, sf_dir, "documents").repartition(
+        s.sparkContext.defaultParallelism)
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+
+    def bucket(col, off):
+        return (F.conv(F.substring(F.md5(col.cast("binary")), off, 7), 16, 10)
+                 .cast("long") % F.lit(_CMS_W))
+
+    cell_src = words.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), bucket(F.col("w"), o).alias("bucket"))
+        for j, o in enumerate((1, 9, 17))])).alias("p"))
+    cells = (cell_src.select("p.j", "p.bucket")
+                     .groupBy("j", "bucket")
+                     .agg(F.count(F.lit(1)).alias("cnt")))
+    exact = (words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+                  .orderBy(F.col("c").desc(), "w").limit(10))
+    probes = union_epochs([
+        exact.select("w", "c", F.lit(j).alias("j"),
+                     bucket(F.col("w"), o).alias("bucket"))
+        for j, o in enumerate((1, 9, 17))])
+    return (probes.join(F.broadcast(cells), ["j", "bucket"])
+                  .groupBy("w", F.col("c").alias("exact_count"))
+                  .agg(F.min("cnt").alias("est_count"))
+                  .select("w", "exact_count", "est_count",
+                          (F.col("est_count") - F.col("exact_count"))
+                           .alias("overestimate")))
