@@ -3753,3 +3753,71 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("w", "exact_count", "est_count",
                           (F.col("est_count") - F.col("exact_count"))
                            .alias("overestimate")))
+
+
+@query("profile_orders", """
+SELECT 'o_custkey' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+       CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS DOUBLE),
+       CAST(MAX(o_totalprice) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       NULL, NULL
+FROM orders
+""")
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling — the pre-ingest scan every pipeline runs to size
+    and sanity-check a table (null rates, cardinalities, ranges; the
+    batch analogue of the reference's JDBC metadata probe S5, over
+    values instead of catalogs). One row per profiled column. Spark
+    computes all three profiles in a single pass (one multi-aggregate,
+    unioned projections of the same cached agg) — at 100 TB you pay one
+    scan, not one per column; exact distincts shuffle per column, the
+    approx_count_distinct swap is the documented knob when ±2 % is
+    acceptable."""
+    s = _spark(spark)
+    o = read_table(s, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.count_distinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("min_ck"),
+        F.max("o_custkey").cast("double").alias("max_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.count_distinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").cast("double").alias("min_tp"),
+        F.max("o_totalprice").cast("double").alias("max_tp"),
+        F.count("o_orderstatus").alias("nn_os"),
+        F.count_distinct("o_orderstatus").alias("nd_os")).cache()
+    rows = [
+        agg.select(F.lit("o_custkey").alias("col"), "n_rows",
+                   F.col("nn_ck").alias("n_nonnull"),
+                   F.col("nd_ck").alias("n_distinct"),
+                   F.col("min_ck").alias("min_v"),
+                   F.col("max_ck").alias("max_v")),
+        agg.select(F.lit("o_totalprice").alias("col"), "n_rows",
+                   F.col("nn_tp").alias("n_nonnull"),
+                   F.col("nd_tp").alias("n_distinct"),
+                   F.col("min_tp").alias("min_v"),
+                   F.col("max_tp").alias("max_v")),
+        agg.select(F.lit("o_orderstatus").alias("col"), "n_rows",
+                   F.col("nn_os").alias("n_nonnull"),
+                   F.col("nd_os").alias("n_distinct"),
+                   F.lit(None).cast("double").alias("min_v"),
+                   F.lit(None).cast("double").alias("max_v")),
+    ]
+    return union_epochs(rows)
