@@ -137,3 +137,29 @@ def test_transform_with_state_running_stats(spark, sf_dir, tmp_path):
                     > 1e-6)))
     assert final.count() == want.count()
     assert j.count() == 0
+
+
+def test_drop_duplicates_within_watermark_stream(spark, sf_dir, tmp_path):
+    """Built-in streaming exact-dedup: dropDuplicatesWithinWatermark on
+    the event id — the streaming form of at-least-once → exactly-once
+    id dedup (state evicted past the watermark, unlike dropDuplicates
+    whose state grows forever). Bounded input with a duplicated file:
+    output must equal the distinct id set exactly once each."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # same file landed twice = redelivery
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "p0.parquet"))
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "p1.parquet"))
+    stream = read_events_stream_raw(spark, src)
+    dedup = (stream.withWatermark("ts", "1 hour")
+                   .dropDuplicatesWithinWatermark(["event_id"])
+                   .select("event_id"))
+    sink = str(tmp_path / "sink")
+    q = (dedup.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.read.parquet(sink)
+    n_src = read_events(spark, sf_dir).count()
+    assert got.count() == n_src                       # each id exactly once
+    assert got.select("event_id").distinct().count() == n_src
