@@ -3821,3 +3821,67 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(None).cast("double").alias("max_v")),
     ]
     return union_epochs(rows)
+
+
+@query("embedding_ann_recall", """
+WITH ivf AS ({ivf}),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+      WHERE vec_id IN (5, 6, 7)),
+c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
+      WHERE vec_id NOT IN (5, 6, 7)),
+s AS (SELECT qid, cid,
+             round(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i]))
+                   / (qn * cn), 6) AS sim
+      FROM q, c),
+exact AS (SELECT qid, cid FROM s
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY sim DESC, cid) <= 5)
+SELECT exact.qid,
+       CAST(COUNT(ivf.cid) AS BIGINT) AS n_hits,
+       round(COUNT(ivf.cid) / 5.0, 6) AS recall_at_5
+FROM exact LEFT JOIN ivf ON exact.qid = ivf.qid AND exact.cid = ivf.cid
+GROUP BY exact.qid
+""".format(ivf=ORACLES["embedding_ivf_ann"]))
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation — recall@5 of the IVF index against the exact
+    brute-force ranking, per probe. This is the measurement loop that
+    tunes nlist/nprobe in a real vector pipeline; running it IN the
+    engine (one query over index + ground truth) is what makes index
+    quality a monitored metric rather than a hope. Both rankings are
+    deterministic (rounded sims, cid tie-break), so recall itself is
+    driver-oracled."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    norm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    n = emb.withColumn("nrm", norm)
+    probe_ids = [5, 6, 7]
+    q = (n.filter(F.col("vec_id").isin(probe_ids))
+          .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                  F.col("nrm").alias("qn")))
+    c = (n.filter(~F.col("vec_id").isin(probe_ids))
+          .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                  F.col("nrm").alias("cn")))
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    pairs = (c.crossJoin(F.broadcast(q))
+              .select("qid", "cid",
+                      F.round(dot / (F.col("qn") * F.col("cn")), 6)
+                       .alias("sim")))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    exact = (pairs.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 5).select("qid", "cid"))
+    ivf = QUERIES["embedding_ivf_ann"](spark, sf_dir).select(
+        F.col("qid").alias("iqid"), F.col("cid").alias("icid"))
+    hit = (exact.join(ivf, (F.col("qid") == F.col("iqid"))
+                      & (F.col("cid") == F.col("icid")), "left"))
+    return (hit.groupBy("qid")
+               .agg(F.count("icid").alias("n_hits"))
+               .select("qid", "n_hits",
+                       F.round(F.col("n_hits") / 5.0, 6)
+                        .alias("recall_at_5")))
