@@ -3885,3 +3885,53 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("qid", "n_hits",
                        F.round(F.col("n_hits") / 5.0, 6)
                         .alias("recall_at_5")))
+
+
+_SIMHASH_HAM_K = 3   # Hamming radius; 4 bands of 4 bits → pigeonhole cover
+
+
+@query("simhash_near_pairs", """
+WITH fp AS ({fp}),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (4 * b)) & 15 AS bv
+  FROM fp, (SELECT unnest(range(0, 4)) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= {k}
+""".format(fp=ORACLES["simhash_docs"], k=_SIMHASH_HAM_K))
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CANDIDATE PAIRS (Manku et al. 2007, the web-dedup
+    construction): fingerprints within Hamming ≤ 3 must agree exactly on
+    at least one of 4 bit-bands (pigeonhole), so each doc enters 4
+    band-keyed buckets and only bucket-mates are compared — never
+    all-pairs. The Hamming check is one JVM ``bit_count(xor)`` per
+    candidate. At production width (64-bit fp, 16-bit bands) buckets are
+    fine-grained; at the oracle's 16-bit width the same plan shape
+    verifies against DuckDB bit-for-bit."""
+    from .operators.llm.simhash import simhash16
+    s = _spark(spark)
+    fp = simhash16(read_table(s, sf_dir, "documents")).persist()
+    bands = union_epochs([
+        fp.select("doc_id", "simhash", F.lit(b).alias("b"),
+                  F.shiftright("simhash", 4 * b).bitwiseAND(F.lit(15))
+                   .alias("bv"))
+        for b in range(4)])
+    a = bands.select(F.col("b").alias("jb"), F.col("bv").alias("jbv"),
+                     F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("fa"))
+    b = bands.select(F.col("b").alias("jb"), F.col("bv").alias("jbv"),
+                     F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("fb"))
+    cand = (a.join(b, ["jb", "jbv"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "fa", "fb").distinct())
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+                .filter(F.col("hamming") <= _SIMHASH_HAM_K)
+                .drop("fa", "fb"))
