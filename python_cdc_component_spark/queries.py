@@ -3935,3 +3935,85 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.withColumn("hamming", ham.cast("long"))
                 .filter(F.col("hamming") <= _SIMHASH_HAM_K)
                 .drop("fa", "fb"))
+
+
+_MINHASH_EST_SQL = "(CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END) + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END) + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) + (CASE WHEN a.h8 = b.h8 THEN 1 ELSE 0 END) + (CASE WHEN a.h9 = b.h9 THEN 1 ELSE 0 END) + (CASE WHEN a.h10 = b.h10 THEN 1 ELSE 0 END) + (CASE WHEN a.h11 = b.h11 THEN 1 ELSE 0 END) + (CASE WHEN a.h12 = b.h12 THEN 1 ELSE 0 END) + (CASE WHEN a.h13 = b.h13 THEN 1 ELSE 0 END) + (CASE WHEN a.h14 = b.h14 THEN 1 ELSE 0 END) + (CASE WHEN a.h15 = b.h15 THEN 1 ELSE 0 END)"
+
+
+@query("minhash_jaccard_accuracy", """
+WITH sig AS ({sig}),
+cand AS ({cand}),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(({est_terms}) / 16.0, 6) AS est_jaccard
+  FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+              JOIN sig b ON b.doc_id = c.doc_b),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       round(COALESCE(ni, 0) / (1.0 * (sa.n + sb.n - COALESCE(ni, 0))), 6)
+         AS exact_jaccard,
+       round(abs(e.est_jaccard
+             - COALESCE(ni, 0) / (1.0 * (sa.n + sb.n - COALESCE(ni, 0)))), 6)
+         AS abs_err
+FROM est e
+LEFT JOIN inter ON inter.doc_a = e.doc_a AND inter.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+""".format(sig=_MINHASH_SIG_SQL.format(mins=_MINHASH_MINS),
+           cand=ORACLES["minhash_lsh_pairs"],
+           est_terms=_MINHASH_EST_SQL))
+def minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy — for every LSH candidate pair,
+    signature-estimated Jaccard (matching components / 16) against the
+    EXACT shingle-set Jaccard, with the absolute error in-band. This is
+    the second evaluation operator (with embedding_ann_recall): the
+    sketch's quality is a monitored query output, not an offline claim.
+    Exact sets are only materialized for CANDIDATE pairs (25 at sf0.01)
+    — the evaluation rides the LSH pruning, it never goes all-pairs."""
+    s = _spark(spark)
+    sig = _minhash_sig_df(s, sf_dir).persist()
+    cand = QUERIES["minhash_lsh_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+    a = sig.select(F.col("doc_id").alias("doc_a"),
+                   *[F.col(f"h{j}").alias(f"ha{j}") for j in range(16)])
+    b = sig.select(F.col("doc_id").alias("doc_b"),
+                   *[F.col(f"h{j}").alias(f"hb{j}") for j in range(16)])
+    n_match = sum((F.col(f"ha{j}") == F.col(f"hb{j}")).cast("int")
+                  for j in range(16))
+    est = (cand.join(a, "doc_a").join(b, "doc_b")
+               .select("doc_a", "doc_b",
+                       F.round(n_match / F.lit(16.0), 6).alias("est_jaccard")))
+    d = read_table(s, sf_dir, "documents").repartition(
+        s.sparkContext.defaultParallelism)
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    sh3 = F.expr("transform(sequence(1, size(t) - 2), "
+                 "i -> array_join(slice(t, i, 3), ' '))")
+    sh = (t.filter(F.size("t") >= 3)
+           .select("doc_id", F.explode(sh3).alias("sh")).distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b2"),
+                    F.col("sh").alias("shb"))
+    inter = (cand.join(sha, "doc_a")
+                 .join(shb, (F.col("doc_b") == F.col("doc_b2"))
+                       & (F.col("sh") == F.col("shb")))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("ni")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ex = F.coalesce(F.col("ni"), F.lit(0)) / (
+        1.0 * (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))))
+    return (est.join(inter, ["doc_a", "doc_b"], "left")
+               .join(F.broadcast(sa), "doc_a")
+               .join(F.broadcast(sb), "doc_b")
+               .select("doc_a", "doc_b", "est_jaccard",
+                       F.round(ex, 6).alias("exact_jaccard"),
+                       F.round(F.abs(F.col("est_jaccard") - ex), 6)
+                        .alias("abs_err")))
