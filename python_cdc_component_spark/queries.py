@@ -3582,9 +3582,10 @@ def interval_join_clicks_buys(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases landing within 10 minutes after a click by the same user.
     The SAME operator runs on two live streams with watermark-bounded
     state (test_streaming_depth proves stream ≡ batch); this batch form
-    is the driver-oracled correctness anchor. Plan: one shuffle per
-    side on user_id, range predicate evaluated inside the sort-merge
-    join — no cross product."""
+    is the driver-oracled correctness anchor. Plan: equality on user_id
+    is the join key with the time range as residual — broadcast-hash at
+    test scale (AQE), sort-merge with one shuffle per side at scale;
+    never a cross product."""
     from .streaming.joins import interval_join
     ev = read_events(_spark(spark), sf_dir)
     clicks = (ev.filter(F.col("event_type") == "click")
