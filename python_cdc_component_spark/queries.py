@@ -2626,6 +2626,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # register themselves into QUERIES/ORACLES on import.
 
 from . import queries_lifecycle  # noqa: E402,F401  (registration side-effect)
+from . import queries_formats  # noqa: E402,F401  (registration side-effect)
 
 
 # ---------------------------------------------------------------------------

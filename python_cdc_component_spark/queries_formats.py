@@ -1,0 +1,148 @@
+"""Driver-oracled queries for storage-layout and UDF-surface operators.
+
+Three capability families that round 2 adds on top of the SURVEY §2
+inventory:
+
+- **Bucketed co-located join** (`bucketed_join_revenue`) — the
+  storage-level shuffle remedy (SURVEY §4; the reference re-joins staged
+  chunks on the PK every run, ``db_components/db_common/staging.py:216``).
+  Both fact tables are persisted ``bucketBy(orderkey)`` and the join runs
+  Exchange-free; a pytest plan guard asserts no shuffle on either side.
+- **Grouped-aggregate Pandas UDF** (`grouped_agg_pandas_median`) — the
+  third Pandas-UDF shape (scalar and grouped-map exist elsewhere): a
+  whole-group Series→scalar aggregate over Arrow.  Median is chosen
+  because it is order-independent (sort inside the UDF), so the result
+  hash-matches DuckDB's ``quantile_cont`` exactly.  Scale note: grouped
+  aggregates materialize each group in one worker — the JVM-side
+  ``F.percentile`` is the unbounded-cardinality path; this entry is the
+  custom-aggregate extension seam.
+- **ORC round-trip** (`orc_roundtrip_events`) — column-format breadth:
+  the engine's envelope survives a parquet→ORC→ORC-scan hop bit-exact
+  (ORC is the other splittable columnar format a 100 TB lake actually
+  contains; the scan still prunes columns and pushes predicates).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .operators.bucketing import write_bucketed, colocated_join
+from .queries import query, _spark, _dec_sum
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (SURVEY §4 shuffle strategy)
+
+
+@query("bucketed_join_revenue", """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""")
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join lineitem⋈orders via same-bucketed external tables: the join
+    key shuffle is paid once at write time (8 buckets, one file each),
+    then the SortMergeJoin reads co-located buckets with no Exchange.
+
+    At 100 TB this is the difference between shuffling the fact table on
+    every run and shuffling it once per ingest; the plan guard lives in
+    ``tests/test_formats_bucketing.py``.
+    """
+    spark = _spark(spark)
+    uid = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="bucketed_join_")
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select(F.col("l_orderkey").alias("orderkey"),
+                  "l_extendedprice", "l_discount"))
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .select(F.col("o_orderkey").alias("orderkey"),
+                      "o_orderpriority"))
+    lt, ot = f"li_bkt_{uid}", f"ord_bkt_{uid}"
+    write_bucketed(li, lt, os.path.join(root, "li"), ["orderkey"])
+    write_bucketed(orders, ot, os.path.join(root, "ord"), ["orderkey"])
+    joined = colocated_join(spark, lt, ot, ["orderkey"])
+    return (joined.groupBy("o_orderpriority")
+            .agg(_dec_sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")), "revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate Pandas UDF (§2.10 UDF surface, third shape)
+
+
+def _median_udaf():
+    """Whole-group median as a grouped-agg Pandas UDF (Series → scalar
+    over Arrow) — order-independent (sorts inside), linear interpolation
+    identical to DuckDB ``quantile_cont(x, 0.5)``.  Built lazily so
+    importing this module never requires an active SparkSession."""
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        import numpy as np
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return int(len(v))
+    return median_udaf, count_udaf
+
+
+@query("grouped_agg_pandas_median", """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""")
+def grouped_agg_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a grouped-agg Pandas UDF (Series → scalar over
+    Arrow).  The group is materialized in one worker — fine for bounded
+    group counts (3 statuses here); unbounded-cardinality medians go
+    through JVM-side ``F.percentile``/``approx_percentile`` instead
+    (``percentiles_by_status``, ``approx_quantile_contract``)."""
+    spark = _spark(spark)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    median, nrows = _median_udaf()
+    # Spark disallows mixing pandas and JVM aggregates in one agg, so the
+    # row count is a (trivial) pandas aggregate too.
+    return (orders.groupBy("o_orderstatus")
+            .agg(median(F.col("o_totalprice")).alias("median_price"),
+                 nrows(F.col("o_totalprice")).alias("n_orders")))
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip (column-format breadth)
+
+
+@query("orc_roundtrip_events", """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       epoch_ms(MAX(ts)) AS max_ts_ms
+FROM events
+GROUP BY event_type
+""")
+def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events survive a parquet→ORC→scan hop bit-exact: the aggregate over
+    the ORC copy equals the oracle over the original parquet.  ORC is
+    splittable and columnar, so the re-scan still prunes to the three
+    referenced columns and runs predicate pushdown like parquet."""
+    spark = _spark(spark)
+    out = tempfile.mkdtemp(prefix="orc_events_")
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select("event_id", "ts", "event_type", "value"))
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum(F.col("value"), "sum_value"),
+                 F.unix_millis(F.max("ts")).alias("max_ts_ms")))
