@@ -35,6 +35,7 @@ from pyspark.sql.functions import pandas_udf
 
 from .operators.bucketing import write_bucketed, colocated_join
 from .queries import query, _spark, _dec_sum
+from .sources.events import read_events
 
 # ---------------------------------------------------------------------------
 # Bucketed co-located join (SURVEY §4 shuffle strategy)
@@ -138,8 +139,11 @@ def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced columns and runs predicate pushdown like parquet."""
     spark = _spark(spark)
     out = tempfile.mkdtemp(prefix="orc_events_")
-    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-          .select("event_id", "ts", "event_type", "value"))
+    # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    # parquet reader rejects — read_events scans it as epoch-nanos LongType
+    # and derives the µs timestamp (sources/events.py EVENTS_RAW_SCHEMA).
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value")
     ev.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return (back.groupBy("event_type")

@@ -78,9 +78,14 @@ def test_grouped_agg_median_matches_jvm_percentile(spark, sf_dir):
 
 
 def test_orc_roundtrip_lossless(spark, sf_dir):
-    """parquet -> ORC -> scan preserves every row and column bit-exact."""
-    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-          .select("event_id", "ts", "event_type", "value"))
+    """parquet -> ORC -> scan preserves every row and column bit-exact.
+
+    Reads through read_events: the raw file's TIMESTAMP(NANOS) column is
+    illegal for Spark's vectorized parquet reader, so the source scans it
+    as epoch-nanos and derives the µs timestamp."""
+    from python_cdc_component_spark.sources.events import read_events
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value")
     out = tempfile.mkdtemp(prefix="orc_rt_")
     ev.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
