@@ -33,6 +33,34 @@ from .sinks.state import RunState
 
 
 # ---------------------------------------------------------------------------
+# Snapshot-mode enum (reference ``configuration.py:129-136`` SnapshotMode:
+# snapshot_only / when_needed / initial / never / schema_only_recovery /
+# schema_only; Postgres subset ``ex_postgres_cdc/src/configuration.py:93``).
+
+SNAPSHOT_MODES = ("initial", "initial_only", "snapshot_only", "never",
+                  "schema_only", "schema_only_recovery", "when_needed")
+
+
+def resolve_snapshot_mode(configured: str, state: RunState) -> str:
+    """Effective per-run snapshot mode (reference ``get_snapshot_mode``,
+    ``ex_mysql_cdc/src/component.py:575-592``):
+
+    - initial run + ``never`` → ``schema_only`` recovery: record the
+      table schema only; the actual sync starts next execution;
+    - any other initial run → ``initial_only`` (take the snapshot now);
+    - subsequent runs → the configured mode verbatim.
+    """
+    if configured not in SNAPSHOT_MODES:
+        raise ValueError(f"unknown snapshot_mode {configured!r}; "
+                         f"expected one of {SNAPSHOT_MODES}")
+    if state.is_initial_run and configured == "never":
+        return "schema_only"
+    if state.is_initial_run:
+        return "initial_only"
+    return configured
+
+
+# ---------------------------------------------------------------------------
 # S4: snapshot signals
 
 @dataclass

@@ -40,6 +40,9 @@ class SyncConfig:
     column_exclude: list[str] | None = None
     output_format: str = "parquet"       # parquet | csv
     incremental: bool = True
+    # SnapshotMode parity (reference configuration.py:129-136; dispatch
+    # component.py:575-592 → control.resolve_snapshot_mode)
+    snapshot_mode: str = "initial"
 
 
 _OUTPUT_RENAMES = {
@@ -83,10 +86,37 @@ def sync(spark: SparkSession, sf_dir: str, out_dir: str,
     state = state or RunState()
     os.makedirs(out_dir, exist_ok=True)
 
-    events = read_cdc_events(spark, sf_dir)
-    result = plan_table(events, cfg)
-
     table_name = "events"
+    events = read_cdc_events(spark, sf_dir)
+
+    # Snapshot-mode dispatch (reference component.py:575-592 +
+    # AbstractDebeziumTask snapshot phases). The file-backed source's
+    # "snapshot" is the history already in the log; "streaming" is
+    # everything past the stored offsets.
+    from .control import resolve_snapshot_mode
+    effective = resolve_snapshot_mode(cfg.snapshot_mode, state)
+    prev = state.offsets.get(table_name)
+    if effective in ("schema_only", "schema_only_recovery"):
+        # metadata-only run: register the schema, emit no data rows, and
+        # advance offsets to the source's current end so the next run
+        # streams from "now" (no history replay) — the reference's
+        # schema-only recovery contract.
+        data = events.filter(F.lit(False))
+    elif effective in ("initial_only", "snapshot_only"):
+        data = events                    # full snapshot + history replay
+    elif effective == "when_needed":
+        # stream from stored offsets if they are still valid (the log
+        # still reaches back to them); a truncated log → re-snapshot
+        mn = events.agg(F.min(SC.pos)).collect()[0][0]
+        if prev is not None and (mn is None or mn <= prev["pos"] + 1):
+            data = events.filter(F.col(SC.pos) > prev["pos"])
+        else:
+            data = events
+    else:                                # initial | never, post-initial
+        data = (events.filter(F.col(SC.pos) > prev["pos"])
+                if prev is not None else events)
+
+    result = plan_table(data, cfg)
     path = os.path.join(out_dir, table_name)
 
     # T4/T5 schema drift across runs: merge with the previous run's
@@ -112,10 +142,17 @@ def sync(spark: SparkSession, sf_dir: str, out_dir: str,
     write_manifest(merged, path + ".manifest", incremental=cfg.incremental)
 
     # Advance offsets to the max consumed coordinates (bounded-run end,
-    # the reference's "captured target position", P6).
-    bounds = result.agg(
-        F.max(SC.EVENT_TIMESTAMP_MS).alias("ts"),
-        F.max(SC.POS).alias("pos")).collect()[0]
+    # the reference's "captured target position", P6). A schema-only run
+    # consumes nothing but still captures the source's end position —
+    # that is what makes "the sync starts next execution" work.
+    if effective in ("schema_only", "schema_only_recovery"):
+        bounds = events.agg(
+            F.max(SC.event_timestamp).alias("ts"),
+            F.max(SC.pos).alias("pos")).collect()[0]
+    else:
+        bounds = result.agg(
+            F.max(SC.EVENT_TIMESTAMP_MS).alias("ts"),
+            F.max(SC.POS).alias("pos")).collect()[0]
     if bounds["ts"] is not None and bounds["pos"] is not None:
         # An empty source yields NULL bounds — keep the prior offsets so
         # is_initial_run semantics survive an empty run (the reference

@@ -28,27 +28,63 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _dist(a, b):
+    return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+
+def normalize_vectors(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "e") -> DataFrame:
+    """(_id, _e, _nrm, _u): raw vector, L2 norm, unit-sphere projection."""
+    norm = F.sqrt(F.aggregate(F.transform("_e", lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    return (emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+            .withColumn("_nrm", norm)
+            .withColumn("_u", F.transform("_e", lambda x: x / F.col("_nrm"))))
+
+
+def select_centroids(n: DataFrame, n_centroids: int,
+                     seed: int = 41) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means||-spirit quantizer: seeded-hash oversample
+    of ``4*n_centroids`` unit vectors (TakeOrdered on ``xxhash64(id,
+    seed)`` — one distributed top-K, id-order independent), then greedy
+    farthest-point (k-center) refinement over the driver-side pool
+    (O((4K)² · K) on K-row scalars).  Spreads centroids across the
+    data's regions whatever the id assignment."""
+    pool_rows = (n.select(F.col("_id").alias("_cid"),
+                          F.col("_u").alias("_cu"))
+                  .orderBy(F.xxhash64(F.col("_cid"), F.lit(seed)), "_cid")
+                  .limit(4 * n_centroids).collect())
+    pool = [(r["_cid"], list(r["_cu"])) for r in pool_rows]
+    centroids = pool[:1]
+    while len(centroids) < n_centroids and len(centroids) < len(pool):
+        chosen = {c[0] for c in centroids}
+        nxt = max((p for p in pool if p[0] not in chosen),
+                  key=lambda p: min(_dist(p[1], c[1]) for c in centroids))
+        centroids.append(nxt)
+    return centroids
+
+
 def cosine_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "e", threshold: float = 0.4,
-                     n_centroids: int = 8, round_dp: int = 6) -> DataFrame:
+                     n_centroids: int = 8, round_dp: int = 6,
+                     seed: int = 41) -> DataFrame:
     """All pairs with round(cosine, round_dp) >= threshold, emitted as
     (vec_a < vec_b, sim). ``vec_col`` must be ``array<double>``.
 
-    Centroids are the ``n_centroids`` lowest-id vectors (a deterministic
-    coarse quantizer, same convention as ``embedding_ivf_ann``)."""
+    Centroid selection is a two-step deterministic quantizer in the
+    k-means|| spirit: (1) a seeded-hash OVERSAMPLE of ``4*n_centroids``
+    vectors (TakeOrdered on ``xxhash64(id, seed)`` — id-order
+    independent, one distributed top-K), then (2) greedy farthest-point
+    (k-center) refinement over that driver-side pool, which spreads the
+    final centroids across the data's regions.  An adversarial id
+    ordering (ids sorted by cluster) therefore cannot concentrate the
+    centroids in one region and blow up the bucket radii the pruning
+    bound depends on.  Exactness never depends on the centroid choice
+    (the triangle-inequality bound covers any quantizer); only pruning
+    quality does."""
     spark = emb.sparkSession
-    norm = F.sqrt(F.aggregate(F.transform("_e", lambda x: x * x),
-                              F.lit(0.0), lambda a, x: a + x))
-    # normalized vector: bucketing geometry lives on the unit sphere
-    n = (emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
-         .withColumn("_nrm", norm)
-         .withColumn("_u", F.transform("_e", lambda x: x / F.col("_nrm"))))
-
-    # TakeOrdered (distributed top-K), not a global-sort window
-    cent_rows = (n.select(F.col("_id").alias("_cid"),
-                          F.col("_u").alias("_cu"))
-                  .orderBy("_cid").limit(n_centroids).collect())
-    centroids = [(r["_cid"], list(r["_cu"])) for r in cent_rows]
+    n = normalize_vectors(emb, id_col, vec_col)
+    centroids = select_centroids(n, n_centroids, seed)
     cent_df = spark.createDataFrame(
         [(cid, cu) for cid, cu in centroids], "_cid long, _cu array<double>")
 
@@ -74,10 +110,12 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
     t_eff = threshold - 0.5 * 10.0 ** (-round_dp)
     d_max = math.sqrt(max(0.0, 2.0 - 2.0 * t_eff)) + 1e-9
 
-    def _dist(a, b):
-        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
-
-    cand = [(c1, c2) for i, (c1, u1) in enumerate(centroids)
+    # canonical orientation (low cid, high cid): the downstream filter
+    # keeps only _ba <= _bb rows, so a pair emitted as (5, 2) would be
+    # silently dropped — latent while centroids were id-sorted, fatal
+    # once the seeded-hash sample made list order ≠ numeric order
+    cand = [(min(c1, c2), max(c1, c2))
+            for i, (c1, u1) in enumerate(centroids)
             for (c2, u2) in centroids[i:]
             if _dist(u1, u2) <= radii.get(c1, 0.0) + radii.get(c2, 0.0) + d_max]
     cand_df = F.broadcast(spark.createDataFrame(

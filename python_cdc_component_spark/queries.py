@@ -48,6 +48,39 @@ def _spark(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a scan up to core count, but ONLY when it arrives
+    under-split (a small single-file parquet input serializes
+    compute-bound text kernels onto one core).  At real scale the scan
+    already has plenty of splits and the unconditional form pays a full
+    extra shuffle of the raw text — the measured r2 tfidf +45 %
+    regression.  The decision is a driver-side file-metadata peek
+    (``inputFiles`` + local sizes, ~0.1 s, no RDD conversion, no job);
+    on a non-local filesystem it trusts the scan's own splitting.
+    Project to the needed columns BEFORE calling so the spread shuffle
+    carries only them."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    p = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files or len(files) >= p:
+        return df
+    splits = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return df           # remote fs: scan splitting is fine
+        try:
+            size = os.path.getsize(unquote(u.path))
+        except OSError:
+            return df
+        splits += max(1, -(-size // (128 << 20)))   # maxPartitionBytes
+        if splits >= p:
+            return df
+    return df.repartition(p)
+
+
 # The replay op-derivation convention (sources/events.py) in oracle SQL.
 _OP_SQL = ("CASE WHEN event_type = 'signup' THEN 'c' "
            "WHEN event_type = 'error' THEN 'd' ELSE 'u' END")
@@ -521,12 +554,13 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared minhash signature builder: word-3-gram shingles → 28-bit
     shingle hash (md5 prefix) → per-doc min of 16 affine universal
     hashes. One data shuffle on doc_id with map-side partial mins, plus
-    a deliberate repartition of the RAW text first: shingling+md5 is
+    a conditional spread of the RAW text first: shingling+md5 is
     compute-bound, and a small parquet input arrives as one partition —
     without the spread the whole hash pipeline serializes onto one core
-    (input-split remedy, scripts/bench_scale_curve.py)."""
-    d = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
+    (input-split remedy, scripts/bench_scale_curve.py); when the scan
+    already has >= cores partitions no shuffle is paid."""
+    d = _spread(read_table(spark, sf_dir, "documents")
+                .select("doc_id", "text"), spark)
     # split once into a named column: referencing split(text) inside the
     # transform lambda would re-evaluate it per element (O(tokens²)/doc)
     t = d.select("doc_id", F.split("text", " ").alias("t"))
@@ -870,19 +904,31 @@ def bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("binary_encode_modes", """
 SELECT doc_id,
        lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
-       to_base64(encode(substr(text, 1, 24))) AS head_b64
+       to_base64(encode(substr(text, 1, 24))) AS head_b64,
+       replace(replace(to_base64(encode(substr(text, 1, 24))),
+                       '+', '-'), '/', '_') AS head_b64_url,
+       substr(text, 1, 24) AS head_bytes,
+       octet_length(encode(substr(text, 1, 24))) AS head_nbytes
 FROM documents
 """)
 def binary_encode_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9 binary handling modes (reference binary.handling.mode,
-    mysql_extractor.py:159 + configuration.py:138-142): hex and base64
-    encodings of binary payloads."""
+    """F9 binary handling modes, all four of the reference's
+    ``binary.handling.mode`` values (mysql_extractor.py:159 +
+    configuration.py:138-142 BinaryHandler): ``hex``, ``base64``,
+    ``base64-url-safe`` (RFC 4648 alphabet: ``+/`` → ``-_``, padding
+    kept — Debezium's url-safe flavor), and raw ``bytes`` passthrough
+    (emitted here decoded back to its UTF-8 string plus its byte length
+    so the oracle can hash it; the engine-side column stays binary)."""
     d = read_table(_spark(spark), sf_dir, "documents")
+    head = F.substring("text", 1, 24).cast("binary")
     return d.select(
         "doc_id",
         F.lower(F.hex(F.substring("text", 1, 8).cast("binary")))
          .alias("head_hex"),
-        F.base64(F.substring("text", 1, 24).cast("binary")).alias("head_b64"))
+        F.base64(head).alias("head_b64"),
+        F.translate(F.base64(head), "+/", "-_").alias("head_b64_url"),
+        head.cast("string").alias("head_bytes"),
+        F.octet_length(head).cast("long").alias("head_nbytes"))
 
 
 @query("multimodal_frames", """
@@ -1430,11 +1476,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 tf-idf terms: tf and df aggregates, df + the
     corpus-size scalar broadcast into the scoring join, per-doc top-k
     window. The df table is vocabulary-sized → always broadcastable.
-    The raw text is repartitioned before the explode so tokenization
-    parallelizes even when the input parquet is a single small file."""
+    The raw text is spread to core count before the explode ONLY when
+    the scan arrives under-partitioned (single small file) — at scale
+    the scan has enough splits and no extra shuffle is paid."""
     s = _spark(spark)
     d = read_table(s, sf_dir, "documents")
-    tok = (d.repartition(s.sparkContext.defaultParallelism)
+    tok = (_spread(d.select("doc_id", "text"), s)
             .select("doc_id", F.explode(F.split("text", " ")).alias("w")))
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
@@ -3060,8 +3107,8 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = F.expr(
         "transform(sequence(0, size(hs) - 4), "
         "i -> array_min(slice(hs, i + 1, 4)))")
-    return (d.filter(F.length("text") >= 11)
-             .repartition(spark.sparkContext.defaultParallelism)
+    return (_spread(d.filter(F.length("text") >= 11)
+                     .select("doc_id", "text"), _spark(spark))
              .select("doc_id", hs.alias("hs"))
              .select("doc_id", wins.alias("w"))
              .select("doc_id",
@@ -3650,8 +3697,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source×source over raw text; per-source set sizes broadcast into
     the final 10-row join."""
     s = _spark(spark)
-    d = read_table(s, sf_dir, "documents").repartition(
-        s.sparkContext.defaultParallelism)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("source", "text"), s)
     t = d.select("source", F.split("text", " ").alias("t"))
     sh3 = F.expr("transform(sequence(1, size(t) - 2), "
                  "i -> array_join(slice(t, i, 3), ' '))")
@@ -3685,8 +3732,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same corpus (tests/test_bpe.py)."""
     from .operators.llm.bpe import bpe_train
     s = _spark(spark)
-    d = read_table(s, sf_dir, "documents").repartition(
-        s.sparkContext.defaultParallelism)
+    d = _spread(read_table(s, sf_dir, "documents"), s)
     merges, _ = bpe_train(d, n_merges=5)
     return s.createDataFrame(
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
@@ -3729,8 +3775,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible in the output, and the oracle recomputes the identical
     sketch so the property is hash-verified, not just asserted."""
     s = _spark(spark)
-    d = read_table(s, sf_dir, "documents").repartition(
-        s.sparkContext.defaultParallelism)
+    d = _spread(read_table(s, sf_dir, "documents").select("text"), s)
     words = d.select(F.explode(F.split("text", " ")).alias("w"))
 
     def bucket(col, off):
@@ -3992,8 +4037,8 @@ def minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (cand.join(a, "doc_a").join(b, "doc_b")
                .select("doc_a", "doc_b",
                        F.round(n_match / F.lit(16.0), 6).alias("est_jaccard")))
-    d = read_table(s, sf_dir, "documents").repartition(
-        s.sparkContext.defaultParallelism)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
     t = d.select("doc_id", F.split("text", " ").alias("t"))
     sh3 = F.expr("transform(sequence(1, size(t) - 2), "
                  "i -> array_join(slice(t, i, 3), ' '))")

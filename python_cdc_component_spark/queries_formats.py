@@ -139,9 +139,9 @@ def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced columns and runs predicate pushdown like parquet."""
     spark = _spark(spark)
     out = tempfile.mkdtemp(prefix="orc_events_")
-    # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    # parquet reader rejects — read_events scans it as epoch-nanos LongType
-    # and derives the µs timestamp (sources/events.py EVENTS_RAW_SCHEMA).
+    # read_events probes the footer's timestamp unit (fixtures have
+    # drifted NANOS→MICROS across driver versions) and exposes a stable
+    # µs `ts` — the one events read path (sources/events.py).
     ev = read_events(spark, sf_dir).select(
         "event_id", "ts", "event_type", "value")
     ev.write.mode("overwrite").orc(out)

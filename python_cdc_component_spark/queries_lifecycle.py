@@ -382,3 +382,57 @@ def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("ts_ms", T.LongType()),
     ])
     return spark.read.schema(schema).json(out)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-mode dispatch (reference configuration.py:129-136 SnapshotMode +
+# component.py:575-592 get_snapshot_mode)
+
+@query("snapshot_mode_never_chain", """
+WITH bounds AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS mid
+                FROM events),
+cut AS (SELECT MAX(event_id) AS m1 FROM events
+        WHERE event_id <= (SELECT mid FROM bounds))
+SELECT user_id, "value", event_id AS kbc__pos
+FROM events WHERE event_id > (SELECT m1 FROM cut)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+""")
+def snapshot_mode_never_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run ``snapshot_mode='never'`` lifecycle through the real engine
+    (control.resolve_snapshot_mode + engine.sync):
+
+    run 1 (initial, log = first half): degrades to schema-only recovery —
+    zero data rows, schema registered, offsets captured at the log's end;
+    run 2 (log grew to full): streams strictly past the stored offsets.
+
+    The returned frame is run 2's compacted output; the oracle is W1
+    dedup over only the post-cut events — proving run 1 leaked no
+    snapshot rows and run 2 replayed no history."""
+    from .engine import SyncConfig, sync
+    from .model.envelope import SYSTEM_COLUMNS as SC
+    from .sinks.state import RunState
+    from .sources.events import read_events
+
+    s = _spark(spark)
+    raw = read_events(s, sf_dir).select(
+        "event_id", F.col("ts_ns").alias("ts"), "user_id", "event_type",
+        "value", "props")
+    mid = raw.agg((F.min("event_id") + F.max("event_id")).cast("long"))\
+        .collect()[0][0] // 2
+    work = tempfile.mkdtemp(prefix="snapmode_")
+    src, out = os.path.join(work, "src"), os.path.join(work, "out")
+    os.makedirs(src)
+
+    def stage(df):
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "events.parquet"))
+
+    cfg = SyncConfig(snapshot_mode="never")
+    state = RunState()
+    stage(raw.filter(F.col("event_id") <= mid))
+    run1 = sync(s, src, out, cfg, state)["events"]
+    assert run1.isEmpty(), "schema-only recovery must emit no rows"
+    stage(raw)
+    run2 = sync(s, src, out, cfg, state)["events"]
+    return run2.select("user_id", "value", F.col(SC.POS).alias("kbc__pos"))

@@ -34,36 +34,73 @@ from ..model.envelope import SYSTEM_COLUMNS as SC
 
 PAYLOAD_COLS = ["user_id", "event_type", "value", "props"]
 
-# The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark's
-# vectorized reader rejects; reading it as INT64 (epoch-nanos) with an
-# explicit schema keeps the scan vectorized and needs no session conf.
-# All derived times truncate ns → µs/ms, matching DuckDB's read (it
-# truncates TIMESTAMP_NS to µs TIMESTAMP on scan).
+# The `ts` column is always scanned as raw INT64 with an explicit schema
+# (keeps the scan vectorized whatever the footer's logical type — early
+# driver fixtures were TIMESTAMP(NANOS), which the vectorized reader
+# rejects as a timestamp; current fixtures are TIMESTAMP(MICROS)).  The
+# raw value's unit is read from the parquet footer and scaled to nanos,
+# so the `ts_ns` / `ts` contract below is stable across fixture drift.
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),          # epoch-nanos
+    T.StructField("ts", T.LongType()),          # raw epoch int; unit per footer
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
     T.StructField("props", T.StringType()),
 ])
 
+_UNIT_TO_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+
+
+def ts_to_ns_factor(events_path: str) -> int:
+    """Multiplier from the file's raw INT64 ``ts`` to epoch-nanos, read
+    from the parquet footer.  Plain INT64 (no logical type — e.g. test
+    fixtures written from a ``ts_ns`` long column) is taken as nanos.
+    Footer reads are a driver-side metadata peek (one file), never a
+    data scan — safe at any scale."""
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+        p = events_path
+        if os.path.isdir(p):
+            cands = sorted(
+                glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+            if not cands:
+                return 1
+            p = cands[0]
+        typ = pq.read_schema(p).field("ts").type
+        return _UNIT_TO_NS[getattr(typ, "unit", "ns")]
+    except Exception:
+        return 1
+
+
+def _normalize_ts(raw: DataFrame, factor: int) -> DataFrame:
+    """Raw INT64 ``ts`` → (``ts_ns`` epoch-nanos long, ``ts`` µs timestamp),
+    preserving the legacy column order (ts_ns in ts's slot, ts appended)."""
+    ts_ns = (F.col("ts") * F.lit(factor)).cast("long") if factor != 1 \
+        else F.col("ts").cast("long")
+    return (raw.select(
+        "event_id", ts_ns.alias("ts_ns"),
+        "user_id", "event_type", "value", "props")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000"))))
+
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan the events table: raw ns epoch exposed as ``ts_ns`` plus a
-    µs-precision ``ts`` timestamp column (DuckDB-equivalent view)."""
-    raw = (spark.read.schema(EVENTS_RAW_SCHEMA)
-           .parquet(f"{sf_dir}/events.parquet"))
-    return (raw.withColumnRenamed("ts", "ts_ns")
-               .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000"))))
+    """Scan the events table: raw epoch exposed as ``ts_ns`` (nanos,
+    whatever the file's unit) plus a µs-precision ``ts`` timestamp
+    column (DuckDB-equivalent view)."""
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return _normalize_ts(raw, ts_to_ns_factor(path))
 
 def read_events_stream_raw(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming twin of ``read_events``: same raw schema + µs ``ts``
     timestamp column, for event-time operators (watermarks, interval
     joins) that need the raw payload rather than the CDC envelope."""
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(events_dir)
-    return (raw.withColumnRenamed("ts", "ts_ns")
-               .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000"))))
+    return _normalize_ts(raw, ts_to_ns_factor(events_dir))
 
 
 def _op_expr():

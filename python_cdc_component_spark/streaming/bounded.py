@@ -36,7 +36,9 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 from ..model.envelope import OP_SNAPSHOT_READ, SYSTEM_COLUMNS as SC
 from ..sinks.merge import MergeCompactor
-from ..sources.events import EVENTS_RAW_SCHEMA, PAYLOAD_COLS, _op_expr
+from ..sources.events import (
+    EVENTS_RAW_SCHEMA, PAYLOAD_COLS, _op_expr, ts_to_ns_factor,
+)
 
 
 @dataclass
@@ -69,11 +71,13 @@ def read_event_stream(spark: SparkSession, events_dir: str,
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(events_dir)
     op = _op_expr()
+    # raw ts unit varies by fixture (footer-probed); normalize to epoch-ms
+    ns_factor = ts_to_ns_factor(events_dir)
     return raw.select(
         F.lit("events").alias("_table"),
         *PAYLOAD_COLS,
         op.alias(SC.operation),
-        F.expr("ts div 1000000").alias(SC.event_timestamp),
+        F.expr(f"(ts * {ns_factor}) div 1000000").alias(SC.event_timestamp),
         F.lit("binlog.000001").alias(SC.file),
         F.col("event_id").alias(SC.pos),
         (op == "d").alias(SC.deleted),

@@ -80,12 +80,19 @@ def test_grouped_agg_median_matches_jvm_percentile(spark, sf_dir):
 def test_orc_roundtrip_lossless(spark, sf_dir):
     """parquet -> ORC -> scan preserves every row and column bit-exact.
 
-    Reads through read_events: the raw file's TIMESTAMP(NANOS) column is
-    illegal for Spark's vectorized parquet reader, so the source scans it
-    as epoch-nanos and derives the µs timestamp."""
+    Anchored independently against DuckDB over the raw parquet (max ts
+    epoch-ms must agree) so fixture/type drift in the events table fails
+    here instead of being round-tripped faithfully."""
+    import duckdb
+
     from python_cdc_component_spark.sources.events import read_events
     ev = read_events(spark, sf_dir).select(
         "event_id", "ts", "event_type", "value")
+    want_ms = duckdb.sql(
+        f"SELECT epoch_ms(MAX(ts)) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')").fetchone()[0]
+    got_ms = ev.agg(F.unix_millis(F.max("ts"))).first()[0]
+    assert got_ms == want_ms, "read_events ts disagrees with DuckDB"
     out = tempfile.mkdtemp(prefix="orc_rt_")
     ev.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)

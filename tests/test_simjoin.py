@@ -62,3 +62,55 @@ def test_bucketed_simjoin_plan_has_no_allpairs_join(spark):
     # the assignment subtree is cached, so the centroid cross join runs
     # once, not once per join side
     assert "InMemoryTableScan" in plan
+
+
+def test_seeded_centroids_prune_on_adversarial_id_order(spark):
+    """Worst-case id assignment: ids sorted by cluster, so the N lowest
+    ids all live in ONE cluster. Lowest-id centroids would then share one
+    region, radii of the catch-all buckets would balloon, and the
+    bucket-pair bound would admit nearly everything. The seeded-hash
+    sample is id-order independent: at a near-dup threshold it must
+    prune most of the K*(K+1)/2 bucket pairs, and stay exact."""
+    n_clusters, per = 6, 40
+    vecs = _mk_vecs(seed=11, n=n_clusters * per, dim=16,
+                    n_clusters=n_clusters)
+    # adversarial relabel: sort by cluster (i % n_clusters), dense new ids
+    by_cluster = sorted(range(len(vecs)), key=lambda i: i % n_clusters)
+    relabeled = [(new_id, vecs[old][1])
+                 for new_id, old in enumerate(by_cluster)]
+    emb = spark.createDataFrame(relabeled, "vec_id long, e array<double>")
+
+    threshold, k = 0.9, 6
+    got = {(r.vec_a, r.vec_b)
+           for r in cosine_dup_pairs(emb, threshold=threshold,
+                                     n_centroids=k).collect()}
+    assert got == _brute(relabeled, threshold)      # exactness holds
+
+    # measure pruning with the operator's own quantizer + radius logic
+    import math as _m
+    from pyspark.sql import Window
+
+    from python_cdc_component_spark.operators.llm.simjoin import (
+        _dist, normalize_vectors, select_centroids)
+    n = normalize_vectors(emb, "vec_id", "e")
+    cents = select_centroids(n, k)
+    cent_df = spark.createDataFrame(cents, "_cid long, _cu array<double>")
+    sqd = F.aggregate(F.zip_with("_u", "_cu", lambda x, y: (x - y) * (x - y)),
+                      F.lit(0.0), lambda a, x: a + x)
+    w = Window.partitionBy("_id").orderBy("_d2", "_cid")
+    assigned = (n.crossJoin(F.broadcast(cent_df)).withColumn("_d2", sqd)
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1)
+                 .select("_cid", F.sqrt("_d2").alias("_r")))
+    radii = {r["_cid"]: r["R"] for r in
+             assigned.groupBy("_cid").agg(F.max("_r").alias("R")).collect()}
+    d_max = _m.sqrt(2.0 - 2.0 * (threshold - 5e-7)) + 1e-9
+
+    total = k * (k + 1) // 2
+    kept = sum(1 for i, (c1, u1) in enumerate(cents)
+               for (c2, u2) in cents[i:]
+               if _dist(u1, u2) <= radii.get(c1, 0.0)
+               + radii.get(c2, 0.0) + d_max)
+    # seeded sampling must keep the bucket-pair list sparse even when the
+    # id order is hostile: at least a third of the pairs pruned
+    assert kept <= (2 * total) // 3, (kept, total)
