@@ -53,26 +53,34 @@ class TableSchema:
 def merge_schemas(previous: T.StructType | None, current: T.StructType) -> T.StructType:
     """Merge last-run schema with the current one.
 
-    Semantics per reference ``component.py:465-488``:
-    - every current column is kept with its current type;
-    - columns present only in the previous schema are appended as
+    Semantics per reference ``component.py:465-488`` plus the storage
+    destination's column-order contract, which the functional goldens pin
+    (``schema-drift-chained/02.../expected``: dropped ``usercity`` keeps
+    its ORIGINAL position, added ``newcolumn`` is appended at the END of
+    the manifest/CSV):
+    - previous-schema order is preserved; a column present in both keeps
+      the current type but becomes nullable if it was nullable in either
+      run;
+    - columns present only in the previous schema stay in place as
       **nullable** (drop-column drift, incl. dropped NOT NULL columns —
       test ``schema-drift-drop-non-null/``);
-    - a column present in both keeps the current type but becomes
-      nullable if it was nullable in either run.
+    - brand-new columns are appended at the end in current order.
     """
     if previous is None:
         return current
-    prev_by_name = {f.name: f for f in previous.fields}
+    cur_by_name = {f.name: f for f in current.fields}
     fields: list[T.StructField] = []
-    for f in current.fields:
-        prev = prev_by_name.get(f.name)
-        nullable = f.nullable or (prev.nullable if prev else False)
-        fields.append(T.StructField(f.name, f.dataType, nullable))
-    current_names = {f.name for f in current.fields}
     for f in previous.fields:
-        if f.name not in current_names:
+        cur = cur_by_name.get(f.name)
+        if cur is not None:
+            fields.append(T.StructField(
+                f.name, cur.dataType, cur.nullable or f.nullable))
+        else:
             fields.append(T.StructField(f.name, f.dataType, True))
+    prev_names = {f.name for f in previous.fields}
+    for f in current.fields:
+        if f.name not in prev_names:
+            fields.append(f)
     return T.StructType(fields)
 
 

@@ -37,8 +37,14 @@ def _estimate_partitions(df: DataFrame, target_bytes: int) -> int | None:
 def write_csv(df: DataFrame, path: str, columns: list[str] | None = None,
               header: bool = False, delimiter: str = ",",
               target_slice_bytes: int = TARGET_SLICE_BYTES,
-              mode: str = "overwrite") -> None:
-    """K1/K2: headerless sliced CSV with the NULL sentinel."""
+              mode: str = "overwrite",
+              null_value: str = NULL_SENTINEL) -> None:
+    """K1/K2: headerless sliced CSV.
+
+    ``null_value`` defaults to the staging sentinel (lossless S7
+    round-trip); the reference's FINAL egress writes NULLs as empty
+    fields (see the ``schema-drift-chained`` expected CSVs) — pass
+    ``null_value=""`` for that byte format."""
     if columns:
         df = df.select(*columns)
     n = _estimate_partitions(df, target_slice_bytes)
@@ -47,7 +53,7 @@ def write_csv(df: DataFrame, path: str, columns: list[str] | None = None,
     (df.write.mode(mode)
        .option("header", str(header).lower())
        .option("sep", delimiter)
-       .option("nullValue", NULL_SENTINEL)
+       .option("nullValue", null_value)
        # empty string written quoted so the reader keeps '' distinct from
        # NULL (which is the sentinel), matching the reference staging CSVs
        .option("emptyValue", '""')

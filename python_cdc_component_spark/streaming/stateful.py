@@ -69,6 +69,52 @@ def streaming_dedup_latest(stream: DataFrame, key_col: str, order_col: str,
 
 def streaming_running_stats(stream: DataFrame, key_col: str,
                             value_col: str, order_col: str) -> DataFrame:
+    """Per-key running (count, sum, max-order) via keyed state —
+    ``applyInPandasWithState``, the stateful API available in every
+    Spark 3.4+/4.x deployment with no extra worker dependencies.
+
+    Emits one update row per key per micro-batch the key appears in:
+    ``(key, n_events, sum_value, last_pos)``. State is one fixed-width
+    row per key, hash-partitioned across executors' state stores.
+    ``streaming_running_stats_tws`` is the ``transformWithStateInPandas``
+    twin for deployments with the protobuf worker protocol + RocksDB
+    provider available.
+    """
+
+    state_schema = "n bigint, s double, last_pos bigint"
+    out_schema = (f"{key_col} long, n_events bigint, "
+                  f"sum_value double, last_pos bigint")
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, s, last = state.get if state.exists else (0, 0.0, None)
+        seen = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            n += int(len(pdf))
+            s += float(pdf[value_col].sum())
+            mx = int(pdf[order_col].max())
+            last = mx if last is None else max(last, mx)
+        if seen:
+            state.update((n, s, last))
+            yield pd.DataFrame(
+                {key_col: [_py(key[0])], "n_events": [n],
+                 "sum_value": [s], "last_pos": [last]})
+
+    return (stream.select(key_col, value_col, order_col)
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                update,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_running_stats_tws(stream: DataFrame, key_col: str,
+                                value_col: str, order_col: str) -> DataFrame:
     """Per-key running (count, sum, max-order) via the Spark 4
     ``transformWithStateInPandas`` API — the successor to
     applyInPandasWithState with typed, individually-evictable state
@@ -79,13 +125,20 @@ def streaming_running_stats(stream: DataFrame, key_col: str,
     row per key, hash-partitioned across executors' state stores —
     the same scale envelope as the keyed dedup above.
 
-    Runtime requirements (checked lazily, not at import): the RocksDB
-    state store provider
+    Runtime requirements (checked eagerly so misconfiguration fails at
+    plan time, not mid-stream): the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``) and the
     ``protobuf`` package for the worker protocol — absent in minimal
-    sandboxes, in which case ``streaming_dedup_latest``'s
+    sandboxes, in which case ``streaming_running_stats``'s
     applyInPandasWithState path is the supported stateful form.
     """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the `protobuf` package "
+            "for its worker protocol; use streaming_running_stats "
+            "(applyInPandasWithState) on deployments without it") from e
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
 

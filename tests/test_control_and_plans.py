@@ -85,12 +85,6 @@ def test_topk_has_no_global_sort_exchange(spark, sf_dir):
     assert "TakeOrderedAndProject" in s.text
 
 
-def test_salted_join_result_parity_already_covered():
-    """salted_join parity is covered in test_extended_ops; this guard
-    pins that the plan helpers at least parse every headline query."""
-    pytest.skip("covered elsewhere")
-
-
 def test_signal_table_drives_blocking_snapshot(spark, sf_dir, tmp_path):
     """S4 source-channel parity: a signal row in the signal *table*
     (reference _signal_via_source, executor.py:244-303) triggers the

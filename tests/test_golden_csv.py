@@ -150,3 +150,144 @@ def test_stage2_incremental_dedupe_byte_match(spark, tmp_path, order_col):
     got = _export(dedup, str(tmp_path / "out2"))
     with open(GOLD_2, "rb") as fh:
         assert got == fh.read()
+
+
+# ---------------------------------------------------------------------------
+# simple-incremental-no-pkey-dedupe: key = ALL payload columns
+# (reference component.py:406-408; fixtures
+# ex_mysql_cdc/tests/functional/simple-incremental-no-pkey-dedupe/)
+
+NOPK = ("/root/reference/db_components/ex_mysql_cdc/tests/functional/"
+        "simple-incremental-no-pkey-dedupe")
+NOPK_GOLD_1 = f"{NOPK}/01_simple-full-load/expected/data/out/tables/inventory_nopkey.csv"
+NOPK_GOLD_2 = (f"{NOPK}/02_inserts_updates_deletes/expected/data/out/tables/"
+               "inventory_nopkey.csv/slice_0.csv")
+
+SYSTEM = ["kbc__operation", "__deleted", "kbc__batch_event_order"]
+
+# the no-pkey / drift scenarios insert NEW skus (SKU10/SKU20), unlike the
+# dedupe-chained workload whose inserts reuse SKU1/SKU2
+_NY10 = ("Male", "New York", 1, "10001", "SKU10", "2023-01-01",
+         "Electronics", None, "New York", "NY", "NY", "Electronics")
+_LA20 = ("Female", "Los Angeles", 5, "90001", "SKU20", "2023-01-02",
+         "Books", None, "Los Angeles", "CA", "CA", "Books")
+
+
+def test_nopkey_stage1_full_load_byte_match(spark, tmp_path, order_col):
+    from python_cdc_component_spark.operators.dedup import dedup_latest_no_pk
+    rows = [r + ("r", False, i) for i, r in enumerate(INITIAL)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    dedup = dedup_latest_no_pk(df, system_cols=SYSTEM, order_by=order_col)
+    got = _export(dedup, str(tmp_path / "nopk1"))
+    with open(NOPK_GOLD_1, "rb") as fh:
+        assert got == fh.read()
+
+
+def test_nopkey_stage2_incremental_byte_match(spark, tmp_path, order_col):
+    """c/c/u/d with all-columns key: every event payload is distinct, so
+    all four survive in event order — including the soft-deleted SKU2
+    with its before-image payload."""
+    from python_cdc_component_spark.operators.dedup import dedup_latest_no_pk
+    ev = []
+
+    def emit(row, op, deleted=False):
+        ev.append(row + (op, deleted, len(ev)))
+
+    emit(_with_price(_NY10, "199.99"), "c")                 # order 0
+    emit(_with_price(_LA20, "14.99"), "c")                  # 1
+    emit(_with_price(_R2013_SKU1, "249.99"), "u")           # 2
+    emit(_R2013_SKU2, "d", True)                            # 3: before-image
+    df = spark.createDataFrame(ev, SCHEMA)
+    dedup = dedup_latest_no_pk(df, system_cols=SYSTEM, order_by=order_col)
+    got = _export(dedup, str(tmp_path / "nopk2"))
+    with open(NOPK_GOLD_2, "rb") as fh:
+        assert got == fh.read()
+
+
+# ---------------------------------------------------------------------------
+# schema-drift-chained: ALTER ADD COLUMN mid-run (new column appended at
+# the end of the merged schema), ALTER DROP COLUMN (dropped column
+# survives NULL-padded) — reference component.py:449-488 merge + fixtures
+# ex_mysql_cdc/tests/functional/schema-drift-chained/
+
+DRIFT = ("/root/reference/db_components/ex_mysql_cdc/tests/functional/"
+         "schema-drift-chained")
+DRIFT_GOLD_1 = f"{DRIFT}/01_simple-full-load/expected/data/out/tables/inventory_sales.csv"
+DRIFT_GOLD_2 = (f"{DRIFT}/02_inserts_updates_deletes_alter/expected/data/out/"
+                "tables/inventory_sales.csv")
+
+_SF = ("Male", "San Francisco", 3, "94101", "SKU30", "2023-01-03",
+       "Clothing", None, "San Francisco", "CA", "CA", "Clothing")
+_SF2 = ("Male", None, 3, "94101", "SKU30", "2023-01-04",
+        "Clothing", None, "San Francisco", "CA", "CA", "Clothing")
+
+
+def _export_drift(df, out_dir, cols):
+    """Drift egress: final-CSV null style (empty fields, not the staging
+    sentinel), sorted by the order column, single slice."""
+    out = (to_output_columns(df).select(*cols)
+           .repartition(1)
+           .sortWithinPartitions("KBC__BATCH_EVENT_ORDER"))
+    write_csv(out, out_dir, null_value="")
+    part = next(f for f in sorted(os.listdir(out_dir))
+                if f.endswith(".csv"))
+    with open(os.path.join(out_dir, part), "rb") as fh:
+        return fh.read()
+
+
+def test_drift_stage1_full_load_byte_match(spark, tmp_path, order_col):
+    rows = [r + ("r", False, i) for i, r in enumerate(INITIAL)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    dedup = dedup_latest(df, ["createdate"], order_by=order_col)
+    cols = PAYLOAD + ["KBC__OPERATION", "KBC__DELETED",
+                      "KBC__BATCH_EVENT_ORDER"]
+    got = _export_drift(dedup, str(tmp_path / "drift1"), cols)
+    with open(DRIFT_GOLD_1, "rb") as fh:
+        assert got == fh.read()
+
+
+def test_drift_stage2_alter_add_drop_byte_match(spark, tmp_path, order_col):
+    """Three schema epochs in one run: base 12 columns, +newcolumn
+    (appended at the END of the merged schema, after the system columns,
+    exactly like the reference manifest), then -usercity (survives as a
+    NULL-padded empty CSV field). Byte-compares the merged egress."""
+    from python_cdc_component_spark.model.schema import (
+        SchemaRegistry, TableSchema)
+    from python_cdc_component_spark.operators.schema_align import (
+        align_to_schema, union_epochs)
+
+    ev_a, ev_b, ev_c = [], [], []
+    ev_a.append(_with_price(_NY10, "199.99") + ("c", False, 0))
+    ev_a.append(_with_price(_LA20, "14.99") + ("c", False, 1))
+    ev_a.append(_with_price(_R2013_SKU1, "249.99") + ("u", False, 2))
+    ev_a.append(_R2013_SKU2 + ("d", True, 3))
+    ev_b.append(_with_price(_SF, "49.99") + ("c", False, 4, "defaultvalue"))
+    row_c = list(_with_price(_SF2, "49.99"))
+    del row_c[1]                                   # usercity dropped
+    ev_c.append(tuple(row_c) + ("c", False, 5, "defaultvalue"))
+
+    schema_b = T.StructType(
+        SCHEMA.fields + [T.StructField("newcolumn", T.StringType())])
+    schema_c = T.StructType(
+        [f for f in schema_b.fields if f.name != "usercity"])
+
+    epochs = [spark.createDataFrame(ev_a, SCHEMA),
+              spark.createDataFrame(ev_b, schema_b),
+              spark.createDataFrame(ev_c, schema_c)]
+    reg = SchemaRegistry()
+    merged = None
+    for df in epochs:
+        merged = reg.update(TableSchema(
+            name="inventory_sales", struct=df.schema,
+            primary_keys=["createdate"]))
+    aligned = union_epochs(
+        [align_to_schema(df, merged.struct) for df in epochs])
+    assert [f.name for f in merged.struct.fields][-1] == "newcolumn"
+    assert "usercity" in [f.name for f in merged.struct.fields]
+
+    dedup = dedup_latest(aligned, ["createdate"], order_by=order_col)
+    cols = PAYLOAD + ["KBC__OPERATION", "KBC__DELETED",
+                      "KBC__BATCH_EVENT_ORDER", "newcolumn"]
+    got = _export_drift(dedup, str(tmp_path / "drift2"), cols)
+    with open(DRIFT_GOLD_2, "rb") as fh:
+        assert got == fh.read()

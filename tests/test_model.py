@@ -85,7 +85,12 @@ def test_registry_merge_across_runs():
         T.StructField("id", T.LongType(), False),
         T.StructField("new", T.DoubleType(), True)]), ["id"]))
     names = [f.name for f in merged.struct.fields]
-    assert names == ["id", "new", "old"]
+    # storage column-order contract (pinned by the schema-drift-chained
+    # byte goldens): previous order preserved, dropped column stays in
+    # place, brand-new column appended at the end
+    assert names == ["id", "old", "new"]
+    by_name = {f.name: f for f in merged.struct.fields}
+    assert by_name["old"].nullable        # dropped → nullable
 
 
 def test_parse_envelope_drops_tombstones(spark):

