@@ -4064,3 +4064,96 @@ def minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(ex, 6).alias("exact_jaccard"),
                        F.round(F.abs(F.col("est_jaccard") - ex), 6)
                         .alias("abs_err")))
+
+
+# ---------------------------------------------------------------------------
+# Round-4: distributed k-means + SemDeDup-style semantic dedup
+
+_KMEANS_SQL = """
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+              e AS ce
+       FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 4),
+d1 AS (SELECT v.vec_id, v.e, c.cid,
+              list_sum(list_transform(range(1, 65),
+                       i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS d2
+       FROM v, c0 c),
+a1 AS (SELECT vec_id, e, cid FROM d1
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+m1 AS (SELECT cid, i,
+              CAST(SUM(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+c1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM m1 GROUP BY cid),
+d2_ AS (SELECT v.vec_id, v.e, c.cid,
+               list_sum(list_transform(range(1, 65),
+                        i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS d2
+        FROM v, c1 c),
+a2 AS (SELECT vec_id, e, cid, d2 FROM d2_
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+m2 AS (SELECT cid, i,
+              CAST(SUM(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       FROM a2, range(1, 65) t(i) GROUP BY cid, i),
+c2 AS (SELECT cid, list(m ORDER BY i) AS ce FROM m2 GROUP BY cid),
+d3_ AS (SELECT v.vec_id, v.e, c.cid,
+               list_sum(list_transform(range(1, 65),
+                        i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS d2
+        FROM v, c2 c),
+a3 AS (SELECT vec_id, e, cid, d2 FROM d3_
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)
+"""
+
+
+@query("embedding_kmeans", """
+WITH {kmeans}
+SELECT cid AS cluster_id, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(ROUND(d2 * 1000000, 0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS sse
+FROM a3 GROUP BY cid
+""".format(kmeans=_KMEANS_SQL))
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=4, 2 iterations, deterministic
+    lowest-id init — the ``embedding_ivf_ann`` convention) over the
+    embedding corpus: per-cluster sizes + exact-decimal SSE.  Each
+    iteration broadcasts k×64 centroid doubles, assigns by argmin
+    (k-row broadcast crossJoin, ties by cid), and recomputes means via
+    ONE posexplode+groupBy shuffle keyed by (cluster, dim) — the
+    collected state is k×64 scalars, control-plane sized.  Decimal
+    accumulation makes means and SSE partition-order-invariant, which
+    is what lets DuckDB replay the run bit-for-bit."""
+    from .operators.llm.kmeans import kmeans_fit
+    emb = read_table(_spark(spark), sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    assigned, _ = kmeans_fit(emb, k=4, iters=2)
+    # SSE via integer-scaled micro-units: Spark ROUNDS double→decimal
+    # casts while DuckDB truncates, so sub-representable decimal casts
+    # diverge cross-engine; round-to-µ then exact BIGINT sum is
+    # deterministic and order-free in both
+    return (assigned.groupBy(F.col("cid").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 (F.sum(F.round(F.col("_d2") * 1e6, 0).cast("long"))
+                   .cast("double") / F.lit(1e6)).alias("sse")))
+
+
+@query("semantic_dedup_pairs", """
+WITH {kmeans},
+n AS (SELECT vec_id, e, cid,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM a3),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid AS cluster_id,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS sim
+      FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cluster_id, sim FROM p WHERE sim >= 0.4
+""".format(kmeans=_KMEANS_SQL))
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) candidate search: cluster with
+    k-means, then look for near-duplicates ONLY within each cluster —
+    pairwise work drops from O(n²) to Σ|cluster|² and parallelizes by
+    cluster.  Deliberately not exact across cluster boundaries (that is
+    ``embedding_dup_pairs``'s triangle-inequality job); the SemDeDup
+    contract trades boundary recall for linear-ish scale.  The oracle
+    replays clustering + within-cluster search exactly."""
+    from .operators.llm.kmeans import semantic_dup_pairs
+    emb = read_table(_spark(spark), sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    return semantic_dup_pairs(emb, threshold=0.4, k=4, iters=2)
