@@ -88,6 +88,17 @@ def bench_many_tables(spark, n_tables: int = 150, rows_per_table: int = 10_000,
             lat = sorted(ex.map(one, range(n_tables)))
         import math
         p99_idx = min(len(lat) - 1, math.ceil(0.99 * len(lat)) - 1)
+
+        # the scale answer (engine.sync_multi_fused): ALL tables in one
+        # window over (t, pk) + one write — measures what removing the
+        # per-table scheduling overhead is worth
+        t0 = time.time()
+        allt = spark.read.parquet(root)
+        (dedup_latest(allt, ["t", "pk"],
+                      order_by=[F.col("kbc__batch_event_order").desc()])
+         .write.format("noop").mode("overwrite").save())
+        fused_sec = round(time.time() - t0, 3)
+
         return {
             "n_tables": n_tables, "rows_per_table": rows_per_table,
             "workers": workers,
@@ -95,6 +106,7 @@ def bench_many_tables(spark, n_tables: int = 150, rows_per_table: int = 10_000,
             "p50_sec": round(statistics.median(lat), 3),
             "p99_sec": round(lat[p99_idx], 3),
             "max_sec": round(lat[-1], 3),
+            "fused_total_sec": fused_sec,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

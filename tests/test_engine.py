@@ -226,3 +226,46 @@ def test_sync_column_filter_chained(spark, sf_dir, tmp_path):
     assert "props" not in r2.columns
     st2 = RunState.load(os.path.join(out, "state.json"))
     assert not st2.is_initial_run
+
+
+def test_sync_multi_fused_matches_per_table_loop(spark, sf_dir, tmp_path):
+    """The O(1)-jobs fused multi-table path produces exactly the
+    per-table loop's rows, manifests the same tables, and records the
+    same end offsets — and its DEDUPE group runs as ONE window over
+    (_table, pk), a single data shuffle for every table at once."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_component_spark.engine import (
+        SyncConfig, sync_multi, sync_multi_fused)
+    from python_cdc_component_spark.model.envelope import (
+        SYSTEM_COLUMNS as SC)
+    from python_cdc_component_spark.sources.events import read_cdc_events
+
+    ev = read_cdc_events(spark, sf_dir)
+    multi = ev.withColumn(
+        "_table", F.when(F.col("event_type").isin("click", "view"), "tab_a")
+                   .otherwise("tab_b"))
+    cfgs = {"tab_a": SyncConfig(mode="DEDUPE", primary_keys=["user_id"]),
+            "tab_b": SyncConfig(mode="DEDUPE", primary_keys=["user_id"])}
+
+    loop_state = RunState()
+    sync_multi(spark, multi, str(tmp_path / "loop"), cfgs, loop_state)
+    fused_state = RunState()
+    fused = sync_multi_fused(spark, multi, str(tmp_path / "fused"), cfgs,
+                             fused_state)
+
+    for t in cfgs:
+        a = {(r["user_id"], r[SC.POS]) for r in
+             spark.read.parquet(str(tmp_path / "loop" / t)).collect()}
+        b = {(r["user_id"], r[SC.POS]) for r in
+             spark.read.parquet(
+                 str(tmp_path / "fused" / "tables")).filter(
+                 F.col("_table") == t).collect()}
+        assert a == b, t
+        assert loop_state.offsets[t] == fused_state.offsets[t]
+        assert os.path.exists(str(tmp_path / "fused" / f"{t}.manifest"))
+
+    # ONE data shuffle serves every DEDUPE table (plus AQE bookkeeping)
+    from python_cdc_component_spark.plans.explain import plan_summary
+    s = plan_summary(fused)
+    assert s.shuffles == 1
