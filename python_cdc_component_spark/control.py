@@ -291,6 +291,38 @@ def get_tables(sf_dir: str) -> list[str]:
                   if f.endswith(".parquet"))
 
 
+def generate_ssh_key(key_size: int = 2048) -> dict:
+    """generate_ssh_key sync action (reference
+    ``ex_mysql_cdc/src/component.py:594-626`` +
+    ``db_common/ssh/ssh_utils.py:94``): RSA keypair, PEM private key +
+    OpenSSH public key, returned as the ValidationResult-style markdown
+    message the UI renders.  Gated behind an import-try: the
+    ``cryptography`` package is the one optional dependency, and a
+    deployment without it gets a structured error instead of a crash."""
+    try:
+        from cryptography.hazmat.primitives import serialization
+        from cryptography.hazmat.primitives.asymmetric import rsa
+    except ImportError:
+        return {"status": "error",
+                "message": "generate_ssh_key requires the `cryptography` "
+                           "package"}
+    key = rsa.generate_private_key(public_exponent=65537,
+                                   key_size=key_size)
+    private_key = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.OpenSSH,
+        serialization.NoEncryption()).decode("ascii")
+    public_key = key.public_key().public_bytes(
+        serialization.Encoding.OpenSSH,
+        serialization.PublicFormat.OpenSSH).decode("ascii")
+    message = (f"**Private Key**  (*Copy this to the `Private Key` "
+               f"configuration field*):\n\n```\n{private_key}\n```\n\n"
+               f"**Public Key**  (*Add this to your servers "
+               f"`ssh_keys`*): \n\n```\n{public_key}\n```")
+    return {"status": "success", "private_key": private_key,
+            "public_key": public_key, "message": message}
+
+
 # ---------------------------------------------------------------------------
 # T8: heartbeat
 

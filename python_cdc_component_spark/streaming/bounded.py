@@ -60,6 +60,12 @@ class BoundedStreamConfig:
     # idle timeout or max duration fires.
     live: bool = False
     poll_interval_ms: int = 250
+    # SnapshotMode parity on the stream path (control.resolve_snapshot_mode
+    # semantics): the "is this the initial run" signal is checkpoint
+    # existence. 'never' on a fresh checkpoint degrades to schema-only
+    # recovery — the drain COMMITS every present file to the checkpoint
+    # while emitting zero rows, so the next run streams only new files.
+    snapshot_mode: str = "initial"
 
 
 def read_event_stream(spark: SparkSession, events_dir: str,
@@ -145,6 +151,18 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
     cfg = cfg or BoundedStreamConfig()
     stream = read_event_stream(spark, events_dir, cfg.max_files_per_trigger)
 
+    # snapshot-mode dispatch (stream flavor; batch twin in engine.sync).
+    # initial run == no committed checkpoint yet.
+    import os as _os
+    is_initial = not _os.path.exists(_os.path.join(checkpoint_dir, "commits"))
+    effective = cfg.snapshot_mode
+    if is_initial and cfg.snapshot_mode == "never":
+        effective = "schema_only"
+    if effective in ("schema_only", "schema_only_recovery"):
+        # consume (and checkpoint) every present file, emit no rows —
+        # "the actual sync starts next execution"
+        stream = stream.filter(F.lit(False))
+
     # T3: snapshot-phase gate — while the most recent micro-batch still
     # carried snapshot (op='r') rows, the idle stop must not fire
     # (reference AbstractDebeziumTask.java:176-178 gates `ended` on the
@@ -212,6 +230,7 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
             "stopped_reason": stopped_reason,
             "batches": progress["batchId"] + 1 if progress else 0,
             "sink_path": out_path,
+            "snapshot_mode_effective": effective,
         }
     finally:
         spark.streams.removeListener(listener)

@@ -158,3 +158,25 @@ def test_table_addition_triggers_blocking_snapshot_e2e(spark, sf_dir, tmp_path):
     # post-run state now includes the new table
     state.last_synced_tables = ["events", "region"]
     assert tables_needing_snapshot(["events", "region"], state) == []
+
+
+def test_generate_ssh_key_action():
+    """§3.3 generate_ssh_key: a valid RSA pair — OpenSSH public key that
+    parses, PEM private key that loads and MATCHES the public half, and
+    the ValidationResult markdown carrying both."""
+    from python_cdc_component_spark.control import generate_ssh_key
+    out = generate_ssh_key()
+    if out["status"] == "error":          # cryptography not installed
+        assert "cryptography" in out["message"]
+        return
+    assert out["public_key"].startswith("ssh-rsa ")
+    assert "BEGIN OPENSSH PRIVATE KEY" in out["private_key"]
+    assert out["public_key"] in out["message"]
+    from cryptography.hazmat.primitives import serialization
+    priv = serialization.load_ssh_private_key(
+        out["private_key"].encode(), password=None)
+    pub = priv.public_key().public_bytes(
+        serialization.Encoding.OpenSSH,
+        serialization.PublicFormat.OpenSSH).decode()
+    assert pub == out["public_key"]
+    assert priv.key_size == 2048

@@ -46,22 +46,27 @@ def test_segment_dedup_first_occurrence_semantics(spark, sf_dir):
     from python_cdc_component_spark.operators.llm.segdedup import segment_dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = segment_dedup(docs, k=5).cache()
-    # conservation: segments = kept + dropped, and kept = distinct corpus segs
-    tot = out.agg(F.sum("n_segments").alias("s"),
-                  F.sum("n_dropped").alias("d")).collect()[0]
-    segs = docs.select(F.posexplode(F.expr(
-        "transform(sequence(0, cast(ceil(size(split(text,' '))/5.0) as int)-1),"
-        " i -> array_join(slice(split(text,' '), i*5+1, 5), ' '))"))
-        .alias("i", "seg"))
-    n_all = segs.count()
-    n_distinct = segs.select("seg").distinct().count()
-    assert tot["s"] == n_all
-    assert tot["s"] - tot["d"] == n_distinct
-    # a doc with zero drops reassembles to its original text
-    survivors = (out.filter(F.col("n_dropped") == 0)
-                    .join(docs, "doc_id")
-                    .filter(F.col("text_dedup") != F.col("text")))
-    assert survivors.count() == 0
+    try:
+        # conservation: segments = kept + dropped, kept = distinct segs
+        tot = out.agg(F.sum("n_segments").alias("s"),
+                      F.sum("n_dropped").alias("d")).collect()[0]
+        segs = docs.select(F.posexplode(F.expr(
+            "transform(sequence(0, cast(ceil(size(split(text,' '))/5.0) as int)-1),"
+            " i -> array_join(slice(split(text,' '), i*5+1, 5), ' '))"))
+            .alias("i", "seg"))
+        n_all = segs.count()
+        n_distinct = segs.select("seg").distinct().count()
+        assert tot["s"] == n_all
+        assert tot["s"] - tot["d"] == n_distinct
+        # a doc with zero drops reassembles to its original text
+        survivors = (out.filter(F.col("n_dropped") == 0)
+                        .join(docs, "doc_id")
+                        .filter(F.col("text_dedup") != F.col("text")))
+        assert survivors.count() == 0
+    finally:
+        # a leaked cache substitutes InMemoryTableScan into any later
+        # identical subtree and breaks the plan-shape guards
+        out.unpersist()
 
 
 def test_segment_dedup_dropped_segment_has_earlier_occurrence(spark, sf_dir):

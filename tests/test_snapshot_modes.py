@@ -156,3 +156,41 @@ def test_schema_only_post_initial_emits_metadata_only(spark, sf_dir,
     with open(os.path.join(out, "schema.json")) as fh:
         reg = json.load(fh)
     assert reg                                      # schema was recorded
+
+
+def test_streaming_never_mode_chained(spark, sf_dir, tmp_path):
+    """Stream-path snapshot_mode='never': run 1 (fresh checkpoint)
+    commits every present file while emitting zero rows; run 2 consumes
+    ONLY files that arrived afterwards."""
+    from python_cdc_component_spark.streaming.bounded import (
+        BoundedStreamConfig, bounded_sync)
+
+    src = str(tmp_path / "ssrc"); os.makedirs(src)
+    out, ckpt = str(tmp_path / "sout"), str(tmp_path / "sckpt")
+    raw = _raw(spark, sf_dir)
+    mid = raw.agg(F.max("event_id")).collect()[0][0] // 2
+
+    def stage(df, name):
+        d = str(tmp_path / f"_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        import shutil
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(d, f),
+                            os.path.join(src, f"{name}.parquet"))
+
+    cfg = BoundedStreamConfig(mode="DEDUPE", primary_keys=["user_id"],
+                              snapshot_mode="never")
+    stage(raw.filter(F.col("event_id") <= mid), "half1")
+    stats1 = bounded_sync(spark, src, out, ckpt, cfg)
+    assert stats1["snapshot_mode_effective"] == "schema_only"
+    assert not os.path.exists(out) or not [
+        f for f in os.listdir(out) if f.endswith(".parquet")] or \
+        spark.read.parquet(out).count() == 0
+
+    stage(raw.filter(F.col("event_id") > mid), "half2")
+    stats2 = bounded_sync(spark, src, out, ckpt, cfg)
+    assert stats2["snapshot_mode_effective"] == "never"
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert got.agg(F.min(F.col("kbc__pos"))).first()[0] > mid
