@@ -38,26 +38,33 @@ def write_csv(df: DataFrame, path: str, columns: list[str] | None = None,
               header: bool = False, delimiter: str = ",",
               target_slice_bytes: int = TARGET_SLICE_BYTES,
               mode: str = "overwrite",
-              null_value: str = NULL_SENTINEL) -> None:
+              null_value: str = NULL_SENTINEL,
+              options: dict | None = None) -> None:
     """K1/K2: headerless sliced CSV.
 
     ``null_value`` defaults to the staging sentinel (lossless S7
     round-trip); the reference's FINAL egress writes NULLs as empty
     fields (see the ``schema-drift-chained`` expected CSVs) — pass
-    ``null_value=""`` for that byte format."""
+    ``null_value=""`` for that byte format.  ``options`` passes extra
+    writer options through (e.g. ``escape='"'`` for RFC-4180
+    quote-doubling, ``timestampFormat``/``timestampNTZFormat`` for the
+    reference's temporal egress formats)."""
     if columns:
         df = df.select(*columns)
     n = _estimate_partitions(df, target_slice_bytes)
     if n is not None and n < df.rdd.getNumPartitions():
         df = df.coalesce(n)
-    (df.write.mode(mode)
-       .option("header", str(header).lower())
-       .option("sep", delimiter)
-       .option("nullValue", null_value)
-       # empty string written quoted so the reader keeps '' distinct from
-       # NULL (which is the sentinel), matching the reference staging CSVs
-       .option("emptyValue", '""')
-       .csv(path))
+    writer = (df.write.mode(mode)
+              .option("header", str(header).lower())
+              .option("sep", delimiter)
+              .option("nullValue", null_value)
+              # empty string written quoted so the reader keeps ''
+              # distinct from NULL (which is the sentinel), matching the
+              # reference staging CSVs
+              .option("emptyValue", '""'))
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.csv(path)
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
