@@ -326,8 +326,16 @@ def generate_ssh_key(key_size: int = 2048) -> dict:
 # ---------------------------------------------------------------------------
 # T8: heartbeat
 
-def heartbeat() -> dict:
+def heartbeat(action_query: str | None = None,
+              interval_ms: int = 3000) -> dict:
     """No replication slot to keep alive in the file-backed source; kept
     as the interface the JDBC/WAL source implements for real
-    (reference postgres_extractor.py:148-150)."""
+    (reference ``postgres_extractor.py:148-150``; config shape
+    ``ex_postgres_cdc/src/configuration.py:99-101`` HeartBeatConfig with
+    ``action_query`` executed against the source to advance the WAL).
+    With an ``action_query`` configured the contract is echoed back as
+    'configured' so a live-source implementation knows what to run."""
+    if action_query:
+        return {"status": "configured", "action_query": action_query,
+                "interval_ms": interval_ms}
     return {"status": "noop", "reason": "file-backed source has no WAL slot"}

@@ -4157,3 +4157,34 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(_spark(spark), sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
     return semantic_dup_pairs(emb, threshold=0.4, k=4, iters=2)
+
+
+@query("cdc_pg_dedup_latest", """
+SELECT user_id, event_type, "value", props,
+       event_id AS "KBC__BATCH_EVENT_ORDER"
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+""")
+def cdc_pg_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres-component envelope flavor (reference
+    ``ex_postgres_cdc/src/component.py:54-64``): no binlog FILE/POS
+    system columns — the composite dedup order degrades to
+    ``(KBC__EVENT_TIMESTAMP_MS, KBC__BATCH_EVENT_ORDER)``, with the
+    batch order supplying the tie-break the LSN coordinates would.
+    Proves ``order_sort_cols``'s optional-coordinate contract on the
+    real dedup path (the MySQL flavor is ``cdc_dedup_latest``)."""
+    from .engine import to_output_columns
+    from .model.envelope import SYSTEM_COLUMNS as SC
+    from .operators.dedup import dedup_latest
+    from .operators.order import order_sort_cols
+
+    ev = (read_cdc_events(_spark(spark), sf_dir)
+          .drop(SC.file, SC.pos))
+    out = dedup_latest(
+        ev, ["user_id"],
+        order_by=order_sort_cols(file_col=None,
+                                 pos_col=SC.batch_event_order))
+    return to_output_columns(out).select(
+        "user_id", "event_type", "value", "props",
+        "KBC__BATCH_EVENT_ORDER")

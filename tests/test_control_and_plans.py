@@ -180,3 +180,14 @@ def test_generate_ssh_key_action():
         serialization.PublicFormat.OpenSSH).decode()
     assert pub == out["public_key"]
     assert priv.key_size == 2048
+
+
+def test_heartbeat_action_query_contract():
+    """T8 Postgres flavor: a configured HeartBeatConfig.action_query is
+    surfaced as the 'configured' contract (executed by a live-source
+    implementation to advance the WAL slot); unconfigured stays noop."""
+    q = "UPDATE kbc.heartbeat SET last_heartbeat = NOW()"
+    out = heartbeat(action_query=q, interval_ms=1500)
+    assert out == {"status": "configured", "action_query": q,
+                   "interval_ms": 1500}
+    assert heartbeat()["status"] == "noop"
