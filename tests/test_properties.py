@@ -109,6 +109,15 @@ def test_merge_schemas_laws(prev, cur):
     again = merge_schemas(merged, cur)
     assert {(f.name, f.dataType, f.nullable) for f in again.fields} \
         == {(f.name, f.dataType, f.nullable) for f in merged.fields}
+    # storage column-order contract (pinned by the schema-drift byte
+    # goldens): previous order is preserved as a prefix, new columns
+    # append afterwards in current order
+    prev_names = [f.name for f in prev.fields]
+    assert names[:len(prev_names)] == prev_names
+    cur_new = [f.name for f in cur.fields if f.name not in set(prev_names)]
+    assert names[len(prev_names):] == cur_new
+    # ...and idempotence holds for order too
+    assert [f.name for f in again.fields] == names
 
 
 # session-scoped fixture alias usable inside @given (hypothesis forbids
