@@ -291,3 +291,113 @@ def test_drift_stage2_alter_add_drop_byte_match(spark, tmp_path, order_col):
     got = _export_drift(dedup, str(tmp_path / "drift2"), cols)
     with open(DRIFT_GOLD_2, "rb") as fh:
         assert got == fh.read()
+
+
+# ---------------------------------------------------------------------------
+# incremental-append-chained: T9 APPEND mode — every event survives in
+# event order, no dedup (reference fixtures
+# ex_mysql_cdc/tests/functional/incremental-append-chained/)
+
+APP = ("/root/reference/db_components/ex_mysql_cdc/tests/functional/"
+       "incremental-append-chained")
+APP_GOLD_2 = (f"{APP}/02_inserts_updates_deletes/expected/data/out/tables/"
+              "inventory_sales.csv")
+
+
+def test_append_mode_stage2_byte_match(spark, tmp_path):
+    """APPEND egress is a pure envelope passthrough — c/c/u/d all kept,
+    including the soft-delete with its before-image payload."""
+    ev = []
+
+    def emit(row, op, deleted=False):
+        ev.append(row + (op, deleted, len(ev)))
+
+    emit(_with_price(_NY10, "199.99"), "c")
+    emit(_with_price(_LA20, "14.99"), "c")
+    emit(_with_price(_R2013_SKU1, "249.99"), "u")
+    emit(_R2013_SKU2, "d", True)
+    df = spark.createDataFrame(ev, SCHEMA)          # NO dedup: T9 APPEND
+    got = _export(df, str(tmp_path / "app2"))
+    with open(APP_GOLD_2, "rb") as fh:
+        assert got == fh.read()
+
+
+# ---------------------------------------------------------------------------
+# schema-drift-drop-non-null: a NOT NULL column dropped mid-stream must
+# survive NULL-padded in its original position (reference fixtures
+# ex_mysql_cdc/tests/functional/schema-drift-drop-non-null/)
+
+DNN = ("/root/reference/db_components/ex_mysql_cdc/tests/functional/"
+       "schema-drift-drop-non-null")
+DNN_GOLD_1 = f"{DNN}/01_initial/expected/data/out/tables/inventory_products.csv"
+DNN_GOLD_2 = f"{DNN}/02_drop_column/expected/data/out/tables/inventory_products.csv"
+
+PRODUCTS = [
+    (101, "scooter", "Small 2-wheel scooter", 3.14),
+    (102, "car battery", "12V car battery", 8.1),
+    (103, "12-pack drill bits",
+     "12-pack of drill bits with sizes ranging from #40 to #3", 0.8),
+    (104, "hammer", "12oz carpenter's hammer", 0.75),
+    (105, "hammer", "14oz carpenter's hammer", 0.875),
+    (106, "hammer", "16oz carpenter's hammer", 1.0),
+    (107, "rocks", "box of assorted rocks", 5.3),
+    (108, "jacket", "water resistent black wind breaker", 0.1),
+    (109, "spare tire", "24 inch spare tire", 22.2),
+]
+
+PROD_SCHEMA = T.StructType([
+    T.StructField("id", T.IntegerType(), False),
+    T.StructField("name", T.StringType(), False),     # NOT NULL at t0
+    T.StructField("description", T.StringType()),
+    T.StructField("weight", T.DoubleType()),
+    T.StructField("kbc__operation", T.StringType()),
+    T.StructField("__deleted", T.BooleanType()),
+    T.StructField("kbc__batch_event_order", T.LongType()),
+])
+
+
+def _export_prod(df, out_dir, cols):
+    out = (to_output_columns(df).select(*cols)
+           .repartition(1)
+           .sortWithinPartitions("KBC__BATCH_EVENT_ORDER"))
+    write_csv(out, out_dir, null_value="")
+    part = next(f for f in sorted(os.listdir(out_dir))
+                if f.endswith(".csv"))
+    with open(os.path.join(out_dir, part), "rb") as fh:
+        return fh.read()
+
+
+def test_drop_non_null_column_byte_match(spark, tmp_path, order_col):
+    from python_cdc_component_spark.model.schema import (
+        SchemaRegistry, TableSchema)
+    from python_cdc_component_spark.operators.schema_align import (
+        align_to_schema)
+
+    cols = ["id", "name", "description", "weight", "KBC__OPERATION",
+            "KBC__DELETED", "KBC__BATCH_EVENT_ORDER"]
+
+    # stage 1: full load
+    rows1 = [r + ("r", False, i) for i, r in enumerate(PRODUCTS)]
+    df1 = spark.createDataFrame(rows1, PROD_SCHEMA)
+    reg = SchemaRegistry()
+    reg.update(TableSchema("inventory_products", df1.schema, ["id"]))
+    got1 = _export_prod(dedup_latest(df1, ["id"], order_by=order_col),
+                        str(tmp_path / "dnn1"), cols)
+    with open(DNN_GOLD_1, "rb") as fh:
+        assert got1 == fh.read()
+
+    # stage 2: ALTER DROP COLUMN name (NOT NULL) + one insert
+    schema2 = T.StructType(
+        [f for f in PROD_SCHEMA.fields if f.name != "name"])
+    df2 = spark.createDataFrame(
+        [(1001, "Apple", 0.5, "c", False, 0)], schema2)
+    merged = reg.update(
+        TableSchema("inventory_products", df2.schema, ["id"]))
+    names = [f.name for f in merged.struct.fields]
+    assert names.index("name") == 1                 # stays in place
+    assert dict((f.name, f.nullable) for f in merged.struct.fields)["name"]
+    aligned = align_to_schema(df2, merged.struct)
+    got2 = _export_prod(dedup_latest(aligned, ["id"], order_by=order_col),
+                        str(tmp_path / "dnn2"), cols)
+    with open(DNN_GOLD_2, "rb") as fh:
+        assert got2 == fh.read()
