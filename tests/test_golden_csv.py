@@ -401,3 +401,63 @@ def test_drop_non_null_column_byte_match(spark, tmp_path, order_col):
                         str(tmp_path / "dnn2"), cols)
     with open(DNN_GOLD_2, "rb") as fh:
         assert got2 == fh.read()
+
+
+# ---------------------------------------------------------------------------
+# incremental-column-filter-chained: P3 exclude-regex egress (reference
+# config `column_filter_type: exclude`, `^inventory\.sales\.user.*` —
+# bare-name form `user.*` here; fixtures
+# ex_mysql_cdc/tests/functional/incremental-column-filter-chained/)
+
+CF = ("/root/reference/db_components/ex_mysql_cdc/tests/functional/"
+      "incremental-column-filter-chained")
+CF_GOLD_1 = f"{CF}/01_simple-full-load/expected/data/out/tables/inventory_sales.csv"
+CF_GOLD_2 = (f"{CF}/02_inserts_updates_deletes/expected/data/out/tables/"
+             "inventory_sales.csv")
+
+CF_PAYLOAD = ["zipcode", "sku", "createdate", "category", "price",
+              "county", "countycode", "categorygroup"]
+
+
+def _export_cf(df, out_dir):
+    from python_cdc_component_spark.operators.filters import (
+        apply_column_filter)
+    filtered = apply_column_filter(df, exclude=[r"user.*"])
+    assert set(CF_PAYLOAD) < set(filtered.columns)
+    assert not {c for c in filtered.columns if c.startswith("user")}
+    cols = CF_PAYLOAD + ["KBC__OPERATION", "KBC__DELETED",
+                         "KBC__BATCH_EVENT_ORDER"]
+    out = (to_output_columns(filtered).select(*cols)
+           .repartition(1)
+           .sortWithinPartitions("KBC__BATCH_EVENT_ORDER"))
+    write_csv(out, out_dir, null_value="")
+    part = next(f for f in sorted(os.listdir(out_dir))
+                if f.endswith(".csv"))
+    with open(os.path.join(out_dir, part), "rb") as fh:
+        return fh.read()
+
+
+def test_column_filter_stage1_byte_match(spark, tmp_path, order_col):
+    rows = [r + ("r", False, i) for i, r in enumerate(INITIAL)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = _export_cf(dedup_latest(df, ["createdate"], order_by=order_col),
+                     str(tmp_path / "cf1"))
+    with open(CF_GOLD_1, "rb") as fh:
+        assert got == fh.read()
+
+
+def test_column_filter_stage2_byte_match(spark, tmp_path, order_col):
+    ev = []
+
+    def emit(row, op, deleted=False):
+        ev.append(row + (op, deleted, len(ev)))
+
+    emit(_with_price(_NY10, "199.99"), "c")
+    emit(_with_price(_LA20, "14.99"), "c")
+    emit(_with_price(_R2013_SKU1, "249.99"), "u")
+    emit(_R2013_SKU2, "d", True)
+    df = spark.createDataFrame(ev, SCHEMA)
+    got = _export_cf(dedup_latest(df, ["createdate"], order_by=order_col),
+                     str(tmp_path / "cf2"))
+    with open(CF_GOLD_2, "rb") as fh:
+        assert got == fh.read()
