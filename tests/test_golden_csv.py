@@ -461,3 +461,41 @@ def test_column_filter_stage2_byte_match(spark, tmp_path, order_col):
                      str(tmp_path / "cf2"))
     with open(CF_GOLD_2, "rb") as fh:
         assert got == fh.read()
+
+
+# ---------------------------------------------------------------------------
+# full-load-statement-overrides: S3 snapshot statement override — the
+# snapshot SELECT carries the configured WHERE, so only matching rows
+# are captured (reference fixtures
+# ex_mysql_cdc/tests/functional/full-load-statement-overrides/,
+# config snapshot_statements)
+
+SO = ("/root/reference/db_components/ex_mysql_cdc/tests/functional/"
+      "full-load-statement-overrides")
+SO_SALES = f"{SO}/expected/data/out/tables/inventory_sales.csv"
+SO_PRODUCTS = f"{SO}/expected/data/out/tables/inventory_products.csv"
+
+
+def test_statement_override_sales_byte_match(spark, tmp_path, order_col):
+    """'SELECT * FROM inventory.sales WHERE usersentiment = 1': the
+    snapshot emits ONLY matching rows, renumbered from 0."""
+    rows = [r for r in INITIAL if r[2] == 1]
+    staged = [r + ("r", False, i) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(staged, SCHEMA)
+    got = _export(dedup_latest(df, ["createdate"], order_by=order_col),
+                  str(tmp_path / "so_sales"))
+    with open(SO_SALES, "rb") as fh:
+        assert got == fh.read()
+
+
+def test_statement_override_products_byte_match(spark, tmp_path, order_col):
+    """'SELECT * FROM inventory.products WHERE id > 103'."""
+    rows = [r for r in PRODUCTS if r[0] > 103]
+    staged = [r + ("r", False, i) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(staged, PROD_SCHEMA)
+    cols = ["id", "name", "description", "weight", "KBC__OPERATION",
+            "KBC__DELETED", "KBC__BATCH_EVENT_ORDER"]
+    got = _export_prod(dedup_latest(df, ["id"], order_by=order_col),
+                       str(tmp_path / "so_prod"), cols)
+    with open(SO_PRODUCTS, "rb") as fh:
+        assert got == fh.read()
