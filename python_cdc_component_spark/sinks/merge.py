@@ -80,6 +80,14 @@ class MergeCompactor:
             else:
                 merged = batch
             compacted = dedup_latest(merged, self.keys)
+            # bin-pack each rewritten bucket into ONE file: without this
+            # every writer task holding rows of a bucket emits its own
+            # file (up to shuffle-partitions files per bucket per
+            # rewrite) and scan-open cost creeps up batch over batch.
+            # Hash-partitioning on the bucket id puts each bucket wholly
+            # in one task; the extra exchange carries only the touched
+            # buckets' compacted rows.
+            compacted = compacted.repartition(F.col(BUCKET_COL))
             prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
             spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
             try:

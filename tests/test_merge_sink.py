@@ -120,3 +120,27 @@ def test_merge_schema_drift_across_batches(spark, sf_dir, tmp_path):
     expected = dedup_latest(ev.filter(F.col(SC.pos) <= 130), ["user_id"])
     assert ({(r.user_id, r[SC.pos]) for r in out.collect()}
             == {(r.user_id, r[SC.pos]) for r in expected.collect()})
+
+
+def test_merge_bin_packs_one_file_per_bucket(spark, sf_dir, tmp_path):
+    """Every rewritten bucket holds exactly ONE parquet file after a
+    merge — writer-task fan-out must not leak small files into the
+    state (scan-open cost would creep batch over batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from python_cdc_component_spark.sinks.merge import (
+        BUCKET_COL, MergeCompactor)
+    from python_cdc_component_spark.sources.events import read_cdc_events
+
+    state = str(tmp_path / "packstate")
+    comp = MergeCompactor(state, ["user_id"], num_buckets=8)
+    ev = read_cdc_events(spark, sf_dir).repartition(16)   # task fan-out
+    comp.merge(spark, ev)
+    for d in os.listdir(state):
+        if not d.startswith(f"{BUCKET_COL}="):
+            continue
+        files = [f for f in os.listdir(os.path.join(state, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
