@@ -4188,3 +4188,38 @@ def cdc_pg_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_output_columns(out).select(
         "user_id", "event_type", "value", "props",
         "KBC__BATCH_EVENT_ORDER")
+
+
+@query("semantic_dup_groups", """
+WITH {kmeans},
+n AS (SELECT vec_id, e, cid,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM a3),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(range(1, 65),
+                  i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) >= 0.4),
+nbr AS (SELECT vec_a AS vec_id, vec_b AS nb FROM p
+        UNION ALL SELECT vec_b, vec_a FROM p
+        UNION ALL SELECT vec_id, vec_id FROM n)
+SELECT vec_id, MIN(nb) AS group_rep FROM nbr GROUP BY vec_id
+""".format(kmeans=_KMEANS_SQL))
+def semantic_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop labeling: each vector labeled with the min
+    vec_id among its within-cluster near-dup neighbors (1-hop min-label
+    propagation — the first round of the distributed connected-
+    components loop; keep = rows where group_rep == vec_id).  Composes
+    ``semantic_dup_pairs`` with the same label step ``lsh_dup_groups``
+    uses, completing the cluster→pairs→groups→keep-list pipeline."""
+    from .operators.llm.kmeans import semantic_dup_pairs
+    emb = read_table(_spark(spark), sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    pairs = semantic_dup_pairs(emb, threshold=0.4, k=4, iters=2) \
+        .select("vec_a", "vec_b").persist()
+    nbr = union_epochs([
+        pairs.select(F.col("vec_a").alias("vec_id"),
+                     F.col("vec_b").alias("nb")),
+        pairs.select(F.col("vec_b").alias("vec_id"),
+                     F.col("vec_a").alias("nb")),
+        emb.select("vec_id", F.col("vec_id").alias("nb")),
+    ])
+    return nbr.groupBy("vec_id").agg(F.min("nb").alias("group_rep"))
