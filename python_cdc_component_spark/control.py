@@ -74,10 +74,12 @@ class SnapshotSignal:
     id: str = field(default_factory=lambda: str(uuid.uuid4()))
 
     def to_row(self) -> dict:
+        # key order matches the reference's signal-table rows byte-for-
+        # byte (all-tables/03_table_addition expected signals CSV:
+        # {"type": ..., "data-collections": [...]})
         return {"id": self.id, "type": self.signal_type,
-                "data": json.dumps({"data-collections": self.tables,
-                                    "type": self.mode.upper()},
-                                   sort_keys=True)}
+                "data": json.dumps({"type": self.mode.upper(),
+                                    "data-collections": self.tables})}
 
 
 def tables_needing_snapshot(configured: list[str], state: RunState) -> list[str]:

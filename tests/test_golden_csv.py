@@ -499,3 +499,80 @@ def test_statement_override_products_byte_match(spark, tmp_path, order_col):
                        str(tmp_path / "so_prod"), cols)
     with open(SO_PRODUCTS, "rb") as fh:
         assert got == fh.read()
+
+
+# ---------------------------------------------------------------------------
+# all-tables / 03_table_addition: the full S4 loop at the byte level —
+# the blocking-snapshot signal row itself, the added table's stream
+# capture + snapshot backfill, and the already-synced table streaming on
+# (reference fixtures ex_mysql_cdc/tests/functional/all-tables/)
+
+AT = ("/root/reference/db_components/ex_mysql_cdc/tests/functional/"
+      "all-tables/03_table_addition")
+AT_SIGNALS = f"{AT}/expected/data/out/tables/inventory_debezium_signals.csv"
+AT_PRODUCTS = f"{AT}/expected/data/out/tables/inventory_products.csv"
+AT_SALES = f"{AT}/expected/data/out/tables/inventory_sales.csv"
+
+
+def test_table_addition_signal_row_byte_match(spark, tmp_path):
+    """The execute-snapshot signal row the engine writes is itself a
+    captured table — its export must byte-match (JSON key order and
+    spacing included)."""
+    from python_cdc_component_spark.control import SnapshotSignal
+    sig = SnapshotSignal(tables=["inventory.products"], mode="blocking")
+    row = sig.to_row()
+    df = spark.createDataFrame(
+        [(row["type"], row["data"], "c", False, 0)],
+        "type string, data string, kbc__operation string, "
+        "__deleted boolean, kbc__batch_event_order long")
+    out = (to_output_columns(df)
+           .select("type", "data", "KBC__OPERATION", "KBC__DELETED",
+                   "KBC__BATCH_EVENT_ORDER")
+           .repartition(1))
+    d = str(tmp_path / "sig")
+    write_csv(out, d, null_value="", options={"escape": '"'})
+    part = next(f for f in sorted(os.listdir(d)) if f.endswith(".csv"))
+    with open(os.path.join(d, part), "rb") as fh:
+        got = fh.read()
+    with open(AT_SIGNALS, "rb") as fh:
+        assert got == fh.read()
+
+
+def test_table_addition_products_byte_match(spark, tmp_path):
+    """Added table = stream capture of its inserts (op=c) followed by
+    the signal-triggered blocking snapshot (op=r), APPEND egress —
+    through the REAL backfill_plan operator."""
+    from python_cdc_component_spark.control import backfill_plan
+    from python_cdc_component_spark.operators.schema_align import (
+        union_epochs)
+
+    # stage products as the source table for backfill_plan
+    src = str(tmp_path / "srcsf")
+    os.makedirs(src)
+    prod_payload = T.StructType(PROD_SCHEMA.fields[:4])
+    (spark.createDataFrame(PRODUCTS, prod_payload).coalesce(1)
+     .write.parquet(os.path.join(src, "products.parquet")))
+
+    stream = spark.createDataFrame(
+        [r + ("c", False, i) for i, r in enumerate(PRODUCTS)], PROD_SCHEMA)
+    snap = (backfill_plan(spark, src, ["products"])["products"]
+            .withColumn("kbc__batch_event_order",
+                        F.col("id").cast("long") - 101 + 9))
+    union = union_epochs([stream, snap])
+    cols = ["id", "name", "description", "weight", "KBC__OPERATION",
+            "KBC__DELETED", "KBC__BATCH_EVENT_ORDER"]
+    got = _export_prod(union, str(tmp_path / "at_prod"), cols)  # APPEND
+    with open(AT_PRODUCTS, "rb") as fh:
+        assert got == fh.read()
+
+
+def test_table_addition_sales_byte_match(spark, tmp_path):
+    """The already-synced table keeps streaming: exactly the one new
+    insert, order reset for the run."""
+    row = ("Male", "New York", 1, "10001", "SKU10", "2024-01-01",
+           "Electronics", Decimal("199.99"), "New York", "NY", "NY",
+           "Electronics", "c", False, 0)
+    df = spark.createDataFrame([row], SCHEMA)
+    got = _export(df, str(tmp_path / "at_sales"))
+    with open(AT_SALES, "rb") as fh:
+        assert got == fh.read()
