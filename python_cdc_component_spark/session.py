@@ -38,6 +38,14 @@ def get_spark(app_name: str = "python_cdc_component_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the one spill knob the dedup scale curve needs (SCALING.md):
+        # bound bytes per input split so the per-task partial
+        # WindowGroupLimit sort stays in memory at any corpus size.
+        # 128 MB is Spark's default, pinned here so cluster-profile
+        # overrides are explicit; tune DOWN for very wide rows.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               "134217728"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
