@@ -47,6 +47,9 @@ HEADLINE = [
     "segment_dedup_docs",            # C4-style span dedup (2 shuffles)
     "bloom_dedup_incremental",       # cross-run bloom probe (broadcast)
     "q9_nation_year_profit",         # 5-table profit rollup
+    # round-4 additions
+    "embedding_kmeans",              # Lloyd iterations, k*d driver state
+    "semantic_dedup_pairs",          # SemDeDup cluster-local search
 ]
 
 

@@ -55,8 +55,10 @@ def kmeans_fit(emb: DataFrame, k: int = 4, iters: int = 2,
     """
     spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
+    # persist: every Lloyd round (means collect) and the final
+    # assignment re-traverse the source projection
     v = emb.select(F.col(id_col).alias("vec_id"),
-                   F.col(vec_col).alias("e"))
+                   F.col(vec_col).alias("e")).persist()
 
     cent = [(r["vec_id"], list(r["e"]))
             for r in v.orderBy("vec_id").limit(k).collect()]
@@ -96,7 +98,9 @@ def semantic_dup_pairs(emb: DataFrame, threshold: float = 0.85,
                              id_col=id_col, vec_col=vec_col)
     nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
                              F.lit(0.0), lambda a, x: a + x))
-    n = assigned.withColumn("_n", nrm)
+    # persist: the assignment subtree (3 Lloyd passes upstream) feeds
+    # BOTH sides of the self-join — unpersisted it runs twice
+    n = assigned.withColumn("_n", nrm).persist()
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("_ea"),
                  F.col("_n").alias("_na"), F.col("cid").alias("_ca"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("_eb"),
