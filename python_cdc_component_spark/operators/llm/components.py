@@ -18,25 +18,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ...caching import persist_once
+
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 15) -> DataFrame:
     """(node, component) for every node in the undirected edge list;
     component = min node id reachable. Deterministic for any input
     partitioning (min is order-independent)."""
-    both = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .unionByName(edges.select(F.col(dst).alias("a"),
-                                      F.col(src).alias("b")))
-            .distinct()
-            .persist())
+    both = persist_once(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .unionByName(edges.select(F.col(dst).alias("a"),
+                                       F.col(src).alias("b")))
+             .distinct())
     # seed with the 1-hop minimum (min over self + direct neighbors):
     # one aggregation that typically halves the rounds to convergence
-    labels = (both.select(F.col("a").alias("node"),
-                          F.col("b").alias("label"))
-              .unionByName(both.select(F.col("a").alias("node"),
-                                       F.col("a").alias("label")))
-              .groupBy("node").agg(F.min("label").alias("label"))
-              .persist())
+    labels = persist_once(
+        both.select(F.col("a").alias("node"),
+                    F.col("b").alias("label"))
+            .unionByName(both.select(F.col("a").alias("node"),
+                                     F.col("a").alias("label")))
+            .groupBy("node").agg(F.min("label").alias("label")))
 
     for _ in range(max_iter):
         # neighbor labels: for each edge a→b, b's current label is a
@@ -44,10 +46,12 @@ def connected_components(edges: DataFrame, src: str = "src",
         nbr = (both.join(labels.withColumnRenamed("node", "b"), "b")
                .select(F.col("a").alias("node"),
                        F.col("label").alias("nbr_label")))
-        new_labels = (labels.unionByName(
-                        nbr.withColumnRenamed("nbr_label", "label"))
-                      .groupBy("node").agg(F.min("label").alias("label"))
-                      .persist())
+        # persist_once: the final round's labels stay cached for the
+        # caller (the changed-count already materialized them); a repeat
+        # invocation re-deriving the identical plan reuses that entry
+        new_labels = persist_once(
+            labels.unionByName(nbr.withColumnRenamed("nbr_label", "label"))
+                  .groupBy("node").agg(F.min("label").alias("label")))
         changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
                                    "node")
                    .filter(F.col("label") != F.col("old")).limit(1).count())

@@ -11,105 +11,224 @@ Beyond-reference operators (the reference has no vector ops; SURVEY §2.4
   pairwise work drops from O(n²) to Σ|cluster|², and clusters are the
   natural unit of parallelism.
 
-Scale shape: each Lloyd iteration is (1) a broadcast of k×d centroid
-doubles, (2) one argmin projection per row (crossJoin against the k-row
-centroid table + row_number — k is small), (3) one posexplode+groupBy
-shuffle keyed by (cluster, dim) to compute the new means.  The collected
-per-iteration state is k×d scalars — control-plane size, never data.
-All mean/SSE accumulation is decimal (exact, order-independent) so
-results are partition-count-invariant and oracle-comparable bit-for-bit.
+Scale shape: centroids are k×d driver-side scalars (control-plane
+sized), so nearest-centroid assignment is a **pure projection** — the
+centroid table is embedded as an array-of-structs literal and the argmin
+is ``array_min`` over ``struct(distance, cid)``.  Zero shuffle, zero
+sort; each Lloyd iteration then needs exactly ONE shuffle (posexplode +
+groupBy (cluster, dim), whose map-side partial agg moves only k×d
+partials per partition).  The pairwise within-cluster search is ``applyInPandas`` per
+cluster — the candidate count is Σ|cluster|², so the per-pair kernel
+must be vectorized, not an interpreted-per-row expression (round-4's
+HOF dot was 94 % of the operator's wall clock).  The numpy kernel
+accumulates dot products and norms SEQUENTIALLY OVER DIMENSIONS but
+vectorized over pairs — element-wise IEEE ops in the exact order of the
+``aggregate(..., 0.0, (a, x) -> a + x)`` fold — so every emitted sim is
+bit-identical to the JVM/oracle formulation.  All mean/SSE accumulation
+is decimal (exact, order-independent) so results are
+partition-count-invariant and oracle-comparable bit-for-bit.
+
+Cache discipline: the source projection is persisted only INSIDE
+``kmeans_fit``'s iteration loop (each means-collect is an action) and
+released in a ``finally`` before returning — the returned assignment is
+a plain projection over the un-cached source, so callers never inherit
+a cached subtree to leak (NOTES_r4 §9).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEC = "decimal(28,12)"
 
+# pair-enumeration chunk budget inside the per-cluster kernel: bounds
+# peak memory at ~8 arrays × PAIR_CHUNK × 8 B regardless of cluster size
+_PAIR_CHUNK = 4_000_000
 
-def _assign(v: DataFrame, cent_df: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast k rows, argmin by
-    (distance, cid) — deterministic under ties."""
-    sqd = F.aggregate(
-        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+
+def _assign(v: DataFrame, cent: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment as a shuffle-free projection.
+
+    Centroids are already a driver-side list, so score each row against
+    the literal with ``transform`` and take ``array_min`` over
+    ``struct(_d2, cid)`` — struct ordering compares field-by-field,
+    which is exactly the deterministic (distance, cid) tie-break the
+    round-4 crossJoin + row_number window computed, minus its Exchange
+    + two Sorts of n×k rows."""
+    lit = F.array(*[
+        F.struct(F.lit(int(c)).alias("cid"),
+                 F.array(*[F.lit(float(x)) for x in e]).alias("ce"))
+        for c, e in cent])
+    sqd = lambda ce: F.aggregate(  # noqa: E731 — same fold as the oracle
+        F.zip_with(F.col("e"), ce, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda a, x: a + x)
-    w = Window.partitionBy("vec_id").orderBy("_d2", "cid")
-    return (v.crossJoin(F.broadcast(cent_df))
-             .withColumn("_d2", sqd)
-             .withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") == 1)
-             .select("vec_id", "e", "cid", "_d2"))
+    scored = F.transform(
+        lit, lambda s: F.struct(sqd(s["ce"]).alias("_d2"),
+                                s["cid"].alias("cid")))
+    return (v.select("vec_id", "e", F.array_min(scored).alias("_b"))
+             .select("vec_id", "e",
+                     F.col("_b.cid").alias("cid"),
+                     F.col("_b._d2").alias("_d2")))
 
 
-def kmeans_fit(emb: DataFrame, k: int = 4, iters: int = 2,
-               id_col: str = "vec_id", vec_col: str = "e"):
+def kmeans_fit(emb: DataFrame, k: int | None = 4, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "e",
+               target_cluster_size: int = 512):
     """Lloyd iterations with deterministic lowest-id initialization
     (the same convention as ``embedding_ivf_ann``, so an external oracle
     can replay the run exactly).  Returns ``(assigned, centroids)``
     where ``assigned`` is (vec_id, e, cid, _d2) under the FINAL
     centroids and ``centroids`` is the driver-side k×d list.
 
-    Empty clusters keep their previous centroid (no re-seeding) — the
-    deterministic choice an oracle can mirror.
+    ``k=None`` sizes k from the corpus — ``ceil(n / target_cluster_size)``
+    — the same move the reference makes when it sizes chunks from table
+    cardinality (``executor.py:44``): at 100 TB a fixed k would mean
+    huge clusters (quadratic SemDeDup work) AND a join-key cardinality
+    below the executor count.
+
+    Empty clusters are DROPPED (a cluster that loses every point in an
+    update round disappears), mirroring the oracle's means-CTE behavior
+    so both engines replay identically.
     """
-    spark = emb.sparkSession
-    dim = len(emb.select(vec_col).first()[0])
-    # persist: every Lloyd round (means collect) and the final
-    # assignment re-traverse the source projection
     v = emb.select(F.col(id_col).alias("vec_id"),
-                   F.col(vec_col).alias("e")).persist()
+                   F.col(vec_col).alias("e"))
+    if k is None:
+        n = v.count()
+        k = max(1, math.ceil(n / target_cluster_size))
+    cent = [(i, list(r["e"]))
+            for i, r in enumerate(v.orderBy("vec_id").limit(k).collect())]
+    dim = len(cent[0][1])
 
-    cent = [(r["vec_id"], list(r["e"]))
-            for r in v.orderBy("vec_id").limit(k).collect()]
-    cent = [(i, e) for i, (_, e) in enumerate(cent)]
+    if iters > 0:
+        # persist: each Lloyd round's means-collect re-traverses the
+        # source projection; released before return so no cached
+        # subtree escapes (the returned assignment is projection-only)
+        vc = v.persist()
+        try:
+            for _ in range(iters):
+                # new means: exact decimal sums per (cluster, dim) —
+                # map-side partial agg collapses the exploded rows to
+                # k×d partials per partition before the shuffle
+                means = (_assign(vc, cent)
+                         .select("cid", F.posexplode("e").alias("pos", "x"))
+                         .groupBy("cid", "pos")
+                         .agg((F.sum(F.col("x").cast(DEC)).cast("double")
+                               / F.count(F.lit(1))).alias("m"))
+                         .collect())
+                by_cid: dict[int, list[float]] = {}
+                for r in means:
+                    by_cid.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["m"]
+                cent = [(c, by_cid[c]) for c, _ in cent if c in by_cid]
+        finally:
+            vc.unpersist()
 
-    for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            [(c, e) for c, e in cent], "cid int, ce array<double>")
-        assigned = _assign(v, cent_df)
-        # new means: exact decimal sums per (cluster, dim), k*d rows
-        means = (assigned
-                 .select("cid", F.posexplode("e").alias("pos", "x"))
-                 .groupBy("cid", "pos")
-                 .agg((F.sum(F.col("x").cast(DEC)).cast("double")
-                       / F.count(F.lit(1))).alias("m"))
-                 .collect())
-        by_cid: dict[int, list[float]] = {}
-        for r in means:
-            by_cid.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["m"]
-        cent = [(c, by_cid.get(c, e)) for c, e in cent]
+    return _assign(v, cent), cent
 
-    cent_df = spark.createDataFrame(
-        [(c, e) for c, e in cent], "cid int, ce array<double>")
-    return _assign(v, cent_df), cent
+
+def _pair_kernel(threshold: float):
+    """Per-cluster near-dup search kernel for ``applyInPandas``.
+
+    Enumerates i<j pairs (by ascending vec_id) in bounded chunks and
+    computes cosine with numpy — accumulating over DIMENSIONS in a
+    Python loop (vectorized across pairs), so every +/*/sqrt/÷ happens
+    in the same IEEE order as the sequential HOF fold the oracle
+    replays; the emitted raw sims are bit-identical to the JVM
+    formulation they replace.  The final round+threshold decision is
+    made Spark-side; the kernel pre-filters with a 1e-6 margin only to
+    keep the Arrow return set small."""
+    import numpy as np
+    import pandas as pd
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        s = len(pdf)
+        out = {"vec_a": [], "vec_b": [], "cluster_id": [], "sim": []}
+        if s >= 2:
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            cid = int(pdf["cid"].iloc[0])
+            d = E.shape[1]
+            # norms: 0.0 + x0² + x1² + ... (dim-sequential fold)
+            na = np.zeros(s)
+            for i in range(d):
+                na += E[:, i] * E[:, i]
+            nr = np.sqrt(na)
+            block = max(1, _PAIR_CHUNK // s)
+            for a0 in range(0, s - 1, block):
+                a1 = min(a0 + block, s)
+                ia_t, ib_t = np.triu_indices(a1 - a0, 1)
+                ia = np.concatenate([ia_t + a0,
+                                     np.repeat(np.arange(a0, a1), s - a1)])
+                ib = np.concatenate([ib_t + a0,
+                                     np.tile(np.arange(a1, s), a1 - a0)])
+                acc = np.zeros(len(ia))
+                for i in range(d):
+                    col = E[:, i]
+                    acc += col[ia] * col[ib]
+                sim = acc / (nr[ia] * nr[ib])
+                keep = sim >= threshold - 1e-6
+                out["vec_a"].append(ids[ia[keep]])
+                out["vec_b"].append(ids[ib[keep]])
+                out["cluster_id"].append(np.full(int(keep.sum()), cid,
+                                                 dtype=np.int32))
+                out["sim"].append(sim[keep])
+        cat = {c: np.concatenate(v) if v else np.array([], dtype=np.float64)
+               for c, v in out.items()}
+        return pd.DataFrame(cat)
+
+    return f
 
 
 def semantic_dup_pairs(emb: DataFrame, threshold: float = 0.85,
-                       k: int = 4, iters: int = 2,
+                       k: int | None = 4, iters: int = 2,
                        id_col: str = "vec_id",
-                       vec_col: str = "e") -> DataFrame:
+                       vec_col: str = "e",
+                       target_cluster_size: int = 512,
+                       max_cluster_size: int | None = None) -> DataFrame:
     """SemDeDup candidate pairs: same-final-cluster pairs with
     round(cosine, 6) >= threshold.  Deliberately NOT exact across
     cluster boundaries (that is ``cosine_dup_pairs``'s job) — the
     SemDeDup contract is cluster-local search, which is what makes it
-    linear-ish at corpus scale."""
-    assigned, _ = kmeans_fit(emb, k=k, iters=iters,
-                             id_col=id_col, vec_col=vec_col)
-    nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
-                             F.lit(0.0), lambda a, x: a + x))
-    # persist: the assignment subtree (3 Lloyd passes upstream) feeds
-    # BOTH sides of the self-join — unpersisted it runs twice
-    n = assigned.withColumn("_n", nrm).persist()
-    a = n.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("_ea"),
-                 F.col("_n").alias("_na"), F.col("cid").alias("_ca"))
-    b = n.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("_eb"),
-                 F.col("_n").alias("_nb"), F.col("cid").alias("_cb"))
-    dot = F.aggregate(F.zip_with("_ea", "_eb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    return (a.join(b, (F.col("_ca") == F.col("_cb"))
-                   & (F.col("vec_a") < F.col("vec_b")))
-             .select("vec_a", "vec_b", F.col("_ca").alias("cluster_id"),
-                     F.round(dot / (F.col("_na") * F.col("_nb")), 6)
-                      .alias("sim"))
-             .filter(F.col("sim") >= threshold))
+    linear-ish at corpus scale.
+
+    The search itself is ONE shuffle of n rows keyed by cluster, then a
+    vectorized per-cluster kernel (see ``_pair_kernel``) — no pairwise
+    self-join materializes through the JVM row pipeline at all.
+
+    ``max_cluster_size`` is the runaway-cluster guard: a hot cluster of
+    size s costs s² kernel work no matter how k was chosen (degenerate
+    corpora — near-identical vectors — defeat any geometric split), so
+    clusters over the cap are deterministically hash-split into
+    ``ceil(s / cap)`` slices before the search, bounding the work at
+    s²/slices.  Pairs across slices of a split cluster are sacrificed —
+    the same graceful recall-for-bound trade SemDeDup already makes at
+    cluster boundaries.  Off (None) in the oracled bench path; the
+    scale entry point sets it."""
+    assigned, _ = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
+                             vec_col=vec_col,
+                             target_cluster_size=target_cluster_size)
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("_n")).collect()
+        slices = {r["cid"]: math.ceil(r["_n"] / max_cluster_size)
+                  for r in sizes if r["_n"] > max_cluster_size}
+        if slices:
+            m = F.create_map(*[F.lit(x) for kv in slices.items()
+                               for x in kv])
+            sub = F.coalesce(m[F.col("cid")], F.lit(1))
+            assigned = assigned.withColumn(
+                "cid",
+                F.col("cid") * (max(slices.values()) + 1)
+                + F.pmod(F.xxhash64("vec_id"), sub).cast("int"))
+    idt = dict(assigned.dtypes)["vec_id"]
+    pairs = (assigned.select("vec_id", "e", "cid")
+             .groupBy("cid")
+             .applyInPandas(_pair_kernel(threshold),
+                            schema=f"vec_a {idt}, vec_b {idt}, "
+                                   "cluster_id int, sim double"))
+    return (pairs.select("vec_a", "vec_b", "cluster_id",
+                         F.round("sim", 6).alias("sim"))
+                 .filter(F.col("sim") >= threshold))

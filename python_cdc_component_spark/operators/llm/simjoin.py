@@ -27,6 +27,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ...caching import persist_once
+
 
 def _dist(a, b):
     return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
@@ -93,12 +95,14 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
     d = n.crossJoin(F.broadcast(cent_df)).withColumn("_d2", sqdist)
     w_assign = Window.partitionBy("_id").orderBy("_d2", "_cid")
     # persist: the assignment subtree feeds the radius agg and BOTH join
-    # sides — without it the normalize+assign work runs three times
-    assigned = (d.withColumn("_rn", F.row_number().over(w_assign))
-                 .filter(F.col("_rn") == 1)
-                 .select("_id", "_e", "_nrm", "_cid",
-                         F.sqrt("_d2").alias("_r"))
-                 .persist())
+    # sides — without it the normalize+assign work runs three times.
+    # persist_once: a re-invocation in the same session builds the
+    # identical plan, which is already in the CacheManager
+    assigned = persist_once(
+        d.withColumn("_rn", F.row_number().over(w_assign))
+         .filter(F.col("_rn") == 1)
+         .select("_id", "_e", "_nrm", "_cid",
+                 F.sqrt("_d2").alias("_r")))
 
     # bucket radii: K driver-side scalars
     radii = {r["_cid"]: r["R"] for r in

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from .caching import persist_once
 from .model.envelope import SYSTEM_COLUMNS as SC
 from .operators.dedup import dedup_latest, chunked_dedup
 from .operators.schema_align import union_epochs
@@ -626,7 +627,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (only docs sharing a band collide)."""
     # persist: the signature subtree feeds 4 band branches × both join
     # sides — without it Spark recomputes the explode+16×md5 pipeline 8×
-    sig = _minhash_sig_df(_spark(spark), sf_dir).persist()
+    sig = persist_once(_minhash_sig_df(_spark(spark), sf_dir))
     bands = union_epochs([
         sig.select("doc_id", F.lit(b).alias("band"),
                    F.concat_ws("|", *[F.col(f"h{b * 4 + i}")
@@ -1537,7 +1538,7 @@ def lsh_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     its LSH band neighbors (1-hop label propagation — the first round of
     the distributed connected-components loop; full transitive closure
     iterates this same joined step to fixpoint)."""
-    sig = _minhash_sig_df(_spark(spark), sf_dir).persist()
+    sig = persist_once(_minhash_sig_df(_spark(spark), sf_dir))
     bands = union_epochs([
         sig.select("doc_id", F.lit(b).alias("band"),
                    F.concat_ws("|", *[F.col(f"h{b * 4 + i}")
@@ -2115,7 +2116,7 @@ def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path. Docs with no band collisions are their own component."""
     from .operators.llm.components import connected_components
 
-    sig = _minhash_sig_df(_spark(spark), sf_dir).persist()
+    sig = persist_once(_minhash_sig_df(_spark(spark), sf_dir))
     bands = union_epochs([
         sig.select("doc_id", F.lit(b).alias("band"),
                    F.concat_ws("|", *[F.col(f"h{b * 4 + i}")
@@ -2289,7 +2290,7 @@ def embedding_hyperplane_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         aggregate(sequence(0, 63), cast(0 as double),
                   (acc, i) -> acc + element_at(uv, i+1) * {_HP}) >= 0
         THEN 1 ELSE 0 END)""")
-    sig = u.withColumn("bits", bits).persist()
+    sig = persist_once(u.withColumn("bits", bits))
     bands = sig.select(
         "vec_id", "e", "nrm",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
@@ -3722,14 +3723,52 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .alias("jaccard")))
 
 
-@query("bpe_merges")  # rows-only: iterative (k data-dependent rounds), not SQL-expressible
+def _bpe_round_ctes(k: int) -> str:
+    """One unrolled BPE round: tokenize the sentinel-wrapped corpus
+    string, count adjacent pairs, pick the (count desc, a, b) winner,
+    and rewrite via ``replace`` — plain substring replace is left-to-
+    right non-overlapping, which IS the greedy BPE application rule
+    (per-token \\x1f…\\x1e wrappers make the pattern self-contained, so
+    consecutive matches never share a boundary character)."""
+    prev = f"t{k - 1}"
+    return f"""
+a{k} AS (SELECT string_split(substr(s, 2, length(s) - 2),
+                             chr(30)||chr(31)) AS t FROM {prev}),
+p{k} AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> struct_pack(a := t[i], b := t[i+1]))) AS p
+    FROM a{k} WHERE len(t) >= 2) GROUP BY p.a, p.b),
+w{k} AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p{k}
+         ORDER BY c DESC, a, b LIMIT 1),
+t{k} AS (SELECT replace({prev}.s, chr(31)||w.a||chr(30)||chr(31)||w.b||chr(30),
+                        chr(31)||w.a||w.b||chr(30)) AS s FROM {prev}, w{k} w)"""
+
+
+_BPE_SQL = (
+    "WITH t0 AS (SELECT chr(31) || replace(text, ' ', chr(30)||chr(31)) "
+    "|| chr(30) AS s FROM documents),"
+    + ",".join(_bpe_round_ctes(k) for k in range(1, 6))
+    + """
+SELECT * FROM (
+  SELECT CAST(0 AS INTEGER) AS "rank", a AS "left", b AS "right",
+         c AS freq FROM w1
+  UNION ALL SELECT 1, a, b, c FROM w2
+  UNION ALL SELECT 2, a, b, c FROM w3
+  UNION ALL SELECT 3, a, b, c FROM w4
+  UNION ALL SELECT 4, a, b, c FROM w5)""")
+
+
+@query("bpe_merges", _BPE_SQL)
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary induction (operators.llm.bpe): 5 merge rounds over
     the corpus; returns the learned merge table (rank, left, right,
-    freq). Iterative with data-dependent winners, so it carries no SQL
-    oracle — the driver records the rows-only check and the pytest
-    suite verifies the merges against a pure-Python reference BPE on
-    the same corpus (tests/test_bpe.py)."""
+    freq). Iterative with data-dependent winners — but the merge COUNT
+    is fixed (5), so the oracle unrolls the loop into 5 CTE rounds (the
+    ``_KMEANS_SQL`` move): pair-count → top-1 winner → greedy rewrite,
+    where the rewrite rides DuckDB ``replace`` over a sentinel-wrapped
+    token string (left-to-right non-overlapping substring replace ==
+    the BPE application rule). The pytest suite additionally verifies
+    against a pure-Python reference BPE (tests/test_bpe.py)."""
     from .operators.llm.bpe import bpe_train
     s = _spark(spark)
     d = _spread(read_table(s, sf_dir, "documents"), s)
@@ -3849,7 +3888,8 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("min_tp"),
         F.max("o_totalprice").cast("double").alias("max_tp"),
         F.count("o_orderstatus").alias("nn_os"),
-        F.count_distinct("o_orderstatus").alias("nd_os")).cache()
+        F.count_distinct("o_orderstatus").alias("nd_os"))
+    agg = persist_once(agg)
     rows = [
         agg.select(F.lit("o_custkey").alias("col"), "n_rows",
                    F.col("nn_ck").alias("n_nonnull"),
@@ -3963,7 +4003,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies against DuckDB bit-for-bit."""
     from .operators.llm.simhash import simhash16
     s = _spark(spark)
-    fp = simhash16(read_table(s, sf_dir, "documents")).persist()
+    fp = persist_once(simhash16(read_table(s, sf_dir, "documents")))
     bands = union_epochs([
         fp.select("doc_id", "simhash", F.lit(b).alias("b"),
                   F.shiftright("simhash", 4 * b).bitwiseAND(F.lit(15))
@@ -4026,7 +4066,7 @@ def minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact sets are only materialized for CANDIDATE pairs (25 at sf0.01)
     — the evaluation rides the LSH pruning, it never goes all-pairs."""
     s = _spark(spark)
-    sig = _minhash_sig_df(s, sf_dir).persist()
+    sig = persist_once(_minhash_sig_df(s, sf_dir))
     cand = QUERIES["minhash_lsh_pairs"](spark, sf_dir).select("doc_a", "doc_b")
     a = sig.select(F.col("doc_id").alias("doc_a"),
                    *[F.col(f"h{j}").alias(f"ha{j}") for j in range(16)])
@@ -4115,10 +4155,11 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (k=4, 2 iterations, deterministic
     lowest-id init — the ``embedding_ivf_ann`` convention) over the
     embedding corpus: per-cluster sizes + exact-decimal SSE.  Each
-    iteration broadcasts k×64 centroid doubles, assigns by argmin
-    (k-row broadcast crossJoin, ties by cid), and recomputes means via
-    ONE posexplode+groupBy shuffle keyed by (cluster, dim) — the
-    collected state is k×64 scalars, control-plane sized.  Decimal
+    iteration embeds the k×64 centroids as an array-of-structs literal
+    and assigns by ``array_min`` over struct(distance, cid) — a
+    shuffle-free codegen projection — then recomputes means via ONE
+    posexplode+groupBy shuffle keyed by (cluster, dim); the collected
+    state is k×64 scalars, control-plane sized.  Decimal
     accumulation makes means and SSE partition-order-invariant, which
     is what lets DuckDB replay the run bit-for-bit."""
     from .operators.llm.kmeans import kmeans_fit
@@ -4213,13 +4254,14 @@ def semantic_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.llm.kmeans import semantic_dup_pairs
     emb = read_table(_spark(spark), sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    pairs = semantic_dup_pairs(emb, threshold=0.4, k=4, iters=2) \
-        .select("vec_a", "vec_b").persist()
+    # both edge directions come out of ONE pass over the join (explode a
+    # 2-element array) — no persist to leak, no second self-join
+    both = F.explode(F.array(
+        F.struct(F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nb")),
+        F.struct(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nb"))))
     nbr = union_epochs([
-        pairs.select(F.col("vec_a").alias("vec_id"),
-                     F.col("vec_b").alias("nb")),
-        pairs.select(F.col("vec_b").alias("vec_id"),
-                     F.col("vec_a").alias("nb")),
+        semantic_dup_pairs(emb, threshold=0.4, k=4, iters=2)
+            .select(both.alias("_s")).select("_s.vec_id", "_s.nb"),
         emb.select("vec_id", F.col("vec_id").alias("nb")),
     ])
     return nbr.groupBy("vec_id").agg(F.min("nb").alias("group_rep"))

@@ -1,10 +1,15 @@
 """Distributed Lloyd k-means + SemDeDup semantic dedup: convergence,
-determinism, and the cluster-local search contract."""
+determinism, the cluster-local search contract, and the round-5 scale
+hardening (shuffle-free assignment, adaptive k, hot-cluster cap)."""
 
+import math
+
+import pytest
 from pyspark.sql import functions as F
 
 from python_cdc_component_spark.operators.llm.kmeans import (
     kmeans_fit, semantic_dup_pairs)
+from python_cdc_component_spark.plans.explain import plan_summary
 
 
 def _emb(spark, sf_dir):
@@ -56,3 +61,56 @@ def test_semantic_pairs_are_cluster_local_subset(spark, sf_dir):
     for r in sem:
         assert r["sim"] >= 0.4
         assert (r["vec_a"], r["vec_b"]) in exact
+
+
+def test_assignment_is_shuffle_free(spark, sf_dir):
+    """The scale guarantee of the round-5 rewrite: nearest-centroid
+    assignment is a pure projection (centroid literal + array_min over
+    struct(d2, cid)) — ZERO exchanges, zero sorts in the subtree.  The
+    round-4 crossJoin + row_number plan exchanged n×k rows twice."""
+    a, _ = kmeans_fit(_emb(spark, sf_dir), k=4, iters=2)
+    s = plan_summary(a)
+    assert s.exchanges == 0 and s.sorts == 0, s.text
+
+
+def test_empty_cluster_dropped_matches_oracle(spark):
+    """Duplicate init points → cluster 1 never wins a tie (argmin breaks
+    ties to the lower cid) → it empties after one update and must be
+    DROPPED, exactly like the oracle's means CTE which only emits
+    non-empty cids (ADVICE r4: the keep-stale-centroid behavior was a
+    latent cross-engine divergence)."""
+    emb = spark.createDataFrame(
+        [(0, [5.0, 0.0]), (1, [5.0, 0.0]), (2, [9.0, 0.0])],
+        "vec_id int, e array<double>")
+    a, cent = kmeans_fit(emb, k=2, iters=1)
+    assert [c for c, _ in cent] == [0]
+    assert cent[0][1][0] == pytest.approx((5 + 5 + 9) / 3)
+    assert {r["cid"] for r in a.collect()} == {0}
+
+
+def test_adaptive_k_sizes_from_corpus(spark, sf_dir):
+    """k=None derives k = ceil(n / target_cluster_size): at 100 TB a
+    fixed k means quadratic SemDeDup clusters and a join-key cardinality
+    below the executor count."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    target = math.ceil(n / 3)
+    _, cent = kmeans_fit(emb, k=None, iters=0, target_cluster_size=target)
+    assert len(cent) == 3
+
+
+def test_semantic_cap_bounds_hot_cluster(spark):
+    """Adversarial: 200 near-identical vectors — every geometric split
+    keeps them in ONE cluster, so only the hash cap can stop the
+    self-join going s².  With cap=50 the cluster splits into 4 slices:
+    pair count drops from C(200,2)=19900 to ~4·C(50,2), and every
+    emitted pair still satisfies the threshold."""
+    emb = spark.createDataFrame(
+        [(i, [1.0 + i * 1e-9, 0.0]) for i in range(200)],
+        "vec_id int, e array<double>")
+    pairs = semantic_dup_pairs(emb, threshold=0.99, k=1, iters=1,
+                               max_cluster_size=50)
+    rows = pairs.collect()
+    assert 0 < len(rows) < 19900 / 2
+    assert all(r["sim"] >= 0.99 for r in rows)
+    assert pairs.select("cluster_id").distinct().count() == 4
