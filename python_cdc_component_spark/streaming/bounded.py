@@ -158,9 +158,13 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
     effective = cfg.snapshot_mode
     if is_initial and cfg.snapshot_mode == "never":
         effective = "schema_only"
-    if effective in ("schema_only", "schema_only_recovery"):
-        # consume (and checkpoint) every present file, emit no rows —
-        # "the actual sync starts next execution"
+    if is_initial and effective in ("schema_only", "schema_only_recovery"):
+        # INITIAL contact only: consume (and checkpoint) every present
+        # file, emit no rows — "the actual sync starts next execution".
+        # Post-initial (checkpoint committed), schema_only streams
+        # changes normally, exactly like Debezium with stored offsets —
+        # filtering here would checkpoint past events without emitting
+        # them (ADVICE r4, medium: silent data loss every run).
         stream = stream.filter(F.lit(False))
 
     # T3: snapshot-phase gate — while the most recent micro-batch still

@@ -138,24 +138,72 @@ def test_when_needed_resnapshots_on_truncated_log(spark, sf_dir, tmp_path):
     assert res2.count() == n_users_tail
 
 
-def test_schema_only_post_initial_emits_metadata_only(spark, sf_dir,
-                                                      tmp_path):
-    """Configured ``schema_only`` keeps emitting zero rows while tracking
-    the advancing source end position."""
+def test_schema_only_post_initial_streams(spark, sf_dir, tmp_path):
+    """Configured ``schema_only``: run 1 on a fresh state maps to
+    ``initial_only`` (reference dispatch — any non-``never`` initial run
+    snapshots now); run 2+ must STREAM changes past the stored offsets —
+    Debezium with existing offsets streams normally under schema_only,
+    so an empty post-initial run would be silent data loss every run
+    (ADVICE r4, medium)."""
     src = str(tmp_path / "src"); os.makedirs(src)
     out = str(tmp_path / "out")
     raw = _raw(spark, sf_dir)
-    _stage(raw, src)
+    mid = raw.agg(F.max("event_id")).collect()[0][0] // 2
+    cfg = SyncConfig(snapshot_mode="schema_only")
+
+    _stage(raw.filter(F.col("event_id") <= mid), src)
     state = RunState()
-    state.offsets["events"] = {"ts": 0, "file": "binlog.000001", "pos": 5}
-    res = sync(spark, src, out, SyncConfig(snapshot_mode="schema_only"),
-               state)["events"]
-    assert res.count() == 0
+    res0 = sync(spark, src, out, cfg, state)["events"]
+    assert res0.count() == (raw.filter(F.col("event_id") <= mid)
+                            .select("user_id").distinct().count())
+    assert state.offsets["events"]["pos"] == mid
+    with open(os.path.join(out, "schema.json")) as fh:
+        assert json.load(fh)                        # schema was recorded
+
+    # post-initial: offsets stored → schema_only STREAMS the new slice
+    _stage(raw, src)
+    res1 = sync(spark, src, out, cfg, state)["events"]
+    got = {(r["user_id"], r[SC.POS]) for r in res1.collect()}
+    assert got and all(pos > mid for _, pos in got)
+    n_users = (raw.filter(F.col("event_id") > mid)
+               .select("user_id").distinct().count())
+    assert len(got) == n_users
     assert state.offsets["events"]["pos"] == raw.agg(
         F.max("event_id")).collect()[0][0]
-    with open(os.path.join(out, "schema.json")) as fh:
-        reg = json.load(fh)
-    assert reg                                      # schema was recorded
+
+
+def test_streaming_schema_only_post_initial_streams(spark, sf_dir,
+                                                    tmp_path):
+    """Stream-path flavor of the same contract: with a committed
+    checkpoint, configured ``schema_only`` must emit the newly arrived
+    files instead of checkpointing past them with zero output."""
+    from python_cdc_component_spark.streaming.bounded import (
+        BoundedStreamConfig, bounded_sync)
+    import shutil
+
+    src = str(tmp_path / "ssrc"); os.makedirs(src)
+    out, ckpt = str(tmp_path / "sout"), str(tmp_path / "sckpt")
+    raw = _raw(spark, sf_dir)
+    mid = raw.agg(F.max("event_id")).collect()[0][0] // 2
+
+    def stage(df, name):
+        d = str(tmp_path / f"_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(d, f),
+                            os.path.join(src, f"{name}.parquet"))
+
+    cfg = BoundedStreamConfig(mode="DEDUPE", primary_keys=["user_id"],
+                              snapshot_mode="schema_only")
+    stage(raw.filter(F.col("event_id") <= mid), "half1")
+    bounded_sync(spark, src, out, ckpt, cfg)       # initial: no rows out
+
+    stage(raw.filter(F.col("event_id") > mid), "half2")
+    bounded_sync(spark, src, out, ckpt, cfg)
+    got = spark.read.parquet(out)
+    assert got.count() > 0                         # the new slice landed
+    assert got.agg(F.min(F.col("kbc__pos"))).first()[0] > mid
 
 
 def test_streaming_never_mode_chained(spark, sf_dir, tmp_path):
