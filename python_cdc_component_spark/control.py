@@ -310,9 +310,12 @@ def generate_ssh_key(key_size: int = 2048) -> dict:
                            "package"}
     key = rsa.generate_private_key(public_exponent=65537,
                                    key_size=key_size)
+    # PKCS8 PEM ("BEGIN PRIVATE KEY"), matching the reference's
+    # ssh_utils.generate_ssh_key_pair byte-shape (ssh_utils.py:109-111) —
+    # paramiko-style consumers expect the PKCS8 blob, not OpenSSH format
     private_key = key.private_bytes(
         serialization.Encoding.PEM,
-        serialization.PrivateFormat.OpenSSH,
+        serialization.PrivateFormat.PKCS8,
         serialization.NoEncryption()).decode("ascii")
     public_key = key.public_key().public_bytes(
         serialization.Encoding.OpenSSH,

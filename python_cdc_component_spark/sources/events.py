@@ -58,22 +58,33 @@ def ts_to_ns_factor(events_path: str) -> int:
     fixtures written from a ``ts_ns`` long column) is taken as nanos.
     Footer reads are a driver-side metadata peek (one file), never a
     data scan — safe at any scale."""
-    try:
-        import glob
-        import os
+    import glob
+    import os
 
+    try:
         import pyarrow.parquet as pq
-        p = events_path
-        if os.path.isdir(p):
-            cands = sorted(
-                glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
-            if not cands:
-                return 1
-            p = cands[0]
-        typ = pq.read_schema(p).field("ts").type
-        return _UNIT_TO_NS[getattr(typ, "unit", "ns")]
-    except Exception:
+    except ImportError:
+        # no footer probe possible — warn loudly instead of silently
+        # guessing: a MICROS fixture read as nanos is the exact 1000×
+        # corruption the round-3 regression matrix exists to prevent
+        import warnings
+        warnings.warn(
+            f"pyarrow unavailable: cannot probe the timestamp unit of "
+            f"{events_path}; assuming raw INT64 nanos", stacklevel=2)
         return 1
+    p = events_path
+    if os.path.isdir(p):
+        cands = sorted(
+            glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+        if not cands:
+            return 1                    # empty stream dir: nothing staged
+        p = cands[0]
+    if not os.path.exists(p):
+        return 1            # Spark's reader will raise its own not-found
+    # a path that EXISTS but has an unreadable footer must raise — a
+    # corrupt file silently treated as nanos is undetectable downstream
+    typ = pq.read_schema(p).field("ts").type
+    return _UNIT_TO_NS[getattr(typ, "unit", "ns")]
 
 
 def _normalize_ts(raw: DataFrame, factor: int) -> DataFrame:
