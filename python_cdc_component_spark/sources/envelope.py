@@ -18,6 +18,65 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..model.types import wire_type_to_spark
+
+_TS_LOGICAL = ("org.apache.kafka.connect.data.Timestamp",
+               "io.debezium.time.Timestamp")
+_DATE_LOGICAL = ("org.apache.kafka.connect.data.Date",
+                 "io.debezium.time.Date")
+
+
+def connect_fields_to_struct(fields: list[dict]) -> T.StructType:
+    """Kafka-Connect schema field list (the ``schema.fields`` array of a
+    Debezium envelope / the reference's ``initialSchema.json`` shape,
+    ``AbstractDbConverter.java:148-202`` SchemaElement) → the payload
+    StructType at the WIRE layer.
+
+    Logical temporal types travel as integers on the wire (Timestamp =
+    epoch-millis int64, Date = epoch-days int32), so they parse as
+    integers here; ``decode_logical`` applies the logical conversions
+    after parsing.  ``orderEvent`` fields are engine-added bookkeeping
+    (reference ``AbstractDbConverter.java:150`` orderEvent flag), never
+    part of the wire payload."""
+    out = []
+    for f in fields:
+        if f.get("orderEvent"):
+            continue
+        name, wire = f.get("name"), f["type"]
+        if wire == "int64" and name in _TS_LOGICAL:
+            dt: T.DataType = T.LongType()
+        elif wire == "int32" and name in _DATE_LOGICAL:
+            dt = T.IntegerType()
+        else:
+            dt = wire_type_to_spark(wire, name)
+        out.append(T.StructField(f["field"], dt, f.get("optional", True)))
+    return T.StructType(out)
+
+
+def decode_logical(df: DataFrame, fields: list[dict]) -> DataFrame:
+    """Apply Kafka-Connect logical-type decodes after the wire parse:
+    epoch-millis → timestamp, epoch-days → date (the int64/int32 branch
+    of ``SchemaElement.dbType``, AbstractDbConverter.java:166-180)."""
+    for f in fields:
+        name, col = f.get("name"), f["field"]
+        if col not in df.columns:
+            continue
+        if f["type"] == "int64" and name in _TS_LOGICAL:
+            df = df.withColumn(col, F.timestamp_millis(F.col(col)))
+        elif f["type"] == "int32" and name in _DATE_LOGICAL:
+            df = df.withColumn(
+                col, F.date_add(F.lit("1970-01-01").cast("date"),
+                                F.col(col)))
+    return df
+
+
+def missing_columns(payload: dict, fields: list[dict]) -> list[str]:
+    """Payload keys absent from the schema — the drift probe the
+    reference runs per event (``AbstractDbConverter.isMissingAnyColumn``,
+    the trigger for ``adjustSchema`` + chunk rotation)."""
+    known = {f["field"] for f in fields}
+    return [k for k in payload if k not in known]
+
 
 def envelope_schema(payload: T.StructType) -> T.StructType:
     """Envelope StructType for a given payload schema."""
