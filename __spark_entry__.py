@@ -35,31 +35,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle (S2-S8, K1-K5, P3/P4/P7, F8/F10, T1/T3/T6/T8), the UDF
 # surface (§2.10), and one flagship per LLM-pipeline operator family.
 # Everything else still runs under scripts/check_oracle.py + pytest.
+# The driver's CORRECTNESS gate checks the FIRST 50 entries.  Round-5
+# rotation (VERDICT r4 #6): ~25 flagship slots stay pinned; the other 25
+# rotate through queries that never had a driver row (r04 window: CDC
+# core + lifecycle + LLM batch 1 — all 50 green, still covered by the
+# 142-query self gate every round).
 DRIVER_WINDOW = [
-    # CDC core (S1, W1-W3, J1/J2, P2/P5, T4/T5/T7/T9, §2.7, F1-F5)
-    "cdc_dedup_latest", "cdc_dedup_composite_key", "cdc_current_state",
-    "cdc_append", "cdc_chunked_dedup", "cdc_no_pkey_dedup",
-    "cdc_schema_align_union", "cdc_scalar_funcs",
-    # source/sink lifecycle
-    "jdbc_snapshot_override", "jdbc_metadata_schema",
-    "incremental_snapshot_users", "snapshot_backfill_region",
+    # pinned flagships: CDC core + lifecycle essentials
+    "cdc_dedup_latest", "cdc_append", "cdc_chunked_dedup",
+    "cdc_no_pkey_dedup", "cdc_schema_align_union",
+    "jdbc_snapshot_override", "incremental_snapshot_users",
     "csv_roundtrip_nation", "sync_actions_contract", "merge_upsert_dedup",
     "manifest_contract", "state_offsets_roundtrip", "column_filter_outputs",
-    "json_stringify_orders", "schema_changes_route", "envelope_roundtrip",
+    "schema_changes_route", "envelope_roundtrip",
     "streaming_bounded_dedup", "multi_table_sync_dedup",
-    # UDF surface (§2.10) + F9 binary modes
-    "embedding_topk_pandas", "grouped_agg_pandas_median", "udtf_json_kv",
-    "binary_encode_modes",
-    # LLM-pipeline flagships
-    "exact_dedup_docs", "minhash_signatures", "minhash_lsh_pairs",
-    "simhash_docs", "ngram_jaccard_pairs", "embedding_dup_pairs",
-    "embedding_topk", "embedding_ivf_ann", "segment_dedup_docs",
-    "bloom_dedup_incremental", "pii_redact", "unigram_perplexity",
-    "text_langid", "text_quality", "multimodal_meta", "multimodal_frames",
-    "dup_components", "dedup_pipeline_summary",
-    # one representative per remaining operator family
-    "events_windowed_agg", "sessionize_events", "asof_join_events",
-    "q1_pricing_summary", "snapshot_mode_never_chain",
+    "binary_encode_modes", "snapshot_mode_never_chain",
+    # pinned flagships: LLM pipeline
+    "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
+    "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
+    # rotated in (no r04 row): round-4/5 cluster family
+    "embedding_kmeans", "semantic_dedup_pairs", "semantic_dup_groups",
+    "cdc_pg_dedup_latest",
+    # rotated in: TPC-H tail
+    "q3_shipping_priority", "q5_nation_revenue", "q6_revenue_delta",
+    "q9_nation_year_profit", "q18_large_volume_customers",
+    "q21_late_supplier_blame",
+    # rotated in: windows suite
+    "window_functions_suite", "hopping_window_agg", "session_window_agg",
+    "rollup_orders",
+    # rotated in: text/sketch/evaluation operators
+    "tfidf_top_terms", "winnowing_fingerprints", "countmin_heavy_hitters",
+    "hll_distinct_contract", "embedding_ann_recall",
+    "minhash_jaccard_accuracy", "simhash_near_pairs", "lsh_dup_groups",
+    # rotated in: format/bucketing surface
+    "bucketed_join_revenue", "orc_roundtrip_events", "all_datatypes_decode",
 ]
 
 
