@@ -90,3 +90,33 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
         # mapInPandas keeps the lineage short enough for small k
         toks = toks.mapInPandas(rewrite, schema="t array<string>")
     return merges, toks
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge list to the corpus (the tokenizer-apply
+    half of BPE): each document's whitespace tokens run through the
+    merges IN LEARNED ORDER, each merge greedy left-to-right
+    non-overlapping — the standard BPE encode rule, and byte-for-byte
+    the sequential ``replace`` chain the SQL oracle replays.
+
+    One Arrow ``mapInPandas`` pass applies ALL merges (state per row is
+    just the token list); the merge table is k pairs broadcast in the
+    closure — control-plane sized at any corpus scale."""
+    appliers = [merge_pair_in_tokens(a, b) for a, b in merges]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def run(ts: list) -> list:
+                for ap in appliers:
+                    ts = ap(list(ts))
+                return ts
+            pdf["t"] = pdf["t"].map(run)
+            yield pdf
+
+    toks = docs.select(F.col(id_col).alias(id_col),
+                       F.split(F.col(text_col), " ").alias("t"))
+    id_type = dict(toks.dtypes)[id_col]
+    return toks.mapInPandas(encode,
+                            schema=f"{id_col} {id_type}, t array<string>")

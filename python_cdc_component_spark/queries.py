@@ -3740,13 +3740,14 @@ p{k} AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c FROM (
     FROM a{k} WHERE len(t) >= 2) GROUP BY p.a, p.b),
 w{k} AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p{k}
          ORDER BY c DESC, a, b LIMIT 1),
-t{k} AS (SELECT replace({prev}.s, chr(31)||w.a||chr(30)||chr(31)||w.b||chr(30),
+t{k} AS (SELECT {prev}.doc_id,
+                replace({prev}.s, chr(31)||w.a||chr(30)||chr(31)||w.b||chr(30),
                         chr(31)||w.a||w.b||chr(30)) AS s FROM {prev}, w{k} w)"""
 
 
 _BPE_SQL = (
-    "WITH t0 AS (SELECT chr(31) || replace(text, ' ', chr(30)||chr(31)) "
-    "|| chr(30) AS s FROM documents),"
+    "WITH t0 AS (SELECT doc_id, chr(31) || replace(text, ' ', "
+    "chr(30)||chr(31)) || chr(30) AS s FROM documents),"
     + ",".join(_bpe_round_ctes(k) for k in range(1, 6))
     + """
 SELECT * FROM (
@@ -3776,6 +3777,34 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.createDataFrame(
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank int, left string, right string, freq long")
+
+
+@query("bpe_encode_tokens", _BPE_SQL.replace(
+    "SELECT * FROM (", "__ENCODE__").split("__ENCODE__")[0] + """
+SELECT t5.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens_before,
+       CAST(len(string_split(substr(t5.s, 2, length(t5.s) - 2),
+                             chr(30)||chr(31))) AS INTEGER) AS n_tokens
+FROM t5 JOIN documents d ON d.doc_id = t5.doc_id
+""")
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of the BPE story: run every
+    document through the 5 learned merges in order (greedy
+    left-to-right per merge) and report per-doc token counts before and
+    after.  One Arrow ``mapInPandas`` pass applies all merges (the
+    merge table is k driver-side pairs); the oracle replays the same
+    chain as 5 sequential sentinel-string ``replace`` rounds and counts
+    tokens from the final string."""
+    from .operators.llm.bpe import bpe_encode, bpe_train
+    s = _spark(spark)
+    d = _spread(read_table(s, sf_dir, "documents"), s)
+    merges, _ = bpe_train(d, n_merges=5)
+    enc = bpe_encode(d, [(a, b) for a, b, _ in merges])
+    before = d.select("doc_id",
+                      F.size(F.split("text", " ")).alias("n_tokens_before"))
+    return (enc.select("doc_id", F.size("t").alias("n_tokens"))
+               .join(before, "doc_id")
+               .select("doc_id", "n_tokens_before", "n_tokens"))
 
 
 _CMS_W = 256   # buckets per hash row (d=3 rows, md5-substring hashes)

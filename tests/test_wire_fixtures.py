@@ -164,3 +164,37 @@ def test_json_converter_update_schema(spark):
     assert r["kbc__operation"] == "u"
     assert r["kbc__event_timestamp"] == 1710349868992
     assert r["__deleted"] == "false"
+
+
+def test_envelope_stream_tail(spark, tmp_path):
+    """The wire parser is stream-ready: the reference's envelope events
+    arrive as a JSON-lines tail (the shape a live Debezium/Kafka feed
+    delivers), flow through readStream -> parse_envelope, and land as
+    typed rows — tombstones (null payload / malformed JSON) dropped
+    mid-stream, exactly like the batch path."""
+    fields = _fixture("initialSchema.json")
+    events = _fixture("dataArray.json")
+    src = tmp_path / "tail"
+    src.mkdir()
+    lines = [json.dumps({"schema": {"name": "testcdc.inventory.products"
+                                            ".Value"},
+                         "payload": p}) for p in events]
+    lines.insert(1, json.dumps({"schema": {"name": "x.y.Value"},
+                                "payload": None}))    # tombstone
+    lines.append("not json at all")                    # malformed line
+    (src / "batch0.jsonl").write_text("\n".join(lines))
+
+    stream = spark.readStream.format("text").load(str(src))
+    parsed = parse_envelope(stream, "value",
+                            connect_fields_to_struct(fields))
+    got: list = []
+    q = (parsed.writeStream
+         .foreachBatch(lambda df, _id: got.extend(df.collect()))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(120)
+    assert sorted((r["name"], r["kbc__operation"], r["weight"])
+                  for r in got) == [("newName", "u", 100.0),
+                                    ("oldName", "i", 0.012)]
+    assert all(r["_table"] == "testcdc_inventory_products" for r in got)
