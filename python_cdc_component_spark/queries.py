@@ -684,6 +684,96 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(F.col("rn") <= 10).drop("rn"))
 
 
+
+@query("embedding_int8_ann_recall", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+qz AS (SELECT vec_id, e,
+              list_transform(e, x -> CAST(round(
+                  x / (list_max(list_transform(e, y -> abs(y))) / 127.0))
+                  AS BIGINT)) AS q
+       FROM v),
+n AS (SELECT vec_id, e, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE))
+               AS qqn,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM qz),
+qp AS (SELECT vec_id AS qid, e AS qe, q AS qq, qqn AS a_qn, nrm AS a_n
+       FROM n WHERE vec_id < 5),
+cp AS (SELECT vec_id AS cid, e AS ce, q AS cq, qqn AS b_qn, nrm AS b_n
+       FROM n WHERE vec_id >= 5),
+sq AS (SELECT qid, cid,
+              CAST(list_sum(list_transform(range(1, 65),
+                   i -> qq[i] * cq[i])) AS DOUBLE) / (a_qn * b_qn) AS qsim
+       FROM qp, cp),
+tq AS (SELECT qid, cid FROM sq
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY qsim DESC, cid) <= 10),
+se AS (SELECT qid, cid,
+              round(list_sum(list_transform(range(1, 65),
+                    i -> qe[i] * ce[i])) / (a_n * b_n), 6) AS sim
+       FROM qp, cp),
+te AS (SELECT qid, cid FROM se
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY sim DESC, cid) <= 10)
+SELECT t.qid, CAST(COUNT(e.cid) AS DOUBLE) / 10.0 AS recall_at_10
+FROM tq t LEFT JOIN te e ON t.qid = e.qid AND t.cid = e.cid
+GROUP BY t.qid
+""")
+def embedding_int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization for similarity search (the 4x
+    memory / bandwidth cut that makes billion-vector ANN fit a
+    cluster): per-vector scale = absmax/127, and because quantized
+    cosine = int-dot / (int-norm * int-norm) the scales CANCEL -- the
+    whole quantized ranking runs on exact integer sums (identical in
+    every engine, no float-fold hazard), with two IEEE ops at the end.
+    Reported per probe as recall@10 against the exact-cosine top-k
+    (embedding_topk's proven ranking) -- quantization quality is a
+    monitored query output, the embedding_ann_recall convention."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    scale = F.array_max(F.transform("e", lambda x: F.abs(x))) / F.lit(127.0)
+    emb = (emb
+           .withColumn("q", F.transform("e", lambda x:
+                                        F.round(x / scale).cast("long")))
+           .withColumn("qqn", F.sqrt(F.aggregate(
+               F.transform("q", lambda x: x * x),
+               F.lit(0).cast("long"), lambda a, x: a + x).cast("double")))
+           .withColumn("nrm", F.sqrt(F.aggregate(
+               F.transform("e", lambda x: x * x),
+               F.lit(0.0), lambda a, x: a + x))))
+    qp = (emb.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                     F.col("q").alias("qq"), F.col("qqn").alias("a_qn"),
+                     F.col("nrm").alias("a_n")))
+    cp = (emb.filter(F.col("vec_id") >= 5)
+             .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                     F.col("q").alias("cq"), F.col("qqn").alias("b_qn"),
+                     F.col("nrm").alias("b_n")))
+    pairs = cp.crossJoin(F.broadcast(qp))
+    qdot = F.aggregate(F.zip_with("qq", "cq", lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda a, x: a + x)
+    edot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                       F.lit(0.0), lambda a, x: a + x)
+    scored = pairs.select(
+        "qid", "cid",
+        (qdot.cast("double") / (F.col("a_qn") * F.col("b_qn"))).alias("qsim"),
+        F.round(edot / (F.col("a_n") * F.col("b_n")), 6).alias("sim"))
+    wq = Window.partitionBy("qid").orderBy(F.col("qsim").desc(), F.col("cid"))
+    we = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    tq = (scored.withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= 10).select("qid", "cid"))
+    te = (scored.withColumn("rn", F.row_number().over(we))
+                .filter(F.col("rn") <= 10).select(
+                    F.col("qid").alias("eqid"), F.col("cid").alias("ecid")))
+    hit = tq.join(te, (F.col("qid") == F.col("eqid"))
+                  & (F.col("cid") == F.col("ecid")), "left")
+    return (hit.groupBy("qid")
+               .agg((F.count("ecid").cast("double") / F.lit(10.0))
+                    .alias("recall_at_10")))
+
+
 @query("multimodal_meta", """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -2081,6 +2171,57 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", n.alias("n_words"),
                     F.round(mwl, 6).alias("mean_word_len"),
                     n_stop.alias("n_stop"), keep.alias("keep"))
+
+
+@query("quality_filter_chain", """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mwl,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN {stop})) AS n_stop,
+         CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+              AS DOUBLE) / length(text) AS vr,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents),
+v AS (SELECT doc_id,
+             CASE WHEN NOT (vr >= 0.30) THEN 'lang'
+                  WHEN NOT (n_words BETWEEN 50 AND 100000
+                            AND mwl BETWEEN 3 AND 10
+                            AND n_stop >= 2) THEN 'gopher'
+                  WHEN rn > 1 THEN 'exact_dup'
+                  ELSE 'kept' END AS drop_reason
+      FROM m)
+SELECT doc_id, drop_reason, drop_reason = 'kept' AS keep FROM v
+""".format(stop=_STOP_SQL))
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style filtering cascade: language-ID -> Gopher rules ->
+    exact-dedup keep, one verdict row per document with the FIRST
+    failing stage as the drop reason (the order the big corpus
+    pipelines apply them, cheapest-first).  Single scan, one uniform
+    md5-keyed window for the dedup rank -- the whole chain is one
+    shuffle at any corpus scale, and every stage reuses the exact
+    expression its standalone query (text_langid /
+    gopher_quality_filter / exact_dedup_docs) already oracles."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    mwl = (F.length("text") - (n - 1)).cast("double") / n
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    vr = (F.length(F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", ""))
+          .cast("double") / F.length("text"))
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5(F.col("text").cast("binary")))
+              .orderBy("doc_id"))
+    gopher = ((n >= 50) & (n <= 100000)
+              & (mwl >= 3) & (mwl <= 10) & (n_stop >= 2))
+    reason = (F.when(~(vr >= 0.30), "lang")
+               .when(~gopher, "gopher")
+               .when(rn > 1, "exact_dup")
+               .otherwise("kept"))
+    return d.select("doc_id", reason.alias("drop_reason"),
+                    (reason == F.lit("kept")).alias("keep"))
 
 
 @query("dup_components", """

@@ -114,3 +114,29 @@ def test_semantic_cap_bounds_hot_cluster(spark):
     assert 0 < len(rows) < 19900 / 2
     assert all(r["sim"] >= 0.99 for r in rows)
     assert pairs.select("cluster_id").distinct().count() == 4
+
+
+def test_vectorized_assignment_matches_jvm_path(spark, sf_dir,
+                                                monkeypatch):
+    """The large-k Arrow assignment kernel (BLAS matmul distances)
+    agrees with the HOF-literal path: identical cluster decisions
+    (tie-break included — argmin over ascending-cid order) and _d2
+    within dgemm round-off.  Distances differ only by float
+    reassociation, which no oracle observes (oracled queries pin k=4,
+    the HOF path)."""
+    from python_cdc_component_spark.operators.llm import kmeans as km
+
+    emb = _emb(spark, sf_dir)
+    a_jvm, cent = kmeans_fit(emb, k=4, iters=1)
+    jvm = {r["vec_id"]: (r["cid"], r["_d2"]) for r in a_jvm.collect()}
+    monkeypatch.setattr(km, "_ASSIGN_PANDAS_MIN_TERMS", 0)
+    a_pd, cent_pd = kmeans_fit(emb, k=4, iters=1)
+    pd_ = {r["vec_id"]: (r["cid"], r["_d2"]) for r in a_pd.collect()}
+    assert set(jvm) == set(pd_)
+    for vid, (cid, d2) in jvm.items():
+        assert pd_[vid][0] == cid
+        assert pd_[vid][1] == pytest.approx(d2, rel=1e-9, abs=1e-12)
+    # identical assignments -> the decimal means replay identically
+    assert [c for c, _ in cent] == [c for c, _ in cent_pd]
+    for (_, a), (_, b) in zip(cent, cent_pd):
+        assert a == pytest.approx(b, rel=1e-12)

@@ -72,3 +72,12 @@ def test_segment_dedup_two_shuffles(spark, sf_dir):
     shuffles SCALING.md budgets — no third exchange may creep in."""
     s = _summary(spark, sf_dir, "segment_dedup_docs")
     assert s.shuffles == 2
+
+
+def test_quality_filter_chain_single_shuffle(spark, sf_dir):
+    """The whole language->gopher->dedup cascade is ONE scan + ONE
+    uniform md5-keyed Exchange (the dedup-rank window); every rule
+    stage is a map-side expression. A second shuffle creeping in means
+    a stage stopped fusing."""
+    s = _summary(spark, sf_dir, "quality_filter_chain")
+    assert s.shuffles == 1 and s.scans == 1
