@@ -36,8 +36,14 @@ def unigram_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, c, n_total) unigram model from the corpus. One shuffle on the
     token; ``n_total`` is carried denormalized via a broadcast of the
     1-row total so the model is a self-contained artifact."""
+    from ...caching import persist_once
+
     counts = (docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
                   .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    # counts feeds both the total and the model join — persist_once so
+    # the corpus explode+groupBy doesn't statically execute twice (the
+    # model is vocabulary-sized: cheap to hold, shared session-wide).
+    counts = persist_once(counts)
     total = counts.agg(F.sum("c").cast("long").alias("n_total"))
     return counts.crossJoin(F.broadcast(total))
 
@@ -62,3 +68,38 @@ def doc_perplexity(docs: DataFrame, model: DataFrame,
         F.count(F.lit(1)).alias("n_tokens"),
         avg.alias("avg_logp2"))
         .withColumn("ppl", F.round(F.pow(F.lit(2.0), -F.col("avg_logp2")), 4)))
+
+
+def ppl_buckets(scored: DataFrame, group_col: str = "lang",
+                id_col: str = "doc_id", ppl_col: str = "ppl",
+                exact: bool = True) -> DataFrame:
+    """CCNet-style head/middle/tail split: per-``group_col`` perplexity
+    tertiles assign each doc a quality bucket (CCNet keeps "head" as
+    the cleanest third of each language).
+
+    Scale shape: thresholds are a per-group AGGREGATE (groups-many
+    rows), broadcast back onto the scored docs — never a global-sort
+    window, never ntile over one partition. With ``exact=True`` the
+    thresholds use Spark's exact interpolated ``percentile`` (bit-
+    matching DuckDB's ``quantile_cont`` for the oracle); at real corpus
+    scale flip to ``exact=False`` → ``approx_percentile`` (t-digest
+    sketch, partial-aggregable, no per-group value buffering) with the
+    same downstream plan.
+    """
+    from ...caching import persist_once
+
+    # scored feeds BOTH the threshold aggregate and the output join —
+    # persist_once keeps the (doc-count-sized, corpus-shrunk) subtree
+    # from statically executing twice, the same session-lived cache
+    # discipline the MinHash signature build uses.
+    scored = persist_once(scored)
+    pctl = "percentile" if exact else "approx_percentile"
+    thr = (scored.groupBy(group_col).agg(
+        F.round(F.expr(f"{pctl}({ppl_col}, 0.33)"), 6).alias("t_head"),
+        F.round(F.expr(f"{pctl}({ppl_col}, 0.67)"), 6).alias("t_mid")))
+    bucket = (F.when(F.col(ppl_col) <= F.col("t_head"), "head")
+               .when(F.col(ppl_col) <= F.col("t_mid"), "middle")
+               .otherwise("tail"))
+    return (scored.join(F.broadcast(thr), group_col)
+                  .select(id_col, group_col, ppl_col,
+                          bucket.alias("ppl_bucket")))

@@ -4435,3 +4435,84 @@ def semantic_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", F.col("vec_id").alias("nb")),
     ])
     return nbr.groupBy("vec_id").agg(F.min("nb").alias("group_rep"))
+
+
+@query("dsir_select_docs", """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  doc_id % 10 = 0 AS t FROM documents),
+grams AS (
+  SELECT doc_id, t, unnest(toks) AS g FROM d
+  UNION ALL
+  SELECT doc_id, t, toks[i] || ' ' || toks[i+1] AS g
+  FROM d, UNNEST(range(1, len(toks))) AS r(i)),
+b AS (SELECT doc_id, t,
+             ('0x' || substr(md5(g), 1, 7))::BIGINT % 256 AS bkt FROM grams),
+cnt AS (SELECT bkt,
+               COUNT(*) FILTER (WHERE t) AS ct,
+               COUNT(*) FILTER (WHERE NOT t) AS cr
+        FROM b GROUP BY bkt),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+               CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
+lam AS (SELECT bkt,
+               CAST(round(log2((ct + 1.0) / (tt + 256.0))
+                        - log2((cr + 1.0) / (tr + 256.0)), 9)
+                    AS DECIMAL(28,9)) AS lam
+        FROM cnt, tot),
+w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             round(CAST(SUM(lam) AS DOUBLE), 6) AS logw
+      FROM b JOIN lam USING (bkt) WHERE NOT t GROUP BY doc_id)
+SELECT doc_id, n_grams, logw,
+       round(logw + round(-ln(-ln(
+           (('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 7))
+            ::BIGINT % 1000000 + 0.5) / 1000000.0)), 9), 6) AS sel_key
+FROM w ORDER BY sel_key DESC, doc_id LIMIT 100
+""")
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023; operators.llm.dsir):
+    hashed unigram+bigram bucket distributions for a target split
+    (doc_id % 10 == 0, the in-domain proxy — the same deterministic
+    split convention bloom_dedup_incremental uses) vs the raw rest,
+    per-raw-doc log importance weight under add-1 smoothing, then
+    deterministic Gumbel top-k selection. One fit scan (conditional-
+    count groupBy to a 256-row broadcast lambda-table), one score scan,
+    TakeOrdered top-k — no global sort, no n^2, O(B) model state."""
+    from .operators.llm.dsir import dsir_select
+    d = read_table(_spark(spark), sf_dir, "documents")
+    return dsir_select(d, (F.col("doc_id") % 10) == 0, k=100)
+
+
+@query("ccnet_ppl_buckets", """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+cnt AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+lp AS (SELECT w, CAST(round(log2(c / (1.0 * n_total)), 9)
+                      AS DECIMAL(28,9)) AS lp
+       FROM cnt, tot),
+j AS (SELECT doc_id, lp FROM words JOIN lp USING (w)),
+agg AS (SELECT doc_id,
+               round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp2
+        FROM j GROUP BY doc_id),
+sl AS (SELECT a.doc_id, d.lang, round(pow(2.0, -a.avg_logp2), 4) AS ppl
+       FROM agg a JOIN documents d USING (doc_id)),
+thr AS (SELECT lang, round(quantile_cont(ppl, 0.33), 6) AS t_head,
+                     round(quantile_cont(ppl, 0.67), 6) AS t_mid
+        FROM sl GROUP BY lang)
+SELECT doc_id, lang, ppl,
+       CASE WHEN ppl <= t_head THEN 'head'
+            WHEN ppl <= t_mid THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM sl JOIN thr USING (lang)
+""")
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (operators.llm.lm
+    ppl_buckets): per-language perplexity tertiles under the corpus
+    unigram LM assign each doc its quality bucket. Thresholds are a
+    per-language AGGREGATE broadcast back onto the docs — never a
+    global-sort ntile window; at real scale the exact percentile swaps
+    for approx_percentile (t-digest, partial-aggregable) behind the
+    same plan shape."""
+    from .operators.llm.lm import unigram_fit, doc_perplexity, ppl_buckets
+    d = read_table(_spark(spark), sf_dir, "documents")
+    scored = (doc_perplexity(d, unigram_fit(d))
+              .join(d.select("doc_id", "lang"), "doc_id"))
+    return ppl_buckets(scored, group_col="lang")

@@ -54,3 +54,75 @@ def test_jsonl_roundtrip_preserves_rows(spark, sf_dir):
             .filter(F.col("event_type").isin("click", "purchase")).count())
     assert out.count() == want
     assert out.filter(F.col("ts_ms").isNull()).count() == 0
+
+
+class TestDsir:
+    def test_selects_only_raw_docs_k_rows(self, spark, sf_dir):
+        from python_cdc_component_spark.queries import QUERIES
+        rows = QUERIES["dsir_select_docs"](spark, sf_dir).collect()
+        assert 0 < len(rows) <= 100
+        assert all(r.doc_id % 10 != 0 for r in rows)  # target excluded
+        # deterministic: same call, same selection
+        again = QUERIES["dsir_select_docs"](spark, sf_dir).collect()
+        assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+    def test_target_like_docs_rank_higher(self, spark, sf_dir):
+        """A raw doc whose text IS a target doc's text must outscore the
+        median raw doc (its n-grams all fall in target-heavy buckets)."""
+        import pyspark.sql.functions as F
+        from python_cdc_component_spark.operators.llm.dsir import (
+            dsir_lambda_table, _gram_buckets)
+        from python_cdc_component_spark.sources.events import read_table
+        d = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", ((F.col("doc_id") % 10) == 0).alias("__t"))
+        lam = dsir_lambda_table(_gram_buckets(d, ["__t"], "text", 256),
+                                F.col("__t"), 256)
+        # score EVERY doc (incl. target) under the fitted table
+        scores = {r["doc_id"]: float(r["s"]) for r in (
+            _gram_buckets(d, ["doc_id"], "text", 256)
+            .join(F.broadcast(lam), "bkt")
+            .groupBy("doc_id")
+            .agg((F.sum("lam").cast("double") / F.count(F.lit(1))).alias("s"))
+            .collect())}
+        tgt = [s for i, s in scores.items() if i % 10 == 0]
+        raw = [s for i, s in scores.items() if i % 10 != 0]
+        tgt_mean = sum(tgt) / len(tgt)
+        raw_med = sorted(raw)[len(raw) // 2]
+        assert tgt_mean > raw_med  # per-gram weight separates the splits
+
+    def test_bigram_guard_single_token_doc(self, spark):
+        from python_cdc_component_spark.operators.llm.dsir import _gram_buckets
+        d = spark.createDataFrame([(1, "one"), (2, "two words")],
+                                  "doc_id long, text string")
+        n = (_gram_buckets(d, ["doc_id"], "text", 16)
+             .groupBy("doc_id").count().collect())
+        got = {r["doc_id"]: r["count"] for r in n}
+        assert got == {1: 1, 2: 3}  # 1 unigram; 2 unigrams + 1 bigram
+
+
+class TestCcnetBuckets:
+    def test_tertiles_per_lang(self, spark, sf_dir):
+        from python_cdc_component_spark.queries import QUERIES
+        rows = QUERIES["ccnet_ppl_buckets"](spark, sf_dir).collect()
+        assert rows
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r.ppl_bucket)
+        for lang, buckets in by_lang.items():
+            n = len(buckets)
+            if n < 9:
+                continue
+            # head is the cleanest ~third: within ±40% of n/3
+            h = buckets.count("head")
+            assert abs(h - n / 3) <= max(2, 0.4 * n), (lang, h, n)
+            assert set(buckets) <= {"head", "middle", "tail"}
+
+    def test_head_has_lowest_ppl(self, spark, sf_dir):
+        from python_cdc_component_spark.queries import QUERIES
+        rows = QUERIES["ccnet_ppl_buckets"](spark, sf_dir).collect()
+        for lang in {r.lang for r in rows}:
+            lr = [r for r in rows if r.lang == lang]
+            heads = [r.ppl for r in lr if r.ppl_bucket == "head"]
+            tails = [r.ppl for r in lr if r.ppl_bucket == "tail"]
+            if heads and tails:
+                assert max(heads) <= min(tails)

@@ -81,3 +81,28 @@ def test_quality_filter_chain_single_shuffle(spark, sf_dir):
     a stage stopped fusing."""
     s = _summary(spark, sf_dir, "quality_filter_chain")
     assert s.shuffles == 1 and s.scans == 1
+
+
+def test_dsir_two_scans_no_cartesian_takeordered(spark, sf_dir):
+    """DSIR is fit-scan + score-scan: exactly two corpus FileScans
+    statically (uni+bi grams come from ONE Generate per pass — a
+    regression to per-order unions or crossJoin totals re-adds scans),
+    the lambda-table joins broadcast, and the global top-k is
+    TakeOrderedAndProject (per-partition heaps), never a global Sort."""
+    s = _summary(spark, sf_dir, "dsir_select_docs")
+    assert s.scans == 2
+    assert "CartesianProduct" not in s.text
+    assert "TakeOrderedAndProject" in s.text
+    assert s.text.count("Sort ") == 0
+
+
+def test_ccnet_thresholds_broadcast_no_global_sort(spark, sf_dir):
+    """CCNet buckets: the per-language tertile thresholds are an
+    AGGREGATE broadcast back onto the docs — the plan must contain no
+    Sort at all (an ntile/global-rank rewrite would add a data-sized
+    single-partition window) and the scored subtree is cached, not
+    statically doubled."""
+    s = _summary(spark, sf_dir, "ccnet_ppl_buckets")
+    assert s.text.count("Sort ") == 0
+    assert "percentile" in s.text
+    assert "InMemoryTableScan" in s.text or "InMemoryRelation" in s.text
