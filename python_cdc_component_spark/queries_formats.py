@@ -150,3 +150,71 @@ def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  _dec_sum(F.col("value"), "sum_value"),
                  F.unix_millis(F.max("ts")).alias("max_ts_ms")))
+
+
+@query("variant_shred_events", """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k,
+       CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.missing')
+                             IS NOT NULL) AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+""")
+def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type: the
+    JSON payload column parses once into a binary variant
+    (``parse_json``) and typed paths extract JVM-side with
+    ``try_variant_get`` — the open-lakehouse answer to per-query JSON
+    string re-parsing (the reference stores Debezium's payload as plain
+    JSON strings and re-walks them per access,
+    ``debezium_core``'s converter keeps values as JSON text). Variant
+    decode is columnar + whole-stage-codegen; absent paths yield NULL
+    (priced by ``n_missing``), and all aggregates are exact integer
+    sums so the DuckDB JSON oracle hash-matches."""
+    spark = _spark(spark)
+    v = read_events(spark, sf_dir).select(
+        "event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "long")
+    miss = F.try_variant_get("v", "$.missing", "string")
+    return (v.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(k).cast("long").alias("sum_k"),
+                  F.max(k).cast("long").alias("max_k"),
+                  F.count(miss).cast("long").alias("n_missing")))
+
+
+@query("xml_roundtrip_events", """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(MAX(epoch_ms(ts)) AS BIGINT) AS max_ts_ms
+FROM events
+GROUP BY event_type
+""")
+def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events survive a parquet→XML→XML-scan hop value-exact (Spark 4
+    ships the XML source built in — the third interchange format after
+    CSV/JSONL on the egress surface). Timestamps cross as epoch-ms
+    longs (XML has no native timestamp lexical guarantee across
+    writers) and the read-back uses an EXPLICIT schema — XML inference
+    would widen longs/doubles from text. Doubles round-trip exactly:
+    the writer emits Java's shortest-round-trip decimal form."""
+    spark = _spark(spark)
+    out = tempfile.mkdtemp(prefix="xml_events_")
+    ev = read_events(spark, sf_dir).select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "event_type", "value")
+    (ev.write.mode("overwrite").format("xml")
+       .option("rowTag", "event").save(out))
+    back = (spark.read.format("xml").option("rowTag", "event")
+            .schema("event_id long, ts_ms long, event_type string, "
+                    "value double")
+            .load(out))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum(F.col("value"), "sum_value"),
+                 F.max("ts_ms").cast("long").alias("max_ts_ms")))

@@ -99,3 +99,37 @@ def test_orc_roundtrip_lossless(spark, sf_dir):
     assert back.schema == ev.schema
     assert back.exceptAll(ev).count() == 0
     assert ev.exceptAll(back).count() == 0
+
+
+def test_xml_roundtrip_lossless(spark, sf_dir):
+    """parquet→XML→scan preserves every row exactly under the explicit
+    read schema (doubles cross as Java's shortest-round-trip decimal
+    form, timestamps as epoch-ms longs)."""
+    from python_cdc_component_spark.sources.events import read_events
+    ev = read_events(spark, sf_dir).select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "event_type", "value")
+    out = tempfile.mkdtemp(prefix="xml_rt_")
+    ev.write.mode("overwrite").format("xml").option("rowTag", "event").save(out)
+    back = (spark.read.format("xml").option("rowTag", "event")
+            .schema("event_id long, ts_ms long, event_type string, "
+                    "value double").load(out))
+    assert back.exceptAll(ev).count() == 0
+    assert ev.exceptAll(back).count() == 0
+
+
+def test_variant_absent_path_is_null_and_typed_get(spark):
+    """try_variant_get returns NULL for absent paths and for
+    non-castable types — the shredding contract variant_shred_events'
+    n_missing column prices."""
+    df = spark.createDataFrame(
+        [('{"k": 5, "s": "x"}',), ('{"s": "y"}',)], "j string")
+    v = df.select(F.parse_json("j").alias("v"))
+    got = v.select(
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.missing", "string").alias("m"),
+        F.try_variant_get("v", "$.s", "long").alias("s_as_long"),
+    ).collect()
+    assert [r.k for r in got] == [5, None]
+    assert all(r.m is None for r in got)
+    assert all(r.s_as_long is None for r in got)  # "x" not a long
