@@ -4516,3 +4516,41 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (doc_perplexity(d, unigram_fit(d))
               .join(d.select("doc_id", "lang"), "doc_id"))
     return ppl_buckets(scored, group_col="lang")
+
+
+@query("exact_substr_spans", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+w AS (SELECT doc_id, i AS pos, md5(array_to_string(tk[i+1:i+8], ' ')) AS h
+      FROM t, UNNEST(range(0, len(tk) - 8 + 1)) AS r(i)
+      WHERE len(tk) >= 8),
+d AS (SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM w),
+dup AS (SELECT doc_id, pos FROM d WHERE rn > 1),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         IS NULL THEN 1
+                    WHEN pos > LAG(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) + 8 THEN 1
+                    ELSE 0 END AS brk
+        FROM dup),
+g AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM isl)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+FROM g GROUP BY doc_id, gid
+""")
+def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022;
+    operators.llm.exactsubstr): stride-1 8-token windows keyed by md5,
+    corpus-global first occurrence kept, later occurrences merged into
+    maximal per-doc spans via gaps-and-islands. Complements the
+    tile-aligned segment_dedup_docs: this catches repeats at ANY
+    offset. Two O(corpus) shuffles (window-hash rank, doc-id islands);
+    the wire carries 32-hex hashes, never window text."""
+    from .operators.llm.exactsubstr import duplicated_spans
+    d = read_table(_spark(spark), sf_dir, "documents")
+    return duplicated_spans(d, window=8)

@@ -126,3 +126,57 @@ class TestCcnetBuckets:
             tails = [r.ppl for r in lr if r.ppl_bucket == "tail"]
             if heads and tails:
                 assert max(heads) <= min(tails)
+
+
+class TestExactSubstr:
+    def test_planted_cross_doc_span(self, spark):
+        """A 10-token substring shared between two docs must surface as
+        ONE merged span in the later doc (corpus-global first
+        occurrence kept), at the exact token offsets."""
+        from python_cdc_component_spark.operators.llm.exactsubstr import (
+            duplicated_spans)
+        d = spark.createDataFrame([
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "zz yy c d e f g h i j k l xx ww vv uu tt ss"),
+            (3, "totally different words here with no repeats at all ok"),
+        ], "doc_id long, text string")
+        rows = duplicated_spans(d, window=8).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.doc_id, r.span_start, r.span_end, r.span_tokens) == (2, 2, 11, 10)
+
+    def test_offset_straddling_beats_tiles(self, spark):
+        """The repeat starts mid-tile: tile-aligned segment dedup (k=8)
+        cannot see it, the stride-1 window operator must."""
+        from python_cdc_component_spark.operators.llm.exactsubstr import (
+            duplicated_spans)
+        base = "p q r s t u v w x y".split()          # 10-token repeat
+        d = spark.createDataFrame([
+            (1, "f1 f2 f3 " + " ".join(base) + " t1 t2 t3"),
+            (2, "g1 g2 g3 g4 g5 " + " ".join(base) + " u1"),
+        ], "doc_id long, text string")
+        rows = duplicated_spans(d, window=8).collect()
+        assert [(r.doc_id, r.span_start, r.span_end) for r in rows] == [(2, 5, 14)]
+
+    def test_short_docs_no_windows(self, spark):
+        from python_cdc_component_spark.operators.llm.exactsubstr import (
+            duplicated_spans)
+        d = spark.createDataFrame(
+            [(1, "too short"), (2, "too short")], "doc_id long, text string")
+        assert duplicated_spans(d, window=8).count() == 0
+
+    def test_adjacent_runs_merge(self, spark):
+        """Two duplicated regions separated by more than L tokens stay
+        separate spans; back-to-back ones merge."""
+        from python_cdc_component_spark.operators.llm.exactsubstr import (
+            duplicated_spans)
+        rep1 = "a1 a2 a3 a4 a5 a6 a7 a8".split()
+        rep2 = "b1 b2 b3 b4 b5 b6 b7 b8".split()
+        gap = [f"x{i}" for i in range(12)]
+        d = spark.createDataFrame([
+            (1, " ".join(rep1 + ["m1"] + rep2)),
+            (2, " ".join(rep1 + gap + rep2)),
+        ], "doc_id long, text string")
+        rows = sorted(((r.doc_id, r.span_start, r.span_end)
+                       for r in duplicated_spans(d, window=8).collect()))
+        assert rows == [(2, 0, 7), (2, 20, 27)]

@@ -106,3 +106,13 @@ def test_ccnet_thresholds_broadcast_no_global_sort(spark, sf_dir):
     assert s.text.count("Sort ") == 0
     assert "percentile" in s.text
     assert "InMemoryTableScan" in s.text or "InMemoryRelation" in s.text
+
+
+def test_exact_substr_two_shuffles_hash_keyed(spark, sf_dir):
+    """ExactSubstr spans: exactly two O(corpus) Exchanges (window-hash
+    rank, doc-id islands — the island lag/sum/group chain reuses one
+    partitioning), one scan, md5 keys on the wire (never window text)."""
+    s = _summary(spark, sf_dir, "exact_substr_spans")
+    assert s.shuffles == 2 and s.scans == 1
+    assert "CartesianProduct" not in s.text
+    assert "md5" in s.text
