@@ -128,3 +128,53 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+# --- ExactSubstr spans vs a pure-Python reference ---------------------
+
+_words = st.sampled_from([f"w{i}" for i in range(6)])
+_docs_strategy = st.lists(
+    st.lists(_words, min_size=0, max_size=24), min_size=1, max_size=6)
+
+
+def _spans_reference(docs, L):
+    """Pure-Python ExactSubstr: stride-1 L-windows, global first
+    occurrence in (doc_id, pos) order kept, later occurrences merged
+    into maximal spans (merge while pos <= prev + L)."""
+    seen = set()
+    dup = []                      # (doc_id, pos) duplicate windows
+    for did, toks in enumerate(docs):
+        for pos in range(len(toks) - L + 1):
+            w = tuple(toks[pos:pos + L])
+            if w in seen:
+                dup.append((did, pos))
+            else:
+                seen.add(w)
+    out = []
+    by_doc = {}
+    for did, pos in dup:
+        by_doc.setdefault(did, []).append(pos)
+    for did, poss in by_doc.items():
+        poss.sort()
+        start = prev = poss[0]
+        for p in poss[1:]:
+            if p > prev + L:
+                out.append((did, start, prev + L - 1, prev + L - start))
+                start = p
+            prev = p
+        out.append((did, start, prev + L - 1, prev + L - start))
+    return sorted(out)
+
+
+@given(docs=_docs_strategy, L=st.integers(2, 5))
+@settings(max_examples=10, deadline=None)
+def test_duplicated_spans_match_python_reference(spark_global, docs, L):
+    from python_cdc_component_spark.operators.llm.exactsubstr import (
+        duplicated_spans)
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string")
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.span_tokens)
+                 for r in duplicated_spans(df, window=L).collect())
+    assert got == _spans_reference(docs, L)
