@@ -50,6 +50,9 @@ HEADLINE = [
     # round-4 additions
     "embedding_kmeans",              # Lloyd iterations, k*d driver state
     "semantic_dedup_pairs",          # SemDeDup cluster-local search
+    # round-5 additions
+    "dsir_select_docs",              # DSIR hashed-ngram importance top-k
+    "exact_substr_spans",            # stride-1 duplicated-span detection
 ]
 
 
