@@ -56,19 +56,22 @@ DRIVER_WINDOW = [
     # rotated in (no r04 row): round-4/5 cluster family
     "embedding_kmeans", "semantic_dedup_pairs", "semantic_dup_groups",
     "cdc_pg_dedup_latest",
-    # rotated in: TPC-H tail
-    "q3_shipping_priority", "q5_nation_revenue", "q6_revenue_delta",
+    # rotated in: TPC-H tail (q3/q5/q6 earned rows in r01-r03 and
+    # rotate back out for the round-5 additions)
     "q9_nation_year_profit", "q18_large_volume_customers",
     "q21_late_supplier_blame",
-    # rotated in: windows suite
-    "window_functions_suite", "hopping_window_agg", "session_window_agg",
-    "rollup_orders",
+    # rotated in: windows suite (window_functions_suite/rollup_orders
+    # earned rows in r01-r03, rotated back out)
+    "hopping_window_agg", "session_window_agg",
     # rotated in: text/sketch/evaluation operators
     "tfidf_top_terms", "winnowing_fingerprints", "countmin_heavy_hitters",
     "hll_distinct_contract", "embedding_ann_recall",
     "minhash_jaccard_accuracy", "simhash_near_pairs", "lsh_dup_groups",
     # rotated in: format/bucketing surface
     "bucketed_join_revenue", "orc_roundtrip_events", "all_datatypes_decode",
+    # rotated in: round-5 second-session additions (never had a row)
+    "dsir_select_docs", "exact_substr_spans", "ccnet_ppl_buckets",
+    "variant_shred_events", "xml_roundtrip_events",
 ]
 
 
