@@ -42,11 +42,24 @@ from pyspark.sql import functions as F
 
 
 def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", window: int = 8) -> DataFrame:
+                     text_col: str = "text", window: int = 8,
+                     hot_threshold: int | None = None) -> DataFrame:
     """(id, span_start, span_end, span_tokens): maximal per-doc token
     spans covered by L-token windows that occur elsewhere in the corpus
     earlier in (doc_id, pos) order. ``span_start``/``span_end`` are
-    0-based token offsets, inclusive."""
+    0-based token offsets, inclusive.
+
+    ``hot_threshold``: the 100 TB skew valve. The rank window sorts each
+    hash's occurrences on ONE reducer — boilerplate repeated millions of
+    times (license headers, nav chrome) turns that reducer into the
+    straggler. With a threshold, hashes with more than that many
+    occurrences take a rank-free path: their corpus-global first
+    occurrence is ``min(struct(doc_id, pos))`` — a partial-aggregable
+    agg whose map-side combine collapses any hot key to one row per map
+    task — and dup-marking is a broadcast join (the hot-hash set is
+    tiny by definition: at most corpus/threshold entries). Cold hashes
+    keep the rank window, now with the skew mass removed. Output is
+    IDENTICAL to the single-path form (parity-tested)."""
     L = window
     toks = F.split(F.col(text_col), " ")
     # stride-1 windows; sequence(0, n-L) DESCENDS when n < L → guard
@@ -58,10 +71,13 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
     ).otherwise(F.array().cast("array<string>"))
     w = docs.select(F.col(id_col),
                     F.posexplode(wins).alias("pos", "h"))
-    occ = Window.partitionBy("h").orderBy(id_col, "pos")
-    dup = (w.withColumn("rn", F.row_number().over(occ))
-            .filter(F.col("rn") > 1)
-            .select(id_col, "pos"))
+    if hot_threshold is not None:
+        dup = _dups_with_hot_path(w, id_col, hot_threshold)
+    else:
+        occ = Window.partitionBy("h").orderBy(id_col, "pos")
+        dup = (w.withColumn("rn", F.row_number().over(occ))
+                .filter(F.col("rn") > 1)
+                .select(id_col, "pos"))
     by_doc = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") > F.lag("pos").over(by_doc) + L, 1
@@ -77,3 +93,35 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
     return spans.withColumn(
         "span_tokens",
         (F.col("span_end") - F.col("span_start") + 1).cast("long"))
+
+
+def _dups_with_hot_path(w: DataFrame, id_col: str,
+                        hot_threshold: int) -> DataFrame:
+    """Duplicate windows with hot hashes routed around the rank sort.
+
+    hot set:   groupBy(h).count() — map-side partials make the count
+               itself skew-immune; hashes over the threshold form a
+               tiny table (≤ corpus/threshold rows) that BROADCASTS.
+    hot dups:  broadcast-join the occurrences with the hot set's
+               per-hash min(struct(doc_id,pos)) (another partial-
+               aggregable min) — every occurrence except the min is a
+               duplicate. Map-side only; no hot key ever sorts.
+    cold dups: the standard rank window, skew mass already excluded
+               (left_anti against the broadcast hot set).
+    """
+    cnt = w.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    hot = cnt.filter(F.col("c") > hot_threshold).select("h")
+    hot_occ = w.join(F.broadcast(hot), "h")
+    hot_min = (hot_occ.groupBy("h")
+               .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                   F.col("pos").alias("p"))).alias("m")))
+    hot_dup = (hot_occ.join(F.broadcast(hot_min), "h")
+               .filter((F.col(id_col) != F.col("m.d"))
+                       | (F.col("pos") != F.col("m.p")))
+               .select(id_col, "pos"))
+    cold = w.join(F.broadcast(hot), "h", "left_anti")
+    occ = Window.partitionBy("h").orderBy(id_col, "pos")
+    cold_dup = (cold.withColumn("rn", F.row_number().over(occ))
+                .filter(F.col("rn") > 1)
+                .select(id_col, "pos"))
+    return cold_dup.unionByName(hot_dup)

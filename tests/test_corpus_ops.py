@@ -180,3 +180,23 @@ class TestExactSubstr:
         rows = sorted(((r.doc_id, r.span_start, r.span_end)
                        for r in duplicated_spans(d, window=8).collect()))
         assert rows == [(2, 0, 7), (2, 20, 27)]
+
+    def test_hot_path_parity_and_no_hot_rank(self, spark, sf_dir):
+        """The hot-threshold skew valve must produce byte-identical
+        spans to the single-path form on a corpus with a pathological
+        hot window (one phrase repeated across many docs), and the hot
+        mass must reach dup-marking through a broadcast join, not a
+        rank sort."""
+        from python_cdc_component_spark.operators.llm.exactsubstr import (
+            duplicated_spans)
+        from python_cdc_component_spark.plans.explain import plan_summary
+        boiler = " ".join(f"b{i}" for i in range(9))     # hot 9-token run
+        rows = [(i, f"u{i}a u{i}b " + boiler + f" t{i}") for i in range(60)]
+        rows += [(100, "q r s t u v w x y z later copy"),
+                 (101, "zz q r s t u v w x y z tail")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        base = sorted(map(tuple, duplicated_spans(d, window=8).collect()))
+        hot = duplicated_spans(d, window=8, hot_threshold=10)
+        assert sorted(map(tuple, hot.collect())) == base
+        s = plan_summary(hot)
+        assert s.text.count("BroadcastHashJoin") >= 2  # hot min + marking
