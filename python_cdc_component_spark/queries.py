@@ -4554,3 +4554,62 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.llm.exactsubstr import duplicated_spans
     d = read_table(_spark(spark), sf_dir, "documents")
     return duplicated_spans(d, window=8)
+
+
+@query("khop_dup_neighbors", """
+WITH RECURSIVE sig AS ({sig}),
+bands AS (
+  SELECT doc_id, 0 AS band, CONCAT_WS('|', h0, h1, h2, h3) AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, CONCAT_WS('|', h4, h5, h6, h7) FROM sig
+  UNION ALL SELECT doc_id, 2, CONCAT_WS('|', h8, h9, h10, h11) FROM sig
+  UNION ALL SELECT doc_id, 3, CONCAT_WS('|', h12, h13, h14, h15) FROM sig),
+edges AS (
+  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id <> b.doc_id),
+walk(n, m, depth) AS (
+  SELECT s, d, 1 FROM edges
+  UNION ALL
+  SELECT w.n, e.d, w.depth + 1
+  FROM walk w JOIN edges e ON w.m = e.s
+  WHERE w.depth < 3
+)
+SELECT n AS doc_id, m AS nb, CAST(MIN(depth) AS BIGINT) AS min_hops
+FROM walk WHERE n <> m GROUP BY n, m
+""".format(sig=_MINHASH_SIG_SQL.format(mins=_MINHASH_MINS)))
+def khop_dup_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded transitive near-dup neighborhood via Spark 4's
+    recursive CTE: LSH band edges expanded to ≤3 hops, each (doc,
+    neighbor) labeled with its hop distance. Depth-bounded recursion is
+    the scale-safe form — it terminates under the symmetric-edge cycles
+    a dup graph always has (UNION-distinct recursion isn't available,
+    and unbounded UNION ALL would walk cycles forever), and Catalyst
+    executes it as k iterated joins on the uniform band-derived keys —
+    the same plan the hand-rolled loop in operators/llm/components.py
+    builds, now expressible as ONE SQL statement. Unbounded closure
+    still goes through connected_components (min-label to fixpoint)."""
+    sig = persist_once(_minhash_sig_df(_spark(spark), sf_dir))
+    bands = union_epochs([
+        sig.select("doc_id", F.lit(b).alias("band"),
+                   F.concat_ws("|", *[F.col(f"h{b * 4 + i}")
+                                      for i in range(4)]).alias("bv"))
+        for b in range(_LSH_BANDS)])
+    a, b = bands.alias("a"), bands.alias("b")
+    edges = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bv") == F.col("b.bv")))
+             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("s"),
+                     F.col("b.doc_id").alias("d"))
+             .distinct())
+    edges.createOrReplaceTempView("__khop_edges")
+    return spark.sql("""
+      WITH RECURSIVE walk(n, m, depth) AS (
+        SELECT s, d, 1 FROM __khop_edges
+        UNION ALL
+        SELECT w.n, e.d, w.depth + 1
+        FROM walk w JOIN __khop_edges e ON w.m = e.s
+        WHERE w.depth < 3
+      )
+      SELECT n AS doc_id, m AS nb, CAST(MIN(depth) AS BIGINT) AS min_hops
+      FROM walk WHERE n <> m GROUP BY n, m
+    """)

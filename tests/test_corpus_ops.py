@@ -200,3 +200,44 @@ class TestExactSubstr:
         assert sorted(map(tuple, hot.collect())) == base
         s = plan_summary(hot)
         assert s.text.count("BroadcastHashJoin") >= 2  # hot min + marking
+
+
+class TestKhopRecursion:
+    def test_chain_hop_distances(self, spark):
+        """Recursive depth-bounded walk on a 4-node chain (symmetric
+        edges — cyclic!): min_hops must be the true hop distance, capped
+        at 3, and the recursion must terminate despite the cycles."""
+        edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+        spark.createDataFrame(edges, "s long, d long") \
+             .createOrReplaceTempView("__khop_edges")
+        rows = spark.sql("""
+          WITH RECURSIVE walk(n, m, depth) AS (
+            SELECT s, d, 1 FROM __khop_edges
+            UNION ALL
+            SELECT w.n, e.d, w.depth + 1
+            FROM walk w JOIN __khop_edges e ON w.m = e.s
+            WHERE w.depth < 3
+          )
+          SELECT n, m, MIN(depth) AS min_hops
+          FROM walk WHERE n <> m GROUP BY n, m
+        """).collect()
+        got = {(r.n, r.m): r.min_hops for r in rows}
+        assert got[(1, 2)] == 1 and got[(1, 3)] == 2 and got[(1, 4)] == 3
+        assert got[(4, 1)] == 3 and got[(2, 4)] == 2
+        assert (1, 1) not in got
+
+    def test_query_matches_onehop_groups(self, spark, sf_dir):
+        """1-hop rows of khop must be exactly the LSH band edges that
+        lsh_dup_groups aggregates (consistency across the two surfaces)."""
+        from python_cdc_component_spark.queries import QUERIES
+        k = QUERIES["khop_dup_neighbors"](spark, sf_dir)
+        one = {(r.doc_id, r.nb) for r in k.filter("min_hops = 1").collect()}
+        g = QUERIES["lsh_dup_groups"](spark, sf_dir).collect()
+        reps = {r.doc_id: r.group_rep for r in g}
+        # every 1-hop edge joins two docs in the same component
+        comp = {}
+        for d, rep in reps.items():
+            comp[d] = min(rep, comp.get(d, rep))
+        for a, b in one:
+            assert reps[a] <= min(a, b) or reps[b] <= min(a, b)
+        assert one  # non-empty at this sf
