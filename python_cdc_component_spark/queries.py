@@ -4601,6 +4601,10 @@ def khop_dup_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("s"),
                      F.col("b.doc_id").alias("d"))
              .distinct())
+    # the recursion references the edge relation once per level — cache
+    # the (dup-pairs-sized, corpus-shrunk) edge table so levels read the
+    # cached rows instead of statically re-running the band self-join
+    edges = persist_once(edges)
     edges.createOrReplaceTempView("__khop_edges")
     return spark.sql("""
       WITH RECURSIVE walk(n, m, depth) AS (
