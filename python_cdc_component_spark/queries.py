@@ -4617,3 +4617,142 @@ def khop_dup_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n AS doc_id, m AS nb, CAST(MIN(depth) AS BIGINT) AS min_hops
       FROM walk WHERE n <> m GROUP BY n, m
     """)
+
+
+@query("event_funnel_stages", """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+a AS (SELECT user_id,
+        list(tms) FILTER (WHERE event_type = 'signup')   AS s,
+        list(tms) FILTER (WHERE event_type = 'view')     AS v,
+        list(tms) FILTER (WHERE event_type = 'click')    AS c,
+        list(tms) FILTER (WHERE event_type = 'purchase') AS p
+      FROM e GROUP BY user_id),
+s1 AS (SELECT *, list_min(s) AS t1 FROM a),
+s2 AS (SELECT *, list_min(list_filter(v, x -> x > t1)) AS t2 FROM s1),
+s3 AS (SELECT *, list_min(list_filter(c, x -> x > t2)) AS t3 FROM s2),
+s4 AS (SELECT *, list_min(list_filter(p, x -> x > t3)) AS t4 FROM s3)
+SELECT user_id,
+       CAST(CASE WHEN t4 IS NOT NULL THEN 4
+                 WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS stage,
+       t1 AS t1_ms, t4 AS t4_ms
+FROM s4
+""")
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analytics (signup → view → click → purchase with
+    strictly increasing event times): per-user stage reached, plus the
+    entry/conversion timestamps. ONE shuffle on user_id: the sequential
+    step-min chain runs as pure array expressions over per-user
+    per-step timestamp lists (collect_list drops the non-matching
+    NULLs; array_min of an empty filter result is NULL, which
+    propagates 'stage not reached' through the chain exactly like the
+    oracle's list_min/list_filter). State per user is its own event
+    times only — at 100 TB per-entity cardinality bounds it, the
+    funnel window (clip events to the analysis period before the
+    groupBy) keeps that small in practice."""
+    s = _spark(spark)
+    ev = read_events(s, sf_dir).select(
+        "user_id", "event_type", F.unix_millis("ts").alias("tms"))
+
+    def lst(t):
+        return F.collect_list(
+            F.when(F.col("event_type") == t, F.col("tms")))
+
+    a = ev.groupBy("user_id").agg(
+        lst("signup").alias("s"), lst("view").alias("v"),
+        lst("click").alias("c"), lst("purchase").alias("p"))
+    t1 = F.array_min("s")
+    a = a.withColumn("t1", t1)
+    a = a.withColumn("t2", F.array_min(
+        F.filter("v", lambda x: x > F.col("t1"))))
+    a = a.withColumn("t3", F.array_min(
+        F.filter("c", lambda x: x > F.col("t2"))))
+    a = a.withColumn("t4", F.array_min(
+        F.filter("p", lambda x: x > F.col("t3"))))
+    stage = (F.when(F.col("t4").isNotNull(), 4)
+              .when(F.col("t3").isNotNull(), 3)
+              .when(F.col("t2").isNotNull(), 2)
+              .when(F.col("t1").isNotNull(), 1)
+              .otherwise(0).cast("int"))
+    return a.select("user_id", stage.alias("stage"),
+                    F.col("t1").alias("t1_ms"), F.col("t4").alias("t4_ms"))
+
+
+@query("corpus_audit_by_source", """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mwl,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN {stop})) AS n_stop,
+         CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+              AS DOUBLE) / length(text) AS vr,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents),
+v AS (SELECT doc_id,
+             CASE WHEN NOT (vr >= 0.30) THEN 'lang'
+                  WHEN NOT (n_words BETWEEN 50 AND 100000
+                            AND mwl BETWEEN 3 AND 10
+                            AND n_stop >= 2) THEN 'gopher'
+                  WHEN rn > 1 THEN 'exact_dup'
+                  ELSE 'kept' END AS drop_reason
+      FROM m),
+words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+cnt AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+lp AS (SELECT w, CAST(round(log2(c / (1.0 * n_total)), 9)
+                      AS DECIMAL(28,9)) AS lp
+       FROM cnt, tot),
+j AS (SELECT doc_id, lp FROM words JOIN lp USING (w)),
+agg AS (SELECT doc_id,
+               round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp2
+        FROM j GROUP BY doc_id),
+sc AS (SELECT doc_id, round(pow(2.0, -avg_logp2), 4) AS ppl FROM agg)
+SELECT d.source, d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE drop_reason = 'kept') AS BIGINT)
+           AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE drop_reason = 'lang') AS BIGINT)
+           AS n_lang_drop,
+       CAST(COUNT(*) FILTER (WHERE drop_reason = 'gopher') AS BIGINT)
+           AS n_gopher_drop,
+       CAST(COUNT(*) FILTER (WHERE drop_reason = 'exact_dup') AS BIGINT)
+           AS n_dup_drop,
+       round(CAST(SUM(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_ppl
+FROM documents d JOIN v USING (doc_id) JOIN sc USING (doc_id)
+GROUP BY d.source, d.lang
+""".format(stop=_STOP_SQL))
+def corpus_audit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, language) pipeline audit: document counts, first-
+    failing-stage drop attribution from the FineWeb-style cascade, and
+    mean LM perplexity — the report a curation run publishes per shard.
+    Pure composition: the verdict column IS quality_filter_chain's, the
+    ppl column IS unigram_perplexity's (both independently oracled);
+    joins are doc_id-keyed, the final rollup groups by the tiny
+    (source, lang) key. Decimal-accumulated ppl mean keeps the rollup
+    hash-stable."""
+    from .operators.llm.lm import unigram_fit, doc_perplexity
+    s = _spark(spark)
+    d = read_table(s, sf_dir, "documents")
+    verdict = quality_filter_chain(s, sf_dir).select("doc_id", "drop_reason")
+    ppl = doc_perplexity(d, unigram_fit(d)).select("doc_id", "ppl")
+    base = (d.select("doc_id", "source", "lang")
+             .join(verdict, "doc_id").join(ppl, "doc_id"))
+
+    def cnt_if(reason):
+        return F.sum(F.when(F.col("drop_reason") == reason, 1).otherwise(0)) \
+                .cast("long")
+
+    return (base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt_if("kept").alias("n_kept"),
+        cnt_if("lang").alias("n_lang_drop"),
+        cnt_if("gopher").alias("n_gopher_drop"),
+        cnt_if("exact_dup").alias("n_dup_drop"),
+        F.round(F.sum(F.col("ppl").cast(DEC)).cast("double")
+                / F.count(F.lit(1)), 6).alias("mean_ppl")))

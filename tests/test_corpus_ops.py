@@ -241,3 +241,60 @@ class TestKhopRecursion:
         for a, b in one:
             assert reps[a] <= min(a, b) or reps[b] <= min(a, b)
         assert one  # non-empty at this sf
+
+
+class TestFunnelAndAudit:
+    def test_funnel_strictly_increasing_steps(self, spark, sf_dir):
+        """A planted user hitting all four steps in order reaches stage
+        4; a user whose purchase precedes the click stops at 3; a user
+        with only signup stops at 1; view-before-signup doesn't count."""
+        import pyspark.sql.functions as F
+        from python_cdc_component_spark.queries import QUERIES
+        # build a tiny events frame through the same op chain via SQL:
+        # reuse the query fn on a temp dir is heavyweight — instead
+        # exercise the expression chain directly
+        rows = [
+            (1, "signup", 100), (1, "view", 200), (1, "click", 300),
+            (1, "purchase", 400),
+            (2, "signup", 100), (2, "purchase", 150), (2, "view", 200),
+            (2, "click", 300),
+            (3, "signup", 100),
+            (4, "view", 50), (4, "signup", 100),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, tms long")
+
+        def lst(t):
+            return F.collect_list(F.when(F.col("event_type") == t, F.col("tms")))
+        a = df.groupBy("user_id").agg(
+            lst("signup").alias("s"), lst("view").alias("v"),
+            lst("click").alias("c"), lst("purchase").alias("p"))
+        a = a.withColumn("t1", F.array_min("s"))
+        a = a.withColumn("t2", F.array_min(F.filter("v", lambda x: x > F.col("t1"))))
+        a = a.withColumn("t3", F.array_min(F.filter("c", lambda x: x > F.col("t2"))))
+        a = a.withColumn("t4", F.array_min(F.filter("p", lambda x: x > F.col("t3"))))
+        stage = (F.when(F.col("t4").isNotNull(), 4)
+                  .when(F.col("t3").isNotNull(), 3)
+                  .when(F.col("t2").isNotNull(), 2)
+                  .when(F.col("t1").isNotNull(), 1).otherwise(0))
+        got = {r.user_id: r.s for r in a.select("user_id", stage.alias("s")).collect()}
+        assert got == {1: 4, 2: 3, 3: 1, 4: 1}
+
+    def test_funnel_single_shuffle(self, spark, sf_dir):
+        from python_cdc_component_spark.plans.explain import plan_summary
+        from python_cdc_component_spark.queries import QUERIES
+        s = plan_summary(QUERIES["event_funnel_stages"](spark, sf_dir))
+        assert s.shuffles == 1 and s.scans == 1
+
+    def test_audit_partitions_docs_exactly(self, spark, sf_dir):
+        """Per (source, lang): kept + lang + gopher + dup == n_docs, and
+        totals match the corpus row count (no doc lost in the joins)."""
+        import duckdb
+        from python_cdc_component_spark.queries import QUERIES
+        rows = QUERIES["corpus_audit_by_source"](spark, sf_dir).collect()
+        for r in rows:
+            assert r.n_kept + r.n_lang_drop + r.n_gopher_drop + r.n_dup_drop \
+                == r.n_docs
+        want = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchone()[0]
+        assert sum(r.n_docs for r in rows) == want
