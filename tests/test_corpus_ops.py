@@ -298,3 +298,42 @@ class TestFunnelAndAudit:
             f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
         ).fetchone()[0]
         assert sum(r.n_docs for r in rows) == want
+
+
+class TestDegenerateDocs:
+    """Driver corpora are clean; real corpora aren't. The text operators
+    must survive empty/whitespace/single-token/repeated-char documents
+    without crashing and with sane (NULL-or-zero, never-exception)
+    outputs."""
+
+    def _docs(self, spark):
+        rows = [(1, ""), (2, " "), (3, "x"), (4, "a a a a a a a a a a"),
+                (5, "normal words appear here with the usual mix of stuff"),
+                (6, "\t"), (7, "x " * 200)]
+        return spark.createDataFrame(
+            [(i, t.strip() if i == 7 else t) for i, t in rows],
+            "doc_id long, text string")
+
+    def test_exactsubstr_and_dsir_survive(self, spark):
+        import pyspark.sql.functions as F
+        from python_cdc_component_spark.operators.llm.exactsubstr import (
+            duplicated_spans)
+        from python_cdc_component_spark.operators.llm.dsir import dsir_select
+        d = self._docs(spark)
+        spans = duplicated_spans(d, window=8).collect()
+        assert all(r.span_tokens >= 8 for r in spans)
+        sel = dsir_select(d, (F.col("doc_id") % 2) == 0, k=10).collect()
+        assert len(sel) <= 10
+        assert all(r.doc_id % 2 != 0 for r in sel)
+
+    def test_lm_and_buckets_survive(self, spark):
+        from python_cdc_component_spark.operators.llm.lm import (
+            unigram_fit, doc_perplexity, ppl_buckets)
+        import pyspark.sql.functions as F
+        d = self._docs(spark).withColumn("lang", F.lit("xx"))
+        scored = doc_perplexity(d, unigram_fit(d)).join(
+            d.select("doc_id", "lang"), "doc_id")
+        out = ppl_buckets(scored, group_col="lang").collect()
+        assert out and all(r.ppl_bucket in {"head", "middle", "tail"}
+                           for r in out)
+        assert all(r.ppl is not None and r.ppl > 0 for r in out)
