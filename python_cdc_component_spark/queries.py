@@ -4477,7 +4477,11 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count groupBy to a 256-row broadcast lambda-table), one score scan,
     TakeOrdered top-k — no global sort, no n^2, O(B) model state."""
     from .operators.llm.dsir import dsir_select
-    d = read_table(_spark(spark), sf_dir, "documents")
+    s = _spark(spark)
+    # single-file small parquet arrives as ONE scan partition — spread
+    # the (doc_id, text) projection so the gram kernel parallelizes
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
     return dsir_select(d, (F.col("doc_id") % 10) == 0, k=100)
 
 
@@ -4552,7 +4556,9 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset. Two O(corpus) shuffles (window-hash rank, doc-id islands);
     the wire carries 32-hex hashes, never window text."""
     from .operators.llm.exactsubstr import duplicated_spans
-    d = read_table(_spark(spark), sf_dir, "documents")
+    s = _spark(spark)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
     return duplicated_spans(d, window=8)
 
 
