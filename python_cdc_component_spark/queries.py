@@ -3547,7 +3547,9 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle). A KenLM scorer drops in behind the same
     (token → logprob) contract as an Arrow UDF."""
     from .operators.llm.lm import unigram_fit, doc_perplexity
-    d = read_table(_spark(spark), sf_dir, "documents")
+    s = _spark(spark)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
     return doc_perplexity(d, unigram_fit(d))
 
 
@@ -4516,8 +4518,10 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for approx_percentile (t-digest, partial-aggregable) behind the
     same plan shape."""
     from .operators.llm.lm import unigram_fit, doc_perplexity, ppl_buckets
-    d = read_table(_spark(spark), sf_dir, "documents")
-    scored = (doc_perplexity(d, unigram_fit(d))
+    s = _spark(spark)
+    d = read_table(s, sf_dir, "documents")
+    dt = _spread(d.select("doc_id", "text"), s)
+    scored = (doc_perplexity(dt, unigram_fit(dt))
               .join(d.select("doc_id", "lang"), "doc_id"))
     return ppl_buckets(scored, group_col="lang")
 
@@ -4746,7 +4750,10 @@ def corpus_audit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _spark(spark)
     d = read_table(s, sf_dir, "documents")
     verdict = quality_filter_chain(s, sf_dir).select("doc_id", "drop_reason")
-    ppl = doc_perplexity(d, unigram_fit(d)).select("doc_id", "ppl")
+    # same spread projection plan as unigram_perplexity/ccnet → the
+    # persist_once vocab cache is shared across all three queries
+    dt = _spread(d.select("doc_id", "text"), s)
+    ppl = doc_perplexity(dt, unigram_fit(dt)).select("doc_id", "ppl")
     base = (d.select("doc_id", "source", "lang")
              .join(verdict, "doc_id").join(ppl, "doc_id"))
 
