@@ -103,3 +103,71 @@ def ppl_buckets(scored: DataFrame, group_col: str = "lang",
     return (scored.join(F.broadcast(thr), group_col)
                   .select(id_col, group_col, ppl_col,
                           bucket.alias("ppl_bucket")))
+
+
+_BIGRAMS_EXPR = (
+    "CASE WHEN size({w}) >= 2 THEN "
+    "transform(sequence(1, size({w}) - 1), "
+    "i -> struct(element_at({w}, i) AS p, element_at({w}, i + 1) AS nx)) "
+    "ELSE array() END")
+
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, p, nx) consecutive token pairs — one Generate per doc (the
+    pair structs are built inline; no second explode or self-join).
+    Single-token docs contribute no rows (the CASE guard also dodges
+    Spark's descending ``sequence(1, 0)`` surprise)."""
+    w = f"split({text_col}, ' ')"
+    return (docs.selectExpr(id_col, f"{_BIGRAMS_EXPR.format(w=w)} AS bgs")
+                .select(id_col, F.explode("bgs").alias("bg"))
+                .select(id_col, F.col("bg.p").alias("p"),
+                        F.col("bg.nx").alias("nx")))
+
+
+def bigram_fit(docs: DataFrame, text_col: str = "text",
+               lam: float = 0.7) -> DataFrame:
+    """Interpolated bigram LM over the corpus: P(w|prev) = λ·cb/cc +
+    (1−λ)·cu/N, the Jelinek-Mercer smoothing KenLM-style scorers reduce
+    to at order 2.  One bigram explode + groupBy (vocab²-bounded model,
+    tiny next to the corpus); context totals cc(prev) roll up from the
+    bigram counts themselves (no second corpus scan), and the unigram
+    back-off reuses :func:`unigram_fit`'s persisted vocab.  Returns
+    (p, nx, lp) with lp pre-rounded to decimal(28,9) so downstream sums
+    are exact and order-independent (the cross-engine float contract)."""
+    from ...caching import persist_once
+
+    w = f"split({text_col}, ' ')"
+    pairs = (docs.selectExpr(f"{_BIGRAMS_EXPR.format(w=w)} AS bgs")
+                 .select(F.explode("bgs").alias("bg"))
+                 .select(F.col("bg.p").alias("p"),
+                         F.col("bg.nx").alias("nx")))
+    cb = persist_once(
+        pairs.groupBy("p", "nx").agg(F.count(F.lit(1)).alias("cb")))
+    cc = cb.groupBy("p").agg(F.sum("cb").cast("long").alias("cc"))
+    uni = unigram_fit(docs, text_col).select(
+        F.col("w").alias("nx"), F.col("c").alias("cu"), "n_total")
+    prob = (lam * (F.col("cb") / F.col("cc"))
+            + (1.0 - lam) * (F.col("cu") / F.col("n_total")))
+    return (cb.join(F.broadcast(cc), "p")
+              .join(F.broadcast(uni), "nx")
+              .select("p", "nx",
+                      F.round(F.log2(prob), 9).cast("decimal(28,9)")
+                       .alias("lp")))
+
+
+def doc_bigram_perplexity(docs: DataFrame, model: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(id, n_bigrams, avg_logp2, ppl) per document under the
+    interpolated bigram ``model`` (broadcast — vocab²-bounded).  Same
+    decimal-exact accumulation discipline as :func:`doc_perplexity`;
+    self-scoring means every doc bigram exists in the model, so the
+    inner join drops nothing (a held-out scorer would add a <unk> row)."""
+    scored = (_bigrams(docs, id_col, text_col)
+              .join(F.broadcast(model), ["p", "nx"])
+              .select(id_col, "lp"))
+    avg = F.round((F.sum("lp").cast("double") / F.count(F.lit(1))), 6)
+    return (scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg.alias("avg_logp2"))
+        .withColumn("ppl", F.round(F.pow(F.lit(2.0), -F.col("avg_logp2")), 4)))

@@ -3170,6 +3170,207 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      _dec_sum(F.col("c_acctbal"), "totacctbal")))
 
 
+@query("q2_min_cost_supplier", """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), c AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost,
+         min(supply_cost) OVER (PARTITION BY p_partkey) AS mc
+  FROM ps
+  JOIN eu ON l_suppkey = s_suppkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'SMALL'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM c WHERE supply_cost = mc
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier, adapted to the driver schema: the
+    missing partsupp relation is derived from observed trade — supply
+    cost per (part, supplier) = min unit price ever charged
+    (l_extendedprice / l_quantity; identical double division in both
+    engines). For SMALL-type parts, emit the EUROPE supplier(s) hitting
+    each part's minimum cost. The correlated min-subquery of the
+    original becomes a per-part window min ON TOP of the (part,
+    supplier) aggregate — the window reuses the aggregate's
+    partitioning-compatible output rather than re-scanning, and the
+    supplier⨝nation⨝region side is a broadcast (dims). Two key-local
+    shuffles total (pair agg, part window); deterministic top-100 via
+    the (acctbal, nation, supplier, part) total order."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    supp = read_table(s, sf_dir, "supplier")
+    nat, reg = read_table(s, sf_dir, "nation"), read_table(s, sf_dir, "region")
+    part = read_table(s, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                  .alias("supply_cost")))
+    eu = (supp.join(nat, supp.s_nationkey == nat.n_nationkey)
+              .join(reg.filter(F.col("r_name") == "EUROPE"),
+                    nat.n_regionkey == reg.r_regionkey)
+              .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    c = (ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+           .withColumn("mc", F.min("supply_cost")
+                              .over(Window.partitionBy("p_partkey"))))
+    return (c.filter(F.col("supply_cost") == F.col("mc"))
+             .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                     "p_name", "supply_cost")
+             .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                      "p_partkey")
+             .limit(100))
+
+
+@query("q11_important_stock", """
+WITH eu AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), v AS (
+  SELECT l_partkey AS ps_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS dval
+  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, CAST(dval AS DOUBLE) AS part_value
+FROM v, (SELECT SUM(dval) AS total FROM v) t
+WHERE CAST(dval AS DOUBLE) > 0.001 * CAST(total AS DOUBLE)
+""")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock, adapted: with no partsupp, a part's
+    "stock value" held by EUROPE suppliers is the exact-decimal sum of
+    their extended prices for it; keep parts whose value exceeds 0.1 %
+    of the group total (the original's scalar subquery threshold). One
+    fact shuffle (per-part agg over the EUROPE semi-join); the grand
+    total is a 1-row broadcast over the agg output, not a second fact
+    scan. The threshold compare happens in double on both sides from
+    identical exact-decimal sums, so the cut is bit-deterministic."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    supp = read_table(s, sf_dir, "supplier")
+    nat, reg = read_table(s, sf_dir, "nation"), read_table(s, sf_dir, "region")
+    eu = (supp.join(nat, supp.s_nationkey == nat.n_nationkey)
+              .join(reg.filter(F.col("r_name") == "EUROPE"),
+                    nat.n_regionkey == reg.r_regionkey)
+              .select("s_suppkey"))
+    v = (li.join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"), "semi")
+           .groupBy(F.col("l_partkey").alias("ps_partkey"))
+           .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("dval")))
+    total = v.agg(F.sum("dval").alias("total"))
+    return (v.join(F.broadcast(total))
+             .filter(F.col("dval").cast("double")
+                     > 0.001 * F.col("total").cast("double"))
+             .select("ps_partkey", F.col("dval").cast("double")
+                                     .alias("part_value")))
+
+
+@query("q16_parts_supplier_relationship", """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+GROUP BY p_brand, p_type, p_size
+""")
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship, adapted: the part-supplier
+    relation is the DISTINCT (part, supplier) pairs observed in
+    lineitem; "customer complaints" (no s_comment column) becomes
+    s_acctbal < 1000. Brand/type/size predicates reach the broadcast
+    part dim before the join; the NOT IN is a left-anti against the tiny
+    bad-supplier set (broadcast). One distinct shuffle on the pair key +
+    one count-distinct agg — the same two shuffles the original needs."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    part = read_table(s, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    bad = (read_table(s, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 1000).select("s_suppkey"))
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (pairs.join(F.broadcast(part),
+                       F.col("l_partkey") == F.col("p_partkey"))
+                 .join(F.broadcast(bad),
+                       F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+                 .groupBy("p_brand", "p_type", "p_size")
+                 .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@query("q20_potential_promotion", """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), w AS (
+  SELECT l_partkey, l_suppkey, sq,
+         SUM(sq) OVER (PARTITION BY l_partkey) AS tq
+  FROM qty
+), dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM w JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%widget%'
+    AND CAST(sq AS DOUBLE) > 0.2 * CAST(tq AS DOUBLE)
+)
+SELECT s_name, s_acctbal, n_name
+FROM supplier
+JOIN dominant ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+ORDER BY s_name
+""")
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion, adapted: with no ps_availqty,
+    a supplier "has excess stock to promote" when their 1996 shipped
+    quantity of a widget part exceeds 20 % of that part's total 1996
+    volume (the original's availqty > 0.5 × shipped becomes a
+    market-share dominance test over the same derived relation). The
+    nested IN-subquery chain collapses to: (part, supplier) agg → per-
+    part window share (reuses the agg's key-compatible layout, no
+    second fact scan) → broadcast part-name filter → distinct supplier
+    semi-join against the broadcast EUROPE dim. One fact shuffle + one
+    part-key window shuffle + one distinct on the tiny supplier set."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
+    supp = read_table(s, sf_dir, "supplier")
+    nat, reg = read_table(s, sf_dir, "nation"), read_table(s, sf_dir, "region")
+    part = read_table(s, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    qty = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01"))
+             .groupBy("l_partkey", "l_suppkey")
+             .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq")))
+    w = qty.withColumn("tq", F.sum("sq")
+                             .over(Window.partitionBy("l_partkey")))
+    dominant = (w.join(F.broadcast(part),
+                       F.col("l_partkey") == F.col("p_partkey"))
+                 .filter(F.col("sq").cast("double")
+                         > 0.2 * F.col("tq").cast("double"))
+                 .select("l_suppkey").distinct())
+    return (supp.join(dominant, supp.s_suppkey == F.col("l_suppkey"))
+                .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+                .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+                      nat.n_regionkey == reg.r_regionkey)
+                .select("s_name", "s_acctbal", "n_name")
+                .orderBy("s_name"))
+
+
 # ---------------------------------------------------------------------------
 # LLM text analysis, round 2: character entropy + winnowing fingerprints
 
@@ -4769,3 +4970,134 @@ def corpus_audit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt_if("exact_dup").alias("n_dup_drop"),
         F.round(F.sum(F.col("ppl").cast(DEC)).cast("double")
                 / F.count(F.lit(1)), 6).alias("mean_ppl")))
+
+
+# ---------------------------------------------------------------------------
+# round 5 (session 3): n-gram decontamination, quality-keep canonicals,
+# bigram LM perplexity — the remaining curation-pipeline staples
+
+@query("ngram_decontaminate", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                    % 100 AS bucket
+           FROM documents),
+g AS (SELECT doc_id, bucket, md5(array_to_string(w[i:i+7], ' ')) AS gh
+      FROM t, unnest(range(1, len(w) - 6)) u(i)),
+ev AS (SELECT DISTINCT gh FROM g WHERE bucket >= 90)
+SELECT doc_id, CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_bad_grams
+FROM g WHERE bucket < 80 AND gh IN (SELECT gh FROM ev)
+GROUP BY doc_id
+""")
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level n-gram decontamination (the GPT-3/PaLM/Llama method,
+    n=8 here): flag every train-split document sharing ANY token n-gram
+    with the held-out split, with the contaminated-gram count as the
+    redaction signal. Differs from ``decontaminate_train_docs`` (whole-
+    doc fingerprint) by catching partial containment — an eval question
+    quoted inside a larger train doc.
+
+    Scale shape: grams travel as md5 hashes (16 B), never the text; the
+    gram explode is computed ONCE (persist_once — the train and eval
+    branches share it); eval grams are a broadcast build side (the eval
+    set is always tiny next to 100 TB of train), so the train side never
+    shuffles — the only exchange is the per-doc count agg."""
+    s = _spark(spark)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                       .cast("binary")), 1, 7), 16, 10)
+              .cast("long") % 100)
+    grams = persist_once(
+        d.select("doc_id", bucket.alias("bucket"),
+                 F.explode(F.expr(
+                     "CASE WHEN size(split(text, ' ')) >= 8 THEN "
+                     "transform(sequence(1, size(split(text, ' ')) - 7), "
+                     "i -> md5(array_join(slice(split(text, ' '), i, 8), ' '))) "
+                     "ELSE array() END")).alias("gh")))
+    ev = grams.filter(F.col("bucket") >= 90).select("gh").distinct()
+    return (grams.filter(F.col("bucket") < 80)
+                 .join(F.broadcast(ev), "gh")
+                 .groupBy("doc_id")
+                 .agg(F.countDistinct("gh").alias("n_bad_grams")))
+
+
+_CANON_ORACLE = ORACLES["dup_components"].rstrip().rsplit(
+    "SELECT n AS doc_id", 1)[0].rstrip().rstrip(")") + """),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM lbl GROUP BY n),
+tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens
+        FROM documents)
+SELECT component, doc_id AS keep_doc_id, n_tokens AS keep_n_tokens,
+       CAST(csize AS BIGINT) AS cluster_size
+FROM (SELECT component, doc_id, n_tokens,
+             COUNT(*) OVER (PARTITION BY component) AS csize,
+             ROW_NUMBER() OVER (PARTITION BY component
+                 ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM comp JOIN tok USING (doc_id))
+WHERE rn = 1
+"""
+
+
+@query("dup_canonical_best", _CANON_ORACLE)
+def dup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup component, KEEP
+    the best document instead of ``dedup_pipeline_summary``'s min-id
+    convention — here "best" = longest (token count), the C4/RefinedWeb
+    keep-heuristic, with min doc_id as the deterministic tie-break.
+    Composes the independently-oracled dup_components labels with a
+    per-doc token count; ONE shuffle on the component key serves both
+    the size count and the argmax window (same partitioning). The
+    oracle extends dup_components' recursive-CTE closure with the same
+    pick, so the full pipeline (LSH → components → keep-list) is
+    hash-checked end-to-end."""
+    comp = QUERIES["dup_components"](spark, sf_dir)
+    docs = (read_table(_spark(spark), sf_dir, "documents")
+            .select("doc_id", F.size(F.split("text", " ")).cast("long")
+                     .alias("n_tokens")))
+    j = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component")
+    picked = (j.withColumn("csize", F.count(F.lit(1)).over(w))
+               .withColumn("rn", F.row_number().over(
+                   w.orderBy(F.col("n_tokens").desc(), F.col("doc_id")))))
+    return (picked.filter(F.col("rn") == 1)
+                  .select("component", F.col("doc_id").alias("keep_doc_id"),
+                          F.col("n_tokens").alias("keep_n_tokens"),
+                          F.col("csize").cast("long").alias("cluster_size")))
+
+
+@query("bigram_perplexity", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id, w[i] AS p, w[i+1] AS nx
+       FROM t, unnest(range(1, len(w))) u(i)),
+cb AS (SELECT p, nx, COUNT(*) AS cb FROM bg GROUP BY p, nx),
+cc AS (SELECT p, CAST(SUM(cb) AS BIGINT) AS cc FROM cb GROUP BY p),
+uni AS (SELECT w AS nx, COUNT(*) AS cu
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total FROM uni),
+lp AS (SELECT cb.p, cb.nx,
+              CAST(round(log2(0.7 * (cb / (1.0 * cc))
+                              + (1.0 - 0.7) * (cu / (1.0 * n_total))), 9)
+                   AS DECIMAL(28,9)) AS lp
+       FROM cb JOIN cc USING (p) JOIN uni USING (nx), tot),
+j AS (SELECT doc_id, lp FROM bg JOIN lp USING (p, nx)),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp2
+        FROM j GROUP BY doc_id)
+SELECT doc_id, n_bigrams, avg_logp2,
+       round(pow(2.0, -avg_logp2), 4) AS ppl
+FROM agg
+""")
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM quality signal (operators.llm.lm.bigram_fit):
+    Jelinek-Mercer interpolated bigram perplexity, λ=0.7 — the next
+    rung above ``unigram_perplexity`` on the CCNet ladder. The model is
+    a vocab²-bounded broadcast; scoring is one Generate + broadcast
+    join + per-doc agg (no extra corpus scan: context totals roll up
+    from the bigram counts). Decimal-exact per-token log accumulation
+    keeps the hash contract with DuckDB."""
+    from .operators.llm.lm import bigram_fit, doc_bigram_perplexity
+    s = _spark(spark)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
+    return doc_bigram_perplexity(d, bigram_fit(d))
