@@ -3264,9 +3264,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(reg.filter(F.col("r_name") == "EUROPE"),
                     nat.n_regionkey == reg.r_regionkey)
               .select("s_suppkey"))
-    v = (li.join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"), "semi")
-           .groupBy(F.col("l_partkey").alias("ps_partkey"))
-           .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("dval")))
+    # v feeds BOTH the grand total and the output filter — persist_once
+    # (part-count-sized, corpus-shrunk) or the fact subtree statically
+    # executes twice (measured: 8 scans → 4).
+    v = persist_once(
+        li.join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"), "semi")
+          .groupBy(F.col("l_partkey").alias("ps_partkey"))
+          .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("dval")))
     total = v.agg(F.sum("dval").alias("total"))
     return (v.join(F.broadcast(total))
              .filter(F.col("dval").cast("double")
@@ -4997,9 +5001,11 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     quoted inside a larger train doc.
 
     Scale shape: grams travel as md5 hashes (16 B), never the text; the
-    gram explode is computed ONCE (persist_once — the train and eval
-    branches share it); eval grams are a broadcast build side (the eval
-    set is always tiny next to 100 TB of train), so the train side never
+    split filter runs BEFORE the gram explode, so each branch explodes
+    only its own slice (NOT one cached all-docs explode — a corpus-sized
+    cache is exactly what you can't hold at 100 TB; two pruned scans
+    beat it). Eval grams are a broadcast build side (the eval set is
+    always tiny next to the train corpus), so the train side never
     shuffles — the only exchange is the per-doc count agg."""
     s = _spark(spark)
     d = _spread(read_table(s, sf_dir, "documents")
@@ -5007,18 +5013,17 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
                                        .cast("binary")), 1, 7), 16, 10)
               .cast("long") % 100)
-    grams = persist_once(
-        d.select("doc_id", bucket.alias("bucket"),
-                 F.explode(F.expr(
-                     "CASE WHEN size(split(text, ' ')) >= 8 THEN "
-                     "transform(sequence(1, size(split(text, ' ')) - 7), "
-                     "i -> md5(array_join(slice(split(text, ' '), i, 8), ' '))) "
-                     "ELSE array() END")).alias("gh")))
-    ev = grams.filter(F.col("bucket") >= 90).select("gh").distinct()
-    return (grams.filter(F.col("bucket") < 80)
-                 .join(F.broadcast(ev), "gh")
-                 .groupBy("doc_id")
-                 .agg(F.countDistinct("gh").alias("n_bad_grams")))
+    gram_col = F.explode(F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 8 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 7), "
+        "i -> md5(array_join(slice(split(text, ' '), i, 8), ' '))) "
+        "ELSE array() END")).alias("gh")
+    db = d.withColumn("bucket", bucket)
+    ev = (db.filter(F.col("bucket") >= 90).select(gram_col).distinct())
+    return (db.filter(F.col("bucket") < 80).select("doc_id", gram_col)
+              .join(F.broadcast(ev), "gh")
+              .groupBy("doc_id")
+              .agg(F.countDistinct("gh").alias("n_bad_grams")))
 
 
 _CANON_ORACLE = ORACLES["dup_components"].rstrip().rsplit(
