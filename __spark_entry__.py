@@ -62,16 +62,20 @@ DRIVER_WINDOW = [
     "q21_late_supplier_blame",
     # rotated in: windows suite (window_functions_suite/rollup_orders
     # earned rows in r01-r03, rotated back out)
-    "hopping_window_agg", "session_window_agg",
-    # rotated in: text/sketch/evaluation operators
-    "tfidf_top_terms", "winnowing_fingerprints", "countmin_heavy_hitters",
-    "hll_distinct_contract", "embedding_ann_recall",
-    "minhash_jaccard_accuracy", "simhash_near_pairs", "lsh_dup_groups",
+    "hopping_window_agg",
+    # rotated in: text/sketch/evaluation operators (winnowing earned a
+    # bench-driver row in r4; tfidf/hll/jaccard-accuracy/lsh-groups
+    # rotate back out for the session-3 additions — still self-gated)
+    "countmin_heavy_hitters", "embedding_ann_recall", "simhash_near_pairs",
     # rotated in: format/bucketing surface
-    "bucketed_join_revenue", "orc_roundtrip_events", "all_datatypes_decode",
+    "bucketed_join_revenue", "all_datatypes_decode",
     # rotated in: round-5 second-session additions (never had a row)
     "dsir_select_docs", "exact_substr_spans", "ccnet_ppl_buckets",
     "variant_shred_events", "xml_roundtrip_events",
+    # rotated in: session-3 additions — full TPC-H 22 + curation staples
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_parts_supplier_relationship", "q20_potential_promotion",
+    "ngram_decontaminate", "dup_canonical_best", "bigram_perplexity",
 ]
 
 

@@ -53,6 +53,10 @@ HEADLINE = [
     # round-5 additions
     "dsir_select_docs",              # DSIR hashed-ngram importance top-k
     "exact_substr_spans",            # stride-1 duplicated-span detection
+    "q2_min_cost_supplier",          # derived-partsupp min-cost (TPC-H 22 done)
+    "ngram_decontaminate",           # token 8-gram train/eval decontamination
+    "dup_canonical_best",            # components + keep-longest canonical
+    "bigram_perplexity",             # interpolated order-2 LM scoring
 ]
 
 

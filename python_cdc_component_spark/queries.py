@@ -5106,3 +5106,50 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(read_table(s, sf_dir, "documents")
                 .select("doc_id", "text"), s)
     return doc_bigram_perplexity(d, bigram_fit(d))
+
+
+_KC_DIST = ("list_sum(list_transform(range(1, 65), "
+            "i -> ({a}.e[i] - {b}.e[i]) * ({a}.e[i] - {b}.e[i])))")
+
+
+@query("kcenter_diverse_select", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+s0 AS (SELECT vec_id, e FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) = 1),
+d1 AS (SELECT v.vec_id, v.e, {d_vs} AS dmin FROM v, s0 s),
+s1 AS (SELECT vec_id, e, dmin FROM d1
+       QUALIFY ROW_NUMBER() OVER (ORDER BY dmin DESC, vec_id) = 1),
+d2 AS (SELECT d.vec_id, d.e, LEAST(d.dmin, {d_ds}) AS dmin FROM d1 d, s1 s),
+s2 AS (SELECT vec_id, e, dmin FROM d2
+       QUALIFY ROW_NUMBER() OVER (ORDER BY dmin DESC, vec_id) = 1),
+d3 AS (SELECT d.vec_id, d.e, LEAST(d.dmin, {d_ds}) AS dmin FROM d2 d, s2 s),
+s3 AS (SELECT vec_id, e, dmin FROM d3
+       QUALIFY ROW_NUMBER() OVER (ORDER BY dmin DESC, vec_id) = 1),
+d4 AS (SELECT d.vec_id, d.e, LEAST(d.dmin, {d_ds}) AS dmin FROM d3 d, s3 s),
+s4 AS (SELECT vec_id, e, dmin FROM d4
+       QUALIFY ROW_NUMBER() OVER (ORDER BY dmin DESC, vec_id) = 1)
+SELECT CAST(0 AS INTEGER) AS sel_rank, vec_id, CAST(0.0 AS DOUBLE) AS dmin
+FROM s0
+UNION ALL SELECT 1, vec_id, dmin FROM s1
+UNION ALL SELECT 2, vec_id, dmin FROM s2
+UNION ALL SELECT 3, vec_id, dmin FROM s3
+UNION ALL SELECT 4, vec_id, dmin FROM s4
+""".format(d_vs=_KC_DIST.format(a="v", b="s"),
+           d_ds=_KC_DIST.format(a="d", b="s")))
+def kcenter_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity selection (operators.llm.kcenter, k=5):
+    the maximally-spread seed subset of the embedding corpus — coreset /
+    eval-seed construction. Every round is a shuffle-free literal-fold
+    projection + TakeOrderedAndProject(1) (per-partition top-1, driver
+    merge — never a global sort); chosen centers are control-plane
+    state. The oracle unrolls the 4 greedy rounds as CTEs with a
+    running LEAST — exact min over identical doubles, so the replay is
+    bit-exact (the _KMEANS_SQL move)."""
+    from .operators.llm.kcenter import kcenter_select
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    centers = kcenter_select(emb, k=5)
+    return s.createDataFrame(
+        [(i, c, d) for i, (c, _, d) in enumerate(centers)],
+        "sel_rank int, vec_id long, dmin double")

@@ -184,3 +184,41 @@ def test_ngram_decontaminate_two_pruned_scans(spark, sf_dir):
     no extra exchange beyond the count agg + the broadcast build."""
     s = plan_summary(QUERIES["ngram_decontaminate"](spark, sf_dir))
     assert s.scans == 2 and s.broadcasts >= 1
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center diversity selection
+
+def test_kcenter_greedy_invariants(spark):
+    """Gonzalez invariants on a planted 1-D corpus: start = lowest id,
+    each pick is the true farthest-from-set point, dmin decreases
+    monotonically (the 2-approximation's structure)."""
+    from python_cdc_component_spark.operators.llm.kcenter import kcenter_select
+    pts = {1: 0.0, 2: 10.0, 3: 4.0, 4: 6.0, 5: 0.1}
+    emb = spark.createDataFrame(
+        [(i, [v, 0.0]) for i, v in pts.items()],
+        "vec_id long, e array<double>")
+    sel = kcenter_select(emb, k=4)
+    ids = [c for c, _, _ in sel]
+    assert ids[0] == 1                 # lowest id starts
+    assert ids[1] == 2                 # farthest from 0.0 is 10.0
+    assert ids[2] in (3, 4)            # middle points next
+    dmins = [d for _, _, d in sel][1:]
+    assert dmins == sorted(dmins, reverse=True)
+
+
+def test_kcenter_rounds_are_shuffle_free(spark, sf_dir):
+    """Each greedy round must stay a literal-fold projection +
+    TakeOrderedAndProject — a global Sort or Exchange creeping into the
+    per-round frame breaks the O(n) round contract."""
+    from pyspark.sql import functions as F
+    from python_cdc_component_spark.operators.llm.kcenter import _min_dist_col
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("e")))
+    round_df = (emb.select("vec_id", "e",
+                           _min_dist_col([(0, [0.0] * 64)]).alias("dmin"))
+                .orderBy(F.col("dmin").desc(), "vec_id").limit(1))
+    s = plan_summary(round_df)
+    assert "TakeOrderedAndProject" in s.text
+    assert s.shuffles == 0 and s.sorts == 0
