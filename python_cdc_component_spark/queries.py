@@ -5108,6 +5108,85 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_bigram_perplexity(d, bigram_fit(d))
 
 
+@query("cdc_time_travel", f"""
+SELECT user_id, event_type, "value", event_id AS kbc__pos
+FROM (
+  SELECT *, {_OP_SQL} AS op FROM events
+  WHERE ts < TIMESTAMP '2024-01-20'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+) WHERE op <> 'd'
+""")
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State AS OF a timestamp (time travel over the event log): replay
+    the W1 compaction against only events at/before the cut — the audit
+    query "what did this table look like on the 20th". Same plan as
+    cdc_current_state plus the event-time predicate; at scale the log is
+    date-partitioned, so the cutoff prunes partitions before the single
+    PK shuffle (here the predicate is a map-side filter on the derived
+    ms column)."""
+    cutoff_ms = 1705708800000  # 2024-01-20T00:00Z
+    ev = read_cdc_events(_spark(spark), sf_dir) \
+        .filter(F.col(SC.event_timestamp) < cutoff_ms)
+    out = dedup_latest(ev, ["user_id"]).filter(~F.col(SC.deleted))
+    return out.select("user_id", "event_type", "value",
+                      F.col(SC.pos).alias("kbc__pos"))
+
+
+@query("cdc_incremental_mv", f"""
+WITH cur AS (
+  SELECT user_id, event_type, "value" FROM (
+    SELECT *, {_OP_SQL} AS op FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+  ) WHERE op <> 'd')
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM cur GROUP BY event_type
+""")
+def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/aggmv.py): the
+    per-event_type (count, sum) view over the CDC current-state table,
+    maintained from a delta batch instead of recomputed. The run splits
+    the log at 80 % of the max position: the prior 80 % plays the stored
+    state + stored view of the previous sync; the last 20 % is the new
+    batch. Touched keys = distinct PKs in the batch (broadcast);
+    their new state comes from merging the old COMPACTED rows with the
+    delta events through the same W1 window (never a re-scan of full
+    history), and the view updates as old_view ⊖ old-touched ⊕
+    new-touched — exact decimal retraction, one group-key shuffle.
+    The oracle is the FULL recompute: incremental ≡ batch is the
+    maintained-view contract."""
+    from .operators.aggmv import maintain_view
+    from .operators.dedup import dedup_latest
+
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    cut = int(ev.agg(F.max(SC.pos)).collect()[0][0] * 0.8)
+    prior, delta = ev.filter(F.col(SC.pos) <= cut), ev.filter(F.col(SC.pos) > cut)
+    # previous sync's outputs — STORED tables in production (the view
+    # read costs nothing, the state read is key-pruned); derived here,
+    # so persist_once keeps the derivation from executing three times
+    # (old_view + old_touched + merge source)
+    state0 = persist_once(
+        dedup_latest(prior, ["user_id"]).filter(~F.col(SC.deleted))
+        .select("user_id", "event_type", "value", SC.event_timestamp, SC.pos,
+                SC.deleted))
+    touched = delta.select("user_id").distinct()
+    # new state of touched keys: old compacted row ∪ delta events → W1
+    merged_src = union_epochs([
+        state0.join(F.broadcast(touched), "user_id", "semi"),
+        delta.select("user_id", "event_type", "value", SC.event_timestamp,
+                     SC.pos, SC.deleted)])
+    state1_touched = (dedup_latest(merged_src, ["user_id"],
+                                   order_by=[F.col(SC.event_timestamp).desc(),
+                                             F.col(SC.pos).desc()])
+                      .filter(~F.col(SC.deleted)))
+    return maintain_view(
+        state0.select("user_id", "event_type", "value"),
+        state1_touched.select("user_id", "event_type", "value"),
+        touched, ["user_id"], ["event_type"], "value")
+
+
 _KC_DIST = ("list_sum(list_transform(range(1, 65), "
             "i -> ({a}.e[i] - {b}.e[i]) * ({a}.e[i] - {b}.e[i])))")
 

@@ -1,0 +1,83 @@
+"""Incremental aggregate maintenance (operators/aggmv.py): the
+delta-maintained view must equal a full recompute under inserts,
+updates (group migration), and deletes — including exact retraction of
+decimal sums and disappearance of emptied groups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_cdc_component_spark.operators.aggmv import (
+    maintain_view, merge_contributions, signed_contribution)
+
+
+def _state(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, grp string, value double")
+
+
+def _full_view(spark, rows):
+    from decimal import Decimal
+    agg = {}
+    for _, g, v in rows:
+        n, s = agg.get(g, (0, Decimal(0)))
+        agg[g] = (n + 1, s + Decimal(str(round(v, 6))))
+    return {g: (n, float(s)) for g, (n, s) in agg.items()}
+
+
+def _collect(view):
+    return {r["grp"]: (r["n_rows"], r["sum_value"]) for r in view.collect()}
+
+
+def test_maintained_equals_recompute_with_update_delete_insert(spark):
+    old_rows = [(1, "a", 1.5), (2, "a", 2.25), (3, "b", 4.0), (4, "b", 0.5)]
+    # the batch touches: 2 (update, migrates a→b), 3 (delete), 5 (insert)
+    new_rows_touched = [(2, "b", 9.75), (5, "c", 1.0)]   # 3 gone
+    final_rows = [(1, "a", 1.5), (2, "b", 9.75), (4, "b", 0.5),
+                  (5, "c", 1.0)]
+    touched = spark.createDataFrame([(2,), (3,), (5,)], "user_id long")
+    got = _collect(maintain_view(
+        _state(spark, old_rows), _state(spark, new_rows_touched), touched,
+        ["user_id"], ["grp"], "value"))
+    assert got == _full_view(spark, final_rows)
+
+
+def test_emptied_group_vanishes(spark):
+    """Deleting the last member of a group must remove the group row —
+    the count-reaches-zero filter, matching a full recompute."""
+    old_rows = [(1, "a", 3.0), (2, "b", 1.0)]
+    touched = spark.createDataFrame([(1,)], "user_id long")
+    got = _collect(maintain_view(
+        _state(spark, old_rows), _state(spark, []), touched,
+        ["user_id"], ["grp"], "value"))
+    assert got == {"b": (1, 1.0)}
+
+
+def test_retraction_is_exact_inverse(spark):
+    """Float-hostile measures (0.1-style) retract exactly: add then
+    remove the same rows and the sum returns to its original bits."""
+    base = [(i, "g", 0.1) for i in range(1, 8)]
+    extra = [(100, "g", 0.3), (101, "g", 0.7)]
+    plus = signed_contribution(_state(spark, base + extra), ["grp"],
+                               "value", +1)
+    minus = signed_contribution(_state(spark, extra), ["grp"], "value", -1)
+    got = _collect(merge_contributions([plus, minus], ["grp"]))
+    want = _collect(merge_contributions(
+        [signed_contribution(_state(spark, base), ["grp"], "value", +1)],
+        ["grp"]))
+    assert got == want
+
+
+def test_query_touched_path_never_scans_untouched_history(spark, sf_dir):
+    """Structural: cdc_incremental_mv derives new state from old
+    COMPACTED rows ∪ delta only — the merge source must not contain the
+    prior raw event subtree twice (one full-history pass for state0,
+    delta for the rest)."""
+    from python_cdc_component_spark.plans.explain import plan_summary
+    from python_cdc_component_spark.queries import QUERIES
+    s = plan_summary(QUERIES["cdc_incremental_mv"](spark, sf_dir))
+    # state0 is consumed at three sites (old_view, old_touched, merge
+    # source) but must execute once: the cached relation is substituted
+    # at ≥2 of them (scan count stays bounded — the textual count
+    # includes each InMemoryRelation's printed child)
+    assert s.text.count("InMemoryTableScan") >= 2
+    assert s.scans <= 6 and "CartesianProduct" not in s.text
