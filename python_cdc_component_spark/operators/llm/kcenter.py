@@ -44,16 +44,24 @@ def kcenter_select(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     selection order (the first center's dmin is 0.0 by convention)."""
     v = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).alias("e"))
-    first = v.orderBy("vec_id").limit(1).collect()[0]
-    centers = [(first["vec_id"], list(first["e"]), 0.0)]
-    for _ in range(k - 1):
-        far = (v.select("vec_id", "e",
-                        _min_dist_col([(c, e) for c, e, _ in centers])
-                        .alias("dmin"))
-                .orderBy(F.col("dmin").desc(), "vec_id")
-                .limit(1).collect())
-        if not far:
-            break
-        r = far[0]
-        centers.append((r["vec_id"], list(r["e"]), float(r["dmin"])))
+    # persist across the k driver actions (each round is an action, and
+    # without the cache every round re-scans + re-casts the source —
+    # the kmeans_fit iteration pattern); released before returning so
+    # no cached subtree escapes to callers.
+    vc = v.persist()
+    try:
+        first = vc.orderBy("vec_id").limit(1).collect()[0]
+        centers = [(first["vec_id"], list(first["e"]), 0.0)]
+        for _ in range(k - 1):
+            far = (vc.select("vec_id", "e",
+                             _min_dist_col([(c, e) for c, e, _ in centers])
+                             .alias("dmin"))
+                     .orderBy(F.col("dmin").desc(), "vec_id")
+                     .limit(1).collect())
+            if not far:
+                break
+            r = far[0]
+            centers.append((r["vec_id"], list(r["e"]), float(r["dmin"])))
+    finally:
+        vc.unpersist()
     return centers

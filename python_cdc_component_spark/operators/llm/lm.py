@@ -105,10 +105,15 @@ def ppl_buckets(scored: DataFrame, group_col: str = "lang",
                           bucket.alias("ppl_bucket")))
 
 
+# zip_with over two pre-computed slices, NOT element_at over a sequence:
+# higher-order functions are interpreted, and an element_at({w}, i)
+# lambda re-evaluates the split per ELEMENT — O(len²) per doc (measured
+# 4.4× superlinear on the ×10 corpus). The slices evaluate the split
+# O(1) times per row and the lambda is a cheap struct build.
 _BIGRAMS_EXPR = (
     "CASE WHEN size({w}) >= 2 THEN "
-    "transform(sequence(1, size({w}) - 1), "
-    "i -> struct(element_at({w}, i) AS p, element_at({w}, i + 1) AS nx)) "
+    "zip_with(slice({w}, 1, size({w}) - 1), slice({w}, 2, size({w}) - 1), "
+    "(a, b) -> struct(a AS p, b AS nx)) "
     "ELSE array() END")
 
 

@@ -5013,12 +5013,15 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
                                        .cast("binary")), 1, 7), 16, 10)
               .cast("long") % 100)
+    # split hoisted to a column: an inline split inside the interpreted
+    # transform lambda re-splits per element — O(tokens²)/doc
     gram_col = F.explode(F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 8 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 7), "
-        "i -> md5(array_join(slice(split(text, ' '), i, 8), ' '))) "
+        "CASE WHEN size(_w) >= 8 THEN "
+        "transform(sequence(1, size(_w) - 7), "
+        "i -> md5(array_join(slice(_w, i, 8), ' '))) "
         "ELSE array() END")).alias("gh")
-    db = d.withColumn("bucket", bucket)
+    db = d.select("doc_id", bucket.alias("bucket"),
+                  F.split("text", " ").alias("_w"))
     ev = (db.filter(F.col("bucket") >= 90).select(gram_col).distinct())
     return (db.filter(F.col("bucket") < 80).select("doc_id", gram_col)
               .join(F.broadcast(ev), "gh")
