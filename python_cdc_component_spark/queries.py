@@ -5117,6 +5117,84 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_bigram_perplexity(d, bigram_fit(d))
 
 
+@query("cohort_retention", """
+WITH f AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id),
+coh AS (SELECT user_id, date_trunc('week', fts) AS cw FROM f),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cw, aw) // 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM act JOIN coh USING (user_id)
+GROUP BY cw, aw
+""")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — THE event-analytics staple: users
+    bucketed by first-seen week, activity counted per (cohort, week
+    offset). Two user-keyed shuffles (first-seen agg, activity
+    distinct) feed one user-keyed join, then the rollup groups on the
+    tiny (cohort, week) key. Monday-start date_trunc agrees across
+    engines under the UTC session; offsets are exact day-diffs / 7."""
+    s = _spark(spark)
+    ev = read_events(s, sf_dir).select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("fts"))
+    coh = first.select("user_id", F.date_trunc("week", "fts").alias("cw"))
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("aw")) \
+            .distinct()
+    return (act.join(coh, "user_id")
+            .groupBy("cw", "aw")
+            .agg(F.countDistinct("user_id").alias("n_active"))
+            .select(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+                    (F.datediff("aw", "cw") / 7).cast("int")
+                    .alias("week_offset"),
+                    "n_active"))
+
+
+@query("events_anomaly_zscore", """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS c
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, CAST(c AS BIGINT) AS c,
+       round((c - CAST(s1 AS DOUBLE) / n)
+             / sqrt(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),
+             6) AS z
+FROM daily JOIN mom USING (event_type)
+WHERE abs((c - CAST(s1 AS DOUBLE) / n)
+          / sqrt(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) > 1.5
+""")
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: daily event counts per type flagged
+    when |z| > 1.5 against the type's own distribution. The moments are
+    EXACT integer sums (counts are integral, so n/Σc/Σc² are
+    order-independent BIGINTs) and mean/σ derive from them in double
+    with an identical expression tree in both engines — never a float
+    `stddev` aggregate whose accumulation order varies by partition.
+    One (type, day) shuffle + a types-sized broadcast join back."""
+    s = _spark(spark)
+    ev = read_events(s, sf_dir)
+    daily = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+               .agg(F.count(F.lit(1)).alias("c")))
+    mom = (daily.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("c").cast("long").alias("s1"),
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("s2")))
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") / F.col("n")) - mean * mean
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (daily.join(F.broadcast(mom), "event_type")
+            .filter(F.abs(z) > 1.5)
+            .select("event_type",
+                    F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.col("c").cast("long").alias("c"),
+                    F.round(z, 6).alias("z")))
+
+
 @query("cdc_time_travel", f"""
 SELECT user_id, event_type, "value", event_id AS kbc__pos
 FROM (
