@@ -178,3 +178,46 @@ def test_duplicated_spans_match_python_reference(spark_global, docs, L):
     got = sorted((r.doc_id, r.span_start, r.span_end, r.span_tokens)
                  for r in duplicated_spans(df, window=L).collect())
     assert got == _spans_reference(docs, L)
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance ≡ full recompute, under random deltas
+
+_mv_state = st.dictionaries(
+    st.integers(0, 7),                                   # user (pk)
+    st.tuples(st.sampled_from(["a", "b", "c"]),          # group
+              st.floats(-5, 5, allow_nan=False, width=16)),
+    min_size=0, max_size=8)
+
+
+@given(old=_mv_state, new=_mv_state)
+@settings(max_examples=15, deadline=None)
+def test_maintain_view_equals_recompute(spark_global, old, new):
+    """maintain_view(old_state, touched') ≡ aggregate(final state) for
+    ANY old state and ANY touched-key delta — `new`'s keys are the
+    touched set; a touched key absent from `new`'s value side models a
+    delete, a group change models migration."""
+    from python_cdc_component_spark.operators.aggmv import (
+        maintain_view, merge_contributions, signed_contribution)
+    spark = spark_global
+    schema = "user_id long, grp string, value double"
+
+    def df(state):
+        return spark.createDataFrame(
+            [(u, g, v) for u, (g, v) in state.items()], schema)
+
+    touched_keys = set(new)                       # all keys the batch names
+    final = {**{u: s for u, s in old.items() if u not in touched_keys},
+             **new}
+    got = {(r["grp"]): (r["n_rows"], round(r["sum_value"], 6))
+           for r in maintain_view(
+               df(old), df(new),
+               spark.createDataFrame([(u,) for u in touched_keys] or
+                                     [(None,)],  # empty-safe
+                                     "user_id long").filter("user_id IS NOT NULL"),
+               ["user_id"], ["grp"], "value").collect()}
+    want = {(r["grp"]): (r["n_rows"], round(r["sum_value"], 6))
+            for r in merge_contributions(
+                [signed_contribution(df(final), ["grp"], "value", +1)],
+                ["grp"]).collect()}
+    assert got == want
