@@ -57,6 +57,7 @@ HEADLINE = [
     "ngram_decontaminate",           # token 8-gram train/eval decontamination
     "dup_canonical_best",            # components + keep-longest canonical
     "bigram_perplexity",             # interpolated order-2 LM scoring
+    "cdc_incremental_mv",            # delta-maintained aggregate view
 ]
 
 

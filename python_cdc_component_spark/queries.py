@@ -5079,6 +5079,37 @@ def dup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("csize").cast("long").alias("cluster_size")))
 
 
+_LEAKAGE_ORACLE = ORACLES["dup_components"].rstrip().rsplit(
+    "SELECT n AS doc_id", 1)[0].rstrip().rstrip(")") + """),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM lbl GROUP BY n)
+SELECT doc_id, component,
+       CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 7))::BIGINT
+                 % 100 < 80 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 7))::BIGINT
+                 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM comp
+"""
+
+
+@query("leakage_safe_split", _LEAKAGE_ORACLE)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split key is the
+    near-dup COMPONENT, not the document — near-duplicates can never
+    straddle train and eval (the contamination path a per-doc hash
+    split leaves open; ``train_split_assign`` is that per-doc form).
+    Deterministic md5 bucketing on the component label over the
+    checkpointed labels — a map-side projection; the oracle extends
+    the recursive-CTE closure with the identical bucketing."""
+    comp = QUERIES["dup_components"](spark, sf_dir)
+    bucket = (F.conv(F.substring(F.md5(F.col("component").cast("string")
+                                       .cast("binary")), 1, 7), 16, 10)
+              .cast("long") % 100)
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val").otherwise("test"))
+    return comp.select("doc_id", "component", split.alias("split"))
+
+
 @query("bigram_perplexity", """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 bg AS (SELECT doc_id, w[i] AS p, w[i+1] AS nx

@@ -222,3 +222,15 @@ def test_kcenter_rounds_are_shuffle_free(spark, sf_dir):
     s = plan_summary(round_df)
     assert "TakeOrderedAndProject" in s.text
     assert s.shuffles == 0 and s.sorts == 0
+
+
+def test_leakage_safe_split_never_straddles_components(spark, sf_dir):
+    """Every near-dup component lands wholly in ONE split — the property
+    per-doc hash splitting (train_split_assign) cannot give."""
+    rows = QUERIES["leakage_safe_split"](spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "val", "test"} and "train" in splits
