@@ -67,8 +67,8 @@ DRIVER_WINDOW = [
     # bench-driver row in r4; tfidf/hll/jaccard-accuracy/lsh-groups
     # rotate back out for the session-3 additions — still self-gated)
     "countmin_heavy_hitters", "embedding_ann_recall", "simhash_near_pairs",
-    # rotated in: format/bucketing surface
-    "bucketed_join_revenue", "all_datatypes_decode",
+    # rotated in: format surface + the CDC→OLAP maintained-view flagship
+    "all_datatypes_decode", "cdc_incremental_mv",
     # rotated in: round-5 second-session additions (never had a row)
     "dsir_select_docs", "exact_substr_spans", "ccnet_ppl_buckets",
     "variant_shred_events", "xml_roundtrip_events",

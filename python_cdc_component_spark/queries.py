@@ -5079,6 +5079,51 @@ def dup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("csize").cast("long").alias("cluster_size")))
 
 
+@query("topk_sample_per_group", """
+SELECT source, doc_id
+FROM (SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 10
+""")
+def topk_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sample per group (k=10 docs per source) —
+    eval-set and inspection-sample construction. Rank = md5 of the
+    stable id, so the draw is uniform-ish, reproducible across engines,
+    partitionings and reruns (never rand()); one group-keyed shuffle
+    with WindowGroupLimit pushing the top-k into partial per-partition
+    heaps before the exchange."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id"))
+    return (d.select("source", "doc_id",
+                     F.row_number().over(w).alias("rn"))
+             .filter(F.col("rn") <= 10).drop("rn"))
+
+
+@query("text_normalize", """
+SELECT doc_id,
+       regexp_replace(trim(lower(text)), ' +', ' ') AS norm,
+       CAST(length(text) AS BIGINT) AS len_raw,
+       CAST(length(regexp_replace(trim(lower(text)), ' +', ' ')) AS BIGINT)
+           AS len_norm
+FROM documents
+""")
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style text normalization (lowercase, trim, whitespace
+    squeeze) with before/after lengths — the map-only cleanup stage
+    every corpus pipeline runs first. Shuffle-free JVM regexp; the
+    normalized column is what the dedup/fingerprint family consumes
+    upstream of hashing."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    return d.select("doc_id", norm.alias("norm"),
+                    F.length("text").cast("long").alias("len_raw"),
+                    F.length(norm).cast("long").alias("len_norm"))
+
+
 _LEAKAGE_ORACLE = ORACLES["dup_components"].rstrip().rsplit(
     "SELECT n AS doc_id", 1)[0].rstrip().rstrip(")") + """),
 comp AS (SELECT n AS doc_id, MIN(m) AS component FROM lbl GROUP BY n)
