@@ -59,17 +59,35 @@ def merge_contributions(parts: list[DataFrame], group_keys: list[str],
              .filter(F.col(count_alias) > 0))
 
 
+def view_as_contribution(view: DataFrame, count_col: str = "n_rows",
+                         sum_col: str = "sum_value") -> DataFrame:
+    """Adapt a previously-stored view (count, sum) to the signed
+    (_n, _s) contribution shape so it can seed the merge."""
+    return view.select(*[c for c in view.columns
+                         if c not in (count_col, sum_col)],
+                       F.col(count_col).cast("long").alias("_n"),
+                       F.col(sum_col).cast(DEC).alias("_s"))
+
+
 def maintain_view(old_state: DataFrame, new_state_touched: DataFrame,
                   touched_keys: DataFrame, pk: list[str],
-                  group_keys: list[str], measure: str) -> DataFrame:
-    """New aggregate view from: the previous state table, the re-derived
-    state of touched keys only, and the touched-key list (broadcast).
+                  group_keys: list[str], measure: str,
+                  old_view: DataFrame | None = None) -> DataFrame:
+    """New aggregate view: ``old_view ⊖ old_touched ⊕ new_touched``,
+    with the touched-key list broadcast into both key-pruned terms.
 
-    ``old_view ⊖ old_touched ⊕ new_touched``, where old_view is itself
-    derived from ``old_state`` here — in production it is the stored
-    aggregate output of the previous run and this first term costs
-    nothing."""
-    old_view = signed_contribution(old_state, group_keys, measure, +1)
+    ``old_view`` is the STORED aggregate output of the previous run
+    (pass it through :func:`view_as_contribution`); when omitted it is
+    derived from ``old_state`` — correct but full-scan-priced, so only
+    for one-shot/backfill use. Note the honest cost model: supplying
+    the stored view removes the re-AGGREGATION of untouched state, but
+    the two touched terms still semi-join against ``old_state`` — the
+    scan only becomes delta-priced when the state read itself is
+    key-pruned (the bucketed-store path
+    ``streaming.view_maintain.StreamingAggView`` uses; see SCALING.md
+    "Incremental aggregate maintenance")."""
+    if old_view is None:
+        old_view = signed_contribution(old_state, group_keys, measure, +1)
     old_touched = signed_contribution(
         old_state.join(F.broadcast(touched_keys), pk, "semi"),
         group_keys, measure, -1)

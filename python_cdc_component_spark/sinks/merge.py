@@ -71,12 +71,25 @@ class MergeCompactor:
                 # mergeSchema: after schema drift, buckets rewritten in
                 # different batches carry different file schemas; without
                 # it Spark infers from ONE arbitrary file and drifted
-                # columns silently vanish. Footer merging is bounded by
-                # the pruned bucket set here.
-                current = (spark.read.option("mergeSchema", "true")
-                           .parquet(self.state_path)
-                           .filter(F.col(BUCKET_COL).isin(touched)))
-                merged = union_epochs([current, batch])
+                # columns silently vanish. The read lists the touched
+                # bucket DIRECTORIES explicitly (basePath keeps the
+                # partition column): a whole-table load + filter would
+                # run the mergeSchema footer job over EVERY bucket's
+                # files before pruning — measured as a full-store task
+                # wave per micro-batch on a 512-bucket state.
+                import os
+                paths = [p for p in
+                         (os.path.join(self.state_path,
+                                       f"{BUCKET_COL}={b}")
+                          for b in touched)
+                         if _fs_exists(spark, p)]
+                if paths:
+                    current = (spark.read.option("mergeSchema", "true")
+                               .option("basePath", self.state_path)
+                               .parquet(*paths))
+                    merged = union_epochs([current, batch])
+                else:
+                    merged = batch
             else:
                 merged = batch
             compacted = dedup_latest(merged, self.keys)

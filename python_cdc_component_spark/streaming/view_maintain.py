@@ -45,9 +45,40 @@ class StreamingAggView:
     group_keys: list[str]
     measure: str
 
-    def _state_live(self, spark: SparkSession,
-                    compactor: MergeCompactor) -> DataFrame:
-        return compactor.read(spark).filter(~F.col(SC.deleted))
+    def _state_live(self, spark: SparkSession, compactor: MergeCompactor,
+                    buckets: list[int] | None = None) -> DataFrame:
+        """Live (non-deleted) state rows; with ``buckets``, only the
+        named hash buckets are read — a PARTITION filter on the bucketed
+        store, so per-batch state I/O is proportional to the batch's
+        touched buckets, never the full table (the same pruning
+        ``MergeCompactor.merge`` itself uses). This is what makes the
+        retract/add terms delta-priced at scale: without key-pruned
+        reads the semi-join would scan all of state and the maintained
+        view would only tie a full re-aggregate, not beat it."""
+        from ..sinks.merge import BUCKET_COL
+        reader = spark.read.option("mergeSchema", "true")
+        if buckets is not None:
+            # enumerate the touched bucket DIRECTORIES instead of
+            # filtering after a whole-table load: ``mergeSchema`` reads
+            # every file footer of whatever it is pointed at (a
+            # 512-task job per read on a 512-bucket store — measured
+            # dominating the delta update), and listing only the
+            # touched dirs bounds both the footer merge and the scan.
+            import os
+            paths = [p for p in
+                     (os.path.join(compactor.state_path,
+                                   f"{BUCKET_COL}={b}") for b in buckets)
+                     if _fs_exists(spark, p)]
+            if not paths:
+                # none of the touched buckets materialized yet (all-new
+                # keys): schema-correct empty frame
+                return (reader.parquet(compactor.state_path).limit(0)
+                        .drop(BUCKET_COL).filter(~F.col(SC.deleted)))
+            df = (reader.option("basePath", compactor.state_path)
+                  .parquet(*paths))
+        else:
+            df = reader.parquet(compactor.state_path)
+        return df.drop(BUCKET_COL).filter(~F.col(SC.deleted))
 
     def update(self, spark: SparkSession, compactor: MergeCompactor,
                batch_df: DataFrame) -> None:
@@ -58,6 +89,8 @@ class StreamingAggView:
         batch_df = batch_df.persist()
         try:
             touched = batch_df.select(*self.pk).distinct()
+            tb = [r[0] for r in batch_df
+                  .select(compactor._bucket().alias("b")).distinct().collect()]
             parts: list[DataFrame] = []
             if _fs_exists(spark, self.view_path):
                 parts.append(
@@ -65,14 +98,14 @@ class StreamingAggView:
                     .select(*self.group_keys, "_n", "_s")
                     .localCheckpoint(eager=True))
             if _fs_exists(spark, compactor.state_path):
-                old_t = (self._state_live(spark, compactor)
+                old_t = (self._state_live(spark, compactor, tb)
                          .join(F.broadcast(touched), self.pk, "semi"))
                 parts.append(
                     signed_contribution(old_t, self.group_keys,
                                         self.measure, -1)
                     .localCheckpoint(eager=True))
             compactor.merge(spark, batch_df)
-            new_t = (self._state_live(spark, compactor)
+            new_t = (self._state_live(spark, compactor, tb)
                      .join(F.broadcast(touched), self.pk, "semi"))
             parts.append(signed_contribution(new_t, self.group_keys,
                                              self.measure, +1))
@@ -101,6 +134,7 @@ class StreamingAggView:
         """Full recompute from the compacted state — the invariant the
         maintained view must equal after every batch (test surface)."""
         return merge_contributions(
-            [signed_contribution(self._state_live(spark, compactor),
-                                 self.group_keys, self.measure, +1)],
+            [signed_contribution(
+                self._state_live(spark, compactor, buckets=None),
+                self.group_keys, self.measure, +1)],
             self.group_keys)
