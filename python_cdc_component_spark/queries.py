@@ -5195,33 +5195,32 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("cohort_retention", """
 WITH f AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id),
-coh AS (SELECT user_id, date_trunc('week', fts) AS cw FROM f),
-act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
-SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
-       CAST(date_diff('day', cw, aw) // 7 AS INTEGER) AS week_offset,
+coh AS (SELECT user_id, date_trunc('day', fts) AS cd FROM f),
+act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS ad FROM events)
+SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cd, ad) AS INTEGER) AS day_offset,
        COUNT(DISTINCT user_id) AS n_active
 FROM act JOIN coh USING (user_id)
-GROUP BY cw, aw
+GROUP BY cd, ad
 """)
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention — THE event-analytics staple: users
-    bucketed by first-seen week, activity counted per (cohort, week
-    offset). Two user-keyed shuffles (first-seen agg, activity
-    distinct) feed one user-keyed join, then the rollup groups on the
-    tiny (cohort, week) key. Monday-start date_trunc agrees across
-    engines under the UTC session; offsets are exact day-diffs / 7."""
+    """Cohort retention — THE event-analytics staple: users bucketed by
+    first-seen day, activity counted per (cohort, day offset) — the
+    retention-curve matrix. Two user-keyed shuffles (first-seen agg,
+    activity distinct) feed one user-keyed join, then the rollup groups
+    on the tiny (cohort, offset) key. date_trunc agrees across engines
+    under the UTC session; offsets are exact day diffs."""
     s = _spark(spark)
     ev = read_events(s, sf_dir).select("user_id", "ts")
     first = ev.groupBy("user_id").agg(F.min("ts").alias("fts"))
-    coh = first.select("user_id", F.date_trunc("week", "fts").alias("cw"))
-    act = ev.select("user_id", F.date_trunc("week", "ts").alias("aw")) \
+    coh = first.select("user_id", F.date_trunc("day", "fts").alias("cd"))
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("ad")) \
             .distinct()
     return (act.join(coh, "user_id")
-            .groupBy("cw", "aw")
+            .groupBy("cd", "ad")
             .agg(F.countDistinct("user_id").alias("n_active"))
-            .select(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
-                    (F.datediff("aw", "cw") / 7).cast("int")
-                    .alias("week_offset"),
+            .select(F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+                    F.datediff("ad", "cd").cast("int").alias("day_offset"),
                     "n_active"))
 
 

@@ -81,3 +81,25 @@ def test_query_touched_path_never_scans_untouched_history(spark, sf_dir):
     # includes each InMemoryRelation's printed child)
     assert s.text.count("InMemoryTableScan") >= 2
     assert s.scans <= 6 and "CartesianProduct" not in s.text
+
+
+def test_stored_view_path_matches_derived_and_recompute(spark):
+    """maintain_view with a STORED previous view (the production path)
+    must equal both the derive-from-state form and the recompute."""
+    from python_cdc_component_spark.operators.aggmv import (
+        view_as_contribution)
+    old_rows = [(1, "a", 0.1), (2, "a", 0.2), (3, "b", 0.3)]
+    new_rows = [(2, "b", 0.9)]                       # migrate, touch 2
+    touched = spark.createDataFrame([(2,)], "user_id long")
+    stored = merge_contributions(
+        [signed_contribution(_state(spark, old_rows), ["grp"], "value", +1)],
+        ["grp"])
+    with_stored = _collect(maintain_view(
+        _state(spark, old_rows), _state(spark, new_rows), touched,
+        ["user_id"], ["grp"], "value",
+        old_view=view_as_contribution(stored)))
+    derived = _collect(maintain_view(
+        _state(spark, old_rows), _state(spark, new_rows), touched,
+        ["user_id"], ["grp"], "value"))
+    final = [(1, "a", 0.1), (2, "b", 0.9), (3, "b", 0.3)]
+    assert with_stored == derived == _full_view(spark, final)
