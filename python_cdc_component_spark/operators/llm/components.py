@@ -40,6 +40,18 @@ def connected_components(edges: DataFrame, src: str = "src",
                                      F.col("a").alias("label")))
             .groupBy("node").agg(F.min("label").alias("label")))
 
+    # Convergence signal: min-label propagation is MONOTONE — a node's
+    # label can only decrease — so the label sum is strictly decreasing
+    # until the fixpoint, and "sum unchanged" ⟺ "no label changed".
+    # One decimal aggregate over the (cached) labels per round replaces
+    # the earlier join-against-previous + filter + count (a second full
+    # node-count join per round). Decimal sum: exact and overflow-proof
+    # at any node-id magnitude.
+    def _label_sum(lb):
+        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                       .alias("s")).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # neighbor labels: for each edge a→b, b's current label is a
         # candidate for a
@@ -47,18 +59,17 @@ def connected_components(edges: DataFrame, src: str = "src",
                .select(F.col("a").alias("node"),
                        F.col("label").alias("nbr_label")))
         # persist_once: the final round's labels stay cached for the
-        # caller (the changed-count already materialized them); a repeat
+        # caller (the sum already materialized them); a repeat
         # invocation re-deriving the identical plan reuses that entry
         new_labels = persist_once(
             labels.unionByName(nbr.withColumnRenamed("nbr_label", "label"))
                   .groupBy("node").agg(F.min("label").alias("label")))
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   "node")
-                   .filter(F.col("label") != F.col("old")).limit(1).count())
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     both.unpersist()
     out = labels.select(F.col("node"), F.col("label").alias("component"))
     # Lineage truncation: the converged labels logically carry the whole
