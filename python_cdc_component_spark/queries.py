@@ -5193,6 +5193,48 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_bigram_perplexity(d, bigram_fit(d))
 
 
+@query("gdpr_forget_keys", f"""
+WITH cur AS (
+  SELECT user_id, event_type, "value" FROM (
+    SELECT *, {_OP_SQL} AS op FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+  ) WHERE op <> 'd')
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM cur WHERE user_id % 97 <> 0
+GROUP BY event_type
+""")
+def gdpr_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: purge a forget-key set from
+    the compacted state AND retract it from the maintained aggregate
+    view in one pass — the erasure a CDC pipeline owes its downstream
+    when deletes arrive out-of-band (compliance, not change events).
+    The purge is a broadcast anti-join on the key list; the view update
+    is the aggmv retraction identity with NO new-contribution term
+    (forget = delete-only delta), so nothing re-aggregates the
+    surviving 99.9 %. Oracle: the view over the purged state recomputed
+    from scratch — erasure ≡ never-was."""
+    from .operators.aggmv import (merge_contributions,
+                                  signed_contribution, view_as_contribution)
+    from .operators.dedup import dedup_latest
+
+    ev = read_cdc_events(_spark(spark), sf_dir)
+    state = persist_once(
+        dedup_latest(ev, ["user_id"]).filter(~F.col(SC.deleted))
+        .select("user_id", "event_type", "value"))
+    forget = state.select("user_id").filter(F.col("user_id") % 97 == 0)
+    # stored view of the pre-purge state (previous run's output)
+    stored = merge_contributions(
+        [signed_contribution(state, ["event_type"], "value", +1)],
+        ["event_type"])
+    retract = signed_contribution(
+        state.join(F.broadcast(forget), ["user_id"], "semi"),
+        ["event_type"], "value", -1)
+    return merge_contributions(
+        [view_as_contribution(stored), retract], ["event_type"])
+
+
 @query("cohort_retention", """
 WITH f AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id),
 coh AS (SELECT user_id, date_trunc('day', fts) AS cd FROM f),
