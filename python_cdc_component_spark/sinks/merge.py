@@ -112,6 +112,27 @@ class MergeCompactor:
         finally:
             batch.unpersist()
 
+    def health(self, spark: SparkSession) -> DataFrame:
+        """Operational health report of the bucketed state store:
+        per-bucket file count, row count, and tombstone count — the
+        compaction-debt signals an operator watches (file-count creep
+        means the bin-packing rewrite is being defeated; tombstone
+        ratio drives retention compaction scheduling). One pruned scan;
+        file attribution via the metadata column, no filesystem
+        listing loop."""
+        df = (spark.read.option("mergeSchema", "true")
+              .parquet(self.state_path))
+        deleted = (F.col("__deleted").cast("int")
+                   if "__deleted" in df.columns else F.lit(0))
+        return (df.select(F.col(BUCKET_COL).alias("bucket"),
+                          F.col("_metadata.file_path").alias("_f"),
+                          deleted.alias("_d"))
+                .groupBy("bucket")
+                .agg(F.countDistinct("_f").alias("n_files"),
+                     F.count(F.lit(1)).alias("n_rows"),
+                     F.sum("_d").cast("long").alias("n_tombstones"))
+                .orderBy("bucket"))
+
     def read(self, spark: SparkSession) -> DataFrame:
         """The compacted table (bucket column dropped). mergeSchema keeps
         post-drift columns visible regardless of which bucket's files the

@@ -144,3 +144,21 @@ def test_merge_bin_packs_one_file_per_bucket(spark, sf_dir, tmp_path):
         files = [f for f in os.listdir(os.path.join(state, d))
                  if f.endswith(".parquet")]
         assert len(files) == 1, (d, files)
+
+
+def test_state_health_report(spark, tmp_path):
+    """Per-bucket file/row/tombstone counts; the bin-packing rewrite
+    keeps each bucket at ONE file regardless of how many batches
+    touched it."""
+    from pyspark.sql import functions as F
+    comp = MergeCompactor(str(tmp_path / "st"), ["user_id"], num_buckets=4)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, v string, kbc__event_timestamp long, "
+              "kbc__file string, kbc__pos long, __deleted boolean")
+    comp.merge(spark, mk([(i, "a", 1, "f", i, False) for i in range(20)]))
+    comp.merge(spark, mk([(1, "b", 2, "f", 100, False),
+                          (2, "b", 2, "f", 101, True)]))
+    h = {r["bucket"]: r for r in comp.health(spark).collect()}
+    assert sum(r["n_rows"] for r in h.values()) == 20
+    assert sum(r["n_tombstones"] for r in h.values()) == 1
+    assert all(r["n_files"] == 1 for r in h.values())
