@@ -5193,6 +5193,80 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_bigram_perplexity(d, bigram_fit(d))
 
 
+@query("quality_classifier_score", f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+f AS (SELECT doc_id,
+             CAST(len(w) AS DOUBLE) AS n_tok,
+             CAST((SELECT COUNT(*) FROM unnest(w) u(x)
+                   WHERE x IN {{stop}}) AS DOUBLE) / len(w) AS stop_ratio,
+             (CAST(length(text) AS DOUBLE) - (len(w) - 1)) / len(w)
+                 AS avg_tok_len
+      FROM t)
+SELECT doc_id,
+       round(-1.5 + 0.02 * n_tok + 2.0 * stop_ratio - 0.1 * avg_tok_len, 6)
+           AS margin,
+       (-1.5 + 0.02 * n_tok + 2.0 * stop_ratio - 0.1 * avg_tok_len) > 0.0
+           AS keep
+FROM f
+""".format(stop=_STOP_SQL))
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at corpus scale — the
+    fastText-classifier-shaped scoring stage of curation pipelines,
+    with fixed published-style weights over cheap text features
+    (token count, stopword ratio, mean token length). Map-only, one
+    explode-free pass (features from size/length arithmetic + one
+    array filter). The margin stays LINEAR (logistic is monotone, so
+    the keep decision is identical) because +/×/÷ are IEEE-exact and
+    cross-engine reproducible, while libm exp() is not — a sigmoid
+    would hash-mismatch in the last ulp."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    w = F.split("text", " ")
+    n_tok = F.size("w").cast("double")
+    stops = F.size(F.filter("w", lambda x: x.isin(*_STOPWORDS))) \
+             .cast("double")
+    t = d.select("doc_id", "text", w.alias("w"))
+    f = t.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (stops / F.size("w")).alias("stop_ratio"),
+        ((F.length("text").cast("double") - (F.size("w") - 1))
+         / F.size("w")).alias("avg_tok_len"))
+    margin = (-1.5 + 0.02 * F.col("n_tok") + 2.0 * F.col("stop_ratio")
+              - 0.1 * F.col("avg_tok_len"))
+    return f.select("doc_id", F.round(margin, 6).alias("margin"),
+                    (margin > 0.0).alias("keep"))
+
+
+@query("train_shuffle_order", """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+            % 8 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8
+            ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS shard_pos
+FROM documents
+""")
+def train_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle, the shard-local form real
+    data loaders use: docs hash into shards, each shard gets an
+    md5-seeded pseudo-random order — reshuffling = changing the seed
+    string. Shard-local windows keep the sort per-shard (never a global
+    total order, which would single-partition at 100 TB); the seeded
+    hash makes the epoch order reproducible across engines, reruns and
+    partitionings — rand() never appears."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    shard = (F.conv(F.substring(hx, 1, 7), 16, 10).cast("long") % 8) \
+        .cast("int")
+    seed_key = F.md5(F.concat(F.lit("s42:"),
+                              F.col("doc_id").cast("string")).cast("binary"))
+    w = Window.partitionBy("shard").orderBy(F.col("sk"), F.col("doc_id"))
+    return (d.select("doc_id", shard.alias("shard"), seed_key.alias("sk"))
+             .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+             .drop("sk"))
+
+
 @query("gdpr_forget_keys", f"""
 WITH cur AS (
   SELECT user_id, event_type, "value" FROM (

@@ -112,6 +112,61 @@ class MergeCompactor:
         finally:
             batch.unpersist()
 
+    def purge(self, spark: SparkSession, keys_df: DataFrame) -> int:
+        """Right-to-be-forgotten erasure against the stored state: drop
+        every row whose key appears in ``keys_df``, rewriting ONLY the
+        buckets those keys hash to (path-pruned read + dynamic partition
+        overwrite — untouched buckets' files are never opened, same
+        contract as ``merge``). Returns the number of buckets rewritten.
+        Erasure is physical: the rewritten files no longer contain the
+        rows, unlike a tombstone append."""
+        keys = keys_df.select(*self.keys).distinct()
+        keys.persist()
+        try:
+            import os
+            touched = [r[0] for r in
+                       keys.select(self._bucket().alias("b"))
+                           .distinct().collect()]
+            paths = [p for p in
+                     (os.path.join(self.state_path, f"{BUCKET_COL}={b}")
+                      for b in touched)
+                     if _fs_exists(spark, p)]
+            if not paths:
+                return 0
+            current = (spark.read.option("mergeSchema", "true")
+                       .option("basePath", self.state_path)
+                       .parquet(*paths)).persist()
+            kept = current.join(F.broadcast(keys), self.keys, "left_anti")
+            # dynamic overwrite only rewrites partitions PRESENT in the
+            # written data — a bucket whose every row is purged would
+            # silently keep its old files; delete those dirs explicitly
+            surviving = {r[0] for r in
+                         kept.select(BUCKET_COL).distinct().collect()}
+            prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
+            spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
+            try:
+                (kept.repartition(F.col(BUCKET_COL))
+                 .write.partitionBy(BUCKET_COL)
+                 .mode("overwrite").parquet(self.state_path))
+            finally:
+                spark.conf.set(_OVERWRITE_MODE_KEY, prev)
+                current.unpersist()
+            emptied = [b for b in touched
+                       if b not in surviving
+                       and _fs_exists(spark,
+                                      os.path.join(self.state_path,
+                                                   f"{BUCKET_COL}={b}"))]
+            if emptied:
+                jvm = spark._jvm
+                conf = spark._jsc.hadoopConfiguration()
+                for b in emptied:
+                    p = jvm.org.apache.hadoop.fs.Path(
+                        os.path.join(self.state_path, f"{BUCKET_COL}={b}"))
+                    p.getFileSystem(conf).delete(p, True)
+            return len(paths)
+        finally:
+            keys.unpersist()
+
     def health(self, spark: SparkSession) -> DataFrame:
         """Operational health report of the bucketed state store:
         per-bucket file count, row count, and tombstone count — the

@@ -162,3 +162,44 @@ def test_state_health_report(spark, tmp_path):
     assert sum(r["n_rows"] for r in h.values()) == 20
     assert sum(r["n_tombstones"] for r in h.values()) == 1
     assert all(r["n_files"] == 1 for r in h.values())
+
+
+def test_purge_physically_erases_and_prunes(spark, tmp_path):
+    """purge() drops the forget keys from state, rewrites ONLY their
+    buckets (others' files untouched on disk), and removes a bucket
+    directory entirely when every row in it is purged."""
+    import glob
+    import os
+    from pyspark.sql import functions as F
+    comp = MergeCompactor(str(tmp_path / "st"), ["user_id"], num_buckets=8)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, v string, kbc__event_timestamp long, "
+              "kbc__file string, kbc__pos long, __deleted boolean")
+    comp.merge(spark, mk([(i, "a", 1, "f", i, False) for i in range(40)]))
+    state = comp.read(spark)
+    # pick one bucket to empty completely + one key from another bucket
+    bucketed = {r["user_id"]: r["b"] for r in
+                spark.createDataFrame([(i,) for i in range(40)],
+                                      "user_id long")
+                .select("user_id", comp._bucket().alias("b")).collect()}
+    victim_bucket = bucketed[0]
+    empty_all = [u for u, b in bucketed.items() if b == victim_bucket]
+    other = next(u for u, b in bucketed.items() if b != victim_bucket)
+    before = {os.path.basename(d): sorted(os.listdir(d)) for d in
+              glob.glob(str(tmp_path / "st" / "_kbc_bucket=*"))}
+    n = comp.purge(spark, spark.createDataFrame(
+        [(u,) for u in empty_all + [other]], "user_id long"))
+    assert n >= 2
+    left = {r["user_id"] for r in comp.read(spark).collect()}
+    assert left == set(range(40)) - set(empty_all) - {other}
+    # victim bucket directory is gone
+    assert not os.path.exists(
+        str(tmp_path / "st" / f"_kbc_bucket={victim_bucket}"))
+    # buckets not containing purged keys keep their exact files
+    after = {os.path.basename(d): sorted(os.listdir(d)) for d in
+             glob.glob(str(tmp_path / "st" / "_kbc_bucket=*"))}
+    untouched = {b for b in before
+                 if b not in (f"_kbc_bucket={victim_bucket}",
+                              f"_kbc_bucket={bucketed[other]}")}
+    for b in untouched:
+        assert after[b] == before[b]
