@@ -66,6 +66,14 @@ class BoundedStreamConfig:
     # recovery — the drain COMMITS every present file to the checkpoint
     # while emitting zero rows, so the next run streams only new files.
     snapshot_mode: str = "initial"
+    # Optional maintained aggregate view over the compacted state
+    # (DEDUPE mode only): when view_path and view_group_keys are set,
+    # each micro-batch updates the stored (count, decimal-sum) view via
+    # streaming.view_maintain.StreamingAggView instead of bare
+    # compaction — retract/add around the merge, delta-priced.
+    view_path: str | None = None
+    view_group_keys: list[str] | None = None
+    view_measure: str = "value"
 
 
 def read_event_stream(spark: SparkSession, events_dir: str,
@@ -180,6 +188,12 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
         if cfg.mode.upper() == "DEDUPE":
             compactor = MergeCompactor(out_path, cfg.primary_keys,
                                        cfg.num_state_buckets)
+            view = None
+            if cfg.view_path and cfg.view_group_keys:
+                from .view_maintain import StreamingAggView
+                view = StreamingAggView(cfg.view_path, cfg.primary_keys,
+                                        cfg.view_group_keys,
+                                        cfg.view_measure)
 
             def sink(batch_df: DataFrame, batch_id: int) -> None:
                 if cfg.live:
@@ -187,7 +201,11 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                     # (AvailableNow terminates on its own)
                     phase["snapshot_active"] = not (
                         batch_df.filter(F.col("_snapshot_phase")).isEmpty())
-                _compact(spark, batch_df, compactor)
+                if view is not None:
+                    view.update(spark, compactor,
+                                batch_df.drop("_snapshot_phase"))
+                else:
+                    _compact(spark, batch_df, compactor)
 
             writer = stream.writeStream.foreachBatch(sink)
         else:

@@ -67,3 +67,53 @@ def test_view_survives_many_rmw_cycles_exactly(spark, tmp_path):
     want = _snap(view.recompute(spark, comp))
     assert got == want
     assert got[("g",)][0] == 20
+
+
+def test_bounded_sync_maintains_view_end_to_end(spark, sf_dir, tmp_path):
+    """The full streaming driver loop (AvailableNow drain, multi-batch)
+    with a configured view: after the drain, the stored view equals a
+    recompute over the compacted state, and BOTH match the batch
+    operators on the same input."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from python_cdc_component_spark.model.envelope import (
+        SYSTEM_COLUMNS as SC)
+    from python_cdc_component_spark.operators.dedup import dedup_latest
+    from python_cdc_component_spark.sources.events import read_cdc_events
+    from python_cdc_component_spark.streaming.bounded import (
+        BoundedStreamConfig, bounded_sync)
+
+    src = str(tmp_path / "src")
+    import os
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "p0.parquet"))
+    comp_path, view_path = str(tmp_path / "state"), str(tmp_path / "view")
+    stats = bounded_sync(
+        spark, src, comp_path, str(tmp_path / "ckpt"),
+        BoundedStreamConfig(mode="DEDUPE", primary_keys=["user_id"],
+                            view_path=view_path,
+                            view_group_keys=["event_type"],
+                            view_measure="value"))
+    assert stats["stopped_reason"] == "drained"
+    from python_cdc_component_spark.sinks.merge import MergeCompactor
+    from python_cdc_component_spark.streaming.view_maintain import (
+        StreamingAggView)
+    comp = MergeCompactor(comp_path, ["user_id"])
+    view = StreamingAggView(view_path, ["user_id"], ["event_type"], "value")
+    got = {r["event_type"]: (r["n_rows"], r["sum_value"])
+           for r in view.read_view(spark).collect()}
+    want = {r["event_type"]: (r["n_rows"], r["sum_value"])
+            for r in view.recompute(spark, comp).collect()}
+    assert got == want
+    # batch-operator ground truth on the same input
+    from decimal import Decimal
+    cur = (dedup_latest(read_cdc_events(spark, sf_dir), ["user_id"])
+           .filter(~F.col(SC.deleted)).select("event_type", "value"))
+    truth = {}
+    for r in cur.collect():
+        n, s = truth.get(r["event_type"], (0, Decimal(0)))
+        truth[r["event_type"]] = (n + 1,
+                                  s + Decimal(str(round(r["value"], 6))))
+    truth = {k: (n, float(s)) for k, (n, s) in truth.items()}
+    assert got == truth
