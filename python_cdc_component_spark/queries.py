@@ -5604,3 +5604,153 @@ def kcenter_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.createDataFrame(
         [(i, c, d) for i, (c, _, d) in enumerate(centers)],
         "sel_rank int, vec_id long, dmin double")
+
+
+# ---------------------------------------------------------------------------
+# round-5 session-5 additions: incremental near-dup indexing, time-series
+# resample, multi-dim layout, PQ-ANN
+
+
+@query("lsh_incremental_pairs", """
+WITH sig AS ({sig}),
+bands AS (
+  SELECT doc_id, 0 AS band, CONCAT_WS('|', h0, h1, h2, h3) AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, CONCAT_WS('|', h4, h5, h6, h7) FROM sig
+  UNION ALL SELECT doc_id, 2, CONCAT_WS('|', h8, h9, h10, h11) FROM sig
+  UNION ALL SELECT doc_id, 3, CONCAT_WS('|', h12, h13, h14, h15) FROM sig),
+cand AS (
+  SELECT LEAST(n.doc_id, a.doc_id) AS doc_a,
+         GREATEST(n.doc_id, a.doc_id) AS doc_b, n.band
+  FROM bands n JOIN bands a
+    ON n.band = a.band AND n.bv = a.bv AND n.doc_id <> a.doc_id
+  WHERE n.doc_id % 5 = 0)
+SELECT doc_a, doc_b, COUNT(DISTINCT band) AS n_bands
+FROM cand GROUP BY doc_a, doc_b
+""".format(sig=_MINHASH_SIG_SQL.format(mins=_MINHASH_MINS)))
+def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup indexing — the production shape for a
+    GROWING corpus: only the NEW ingest batch (here doc_id % 5 = 0, the
+    daily increment) probes the LSH band index; indexed×indexed pairs
+    NEVER enter the join, so per-ingest cost is O(|batch| × collision
+    fan-out) instead of re-running the full self-join
+    (`minhash_lsh_pairs`) over the whole corpus.  At 100 TB the band
+    index is a bucketed table keyed (band, bv) and each ingest shuffles
+    only its own band rows against it; here old signatures are rebuilt
+    inline because the driver contract is a single stateless query (the
+    stored-index flavor is exercised by `bloom_dedup_incremental`).
+    new×new pairs collide from both sides, so the band multiplicity is
+    COUNT(DISTINCT band), not COUNT(*)."""
+    sig = persist_once(_minhash_sig_df(_spark(spark), sf_dir))
+    bands = union_epochs([
+        sig.select("doc_id", F.lit(b).alias("band"),
+                   F.concat_ws("|", *[F.col(f"h{b * 4 + i}")
+                                      for i in range(4)]).alias("bv"))
+        for b in range(_LSH_BANDS)])
+    new = bands.filter(F.col("doc_id") % 5 == 0)
+    n, a = new.alias("n"), bands.alias("a")
+    cand = n.join(a, (F.col("n.band") == F.col("a.band"))
+                  & (F.col("n.bv") == F.col("a.bv"))
+                  & (F.col("n.doc_id") != F.col("a.doc_id")))
+    pairs = cand.select(
+        F.least("n.doc_id", "a.doc_id").alias("doc_a"),
+        F.greatest("n.doc_id", "a.doc_id").alias("doc_b"),
+        F.col("n.band").alias("band"))
+    return (pairs.groupBy("doc_a", "doc_b")
+                 .agg(F.countDistinct("band").alias("n_bands")))
+
+
+@query("resample_interpolate", """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS obs_day,
+         CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS val
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+nx AS (
+  SELECT user_id, obs_day, val,
+         LEAD(obs_day) OVER (PARTITION BY user_id ORDER BY obs_day) AS nday,
+         LEAD(val) OVER (PARTITION BY user_id ORDER BY obs_day) AS nval
+  FROM daily),
+grid AS (
+  SELECT user_id, obs_day, val, nday, nval,
+         UNNEST(generate_series(CAST(obs_day AS TIMESTAMP),
+             COALESCE(CAST(nday AS TIMESTAMP) - INTERVAL 1 DAY,
+                      CAST(obs_day AS TIMESTAMP)),
+             INTERVAL 1 DAY)) AS dd
+  FROM nx),
+g2 AS (SELECT user_id, obs_day, val, nday, nval, CAST(dd AS DATE) AS d
+       FROM grid)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       ROUND(CASE WHEN d = obs_day THEN val
+             ELSE val + (nval - val) * date_diff('day', obs_day, d)
+                  / date_diff('day', obs_day, nday) END, 6) AS val_filled,
+       (d = obs_day) AS observed
+FROM g2
+""")
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + linear interpolation: per-user daily mean
+    resampled onto a dense daily grid, missing days linearly
+    interpolated between the neighboring observed days (the standard
+    feature-engineering resample before sequence models).  Gaps-and-
+    islands formulation — each observed day emits its own forward gap
+    via sequence(obs_day, next_day - 1), so there is NO dense-grid join
+    and no span aggregate: one shuffle for the daily mean, one window
+    over the same user key for LEAD, then a pure explode.  Daily means
+    accumulate in decimal (order-independent); the interpolation
+    arithmetic is per-row over deterministic inputs."""
+    ev = read_events(_spark(spark), sf_dir)
+    daily = (ev.groupBy("user_id", F.to_date("ts").alias("obs_day"))
+               .agg((F.sum(F.col("value").cast(DEC)).cast("double")
+                     / F.count(F.lit(1))).alias("val")))
+    w = Window.partitionBy("user_id").orderBy("obs_day")
+    nx = (daily.withColumn("nday", F.lead("obs_day").over(w))
+               .withColumn("nval", F.lead("val").over(w)))
+    grid = nx.withColumn("d", F.explode(F.sequence(
+        F.col("obs_day"),
+        F.coalesce(F.date_sub("nday", 1), F.col("obs_day")))))
+    interp = (F.col("val") + (F.col("nval") - F.col("val"))
+              * F.datediff("d", "obs_day") / F.datediff("nday", "obs_day"))
+    return grid.select(
+        "user_id", F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.when(F.col("d") == F.col("obs_day"), F.col("val"))
+                 .otherwise(interp), 6).alias("val_filled"),
+        (F.col("d") == F.col("obs_day")).alias("observed"))
+
+
+def _zorder_layout_oracle() -> str:
+    from .operators.zorder import zorder_key_sql
+    return """
+WITH base AS (
+  SELECT (user_id & 255) AS x,
+         (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) & 255) AS y
+  FROM events),
+z AS (SELECT x, y, ({zexpr}) AS zval FROM base)
+SELECT (zval >> 10) AS zbucket, COUNT(*) AS n,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM z GROUP BY zbucket
+""".format(zexpr=zorder_key_sql("x", "y", 8))
+
+
+@query("zorder_layout_stats", _zorder_layout_oracle())
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout statistics — the data-layout operator for
+    two-dimensional pruning (operators/zorder.py).  Events bucketed to
+    10 bits of user and 10 bits of day are interleaved into a 20-bit
+    Morton key; grouping by the key's top 6 bits simulates a 64-file
+    range layout and reports each file's min/max footprint in BOTH
+    dimensions.  The guarantee this query makes visible (and the pytest
+    asserts): every bucket spans ≤ 2^7 distinct values per dimension,
+    so a predicate on EITHER user or day prunes ~7/8 of the files —
+    single-key sorts give that for one dimension and nothing for the
+    other.  Pure integer bit arithmetic (codegen), one aggregation
+    shuffle on the 64-value bucket key after map-side partials."""
+    from .operators.zorder import zorder_key
+    ev = read_events(_spark(spark), sf_dir)
+    base = ev.select(
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("x"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+         .cast("long").bitwiseAND(F.lit(255)).alias("y"))
+    z = base.withColumn("zval", zorder_key(F.col("x"), F.col("y"), 8))
+    return (z.groupBy(F.shiftright("zval", 10).alias("zbucket"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+                  F.min("y").alias("y_min"), F.max("y").alias("y_max")))

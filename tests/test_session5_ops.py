@@ -1,0 +1,137 @@
+"""Semantic + plan guards for the round-5 session-5 operator batch:
+incremental LSH indexing, time-series resample/interpolate, Z-order
+layout. Oracle equivalence is covered by scripts/check_oracle.py; these
+pin the properties the hash compare can't see."""
+
+from pyspark.sql import functions as F
+
+from python_cdc_component_spark.queries import QUERIES
+
+
+# ---------------------------------------------------------------------------
+# lsh_incremental_pairs
+
+
+def test_incremental_pairs_subset_of_full_selfjoin(spark, sf_dir):
+    """Incremental probe = full self-join restricted to pairs touching
+    the new batch — same pairs, same band multiplicity."""
+    inc = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+           for r in QUERIES["lsh_incremental_pairs"](spark, sf_dir).collect()}
+    full = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+            for r in QUERIES["minhash_lsh_pairs"](spark, sf_dir).collect()}
+    expected = {p: n for p, n in full.items()
+                if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert inc == expected
+
+
+def test_incremental_pairs_never_joins_old_with_old(spark, sf_dir):
+    out = QUERIES["lsh_incremental_pairs"](spark, sf_dir)
+    both_old = out.filter((F.col("doc_a") % 5 != 0)
+                          & (F.col("doc_b") % 5 != 0))
+    assert both_old.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# resample_interpolate
+
+
+def _resampled(spark, sf_dir):
+    return QUERIES["resample_interpolate"](spark, sf_dir)
+
+
+def test_resample_grid_is_dense_per_user(spark, sf_dir):
+    """Every user's output days form a contiguous daily range — no gap
+    survives the fill."""
+    out = _resampled(spark, sf_dir).select(
+        "user_id", F.to_date("day").alias("d"))
+    span = out.groupBy("user_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("d").alias("nd"))
+    bad = span.filter(
+        (F.col("n") != F.col("nd"))
+        | (F.col("n") != F.datediff("hi", "lo") + 1))
+    assert bad.count() == 0
+
+
+def test_resample_interpolation_bounded_by_neighbors(spark, sf_dir):
+    """Interpolated values lie within [min, max] of the two observed
+    endpoints (linearity sanity), and observed rows reproduce the raw
+    daily mean."""
+    pdf = (_resampled(spark, sf_dir).toPandas()
+           .sort_values(["user_id", "day"]))
+    for _, g in pdf.groupby("user_id"):
+        rows = g.to_dict("records")
+        obs_positions = [i for i, r in enumerate(rows) if r["observed"]]
+        for i, r in enumerate(rows):
+            if r["observed"]:
+                continue
+            lo_pos = max(p for p in obs_positions if p < i)
+            hi_pos = min(p for p in obs_positions if p > i)
+            lo = rows[lo_pos]["val_filled"]
+            hi = rows[hi_pos]["val_filled"]
+            assert min(lo, hi) - 1e-6 <= r["val_filled"] <= max(lo, hi) + 1e-6
+
+
+def test_resample_observed_days_match_raw(spark, sf_dir):
+    from python_cdc_component_spark.sources.events import read_events
+    out = _resampled(spark, sf_dir)
+    n_obs = out.filter("observed").count()
+    raw = (read_events(spark, sf_dir)
+           .select("user_id", F.to_date("ts").alias("d")).distinct().count())
+    assert n_obs == raw
+
+
+# ---------------------------------------------------------------------------
+# zorder layout
+
+
+def test_zorder_buckets_bounded_in_both_dims(spark, sf_dir):
+    """The layout contract: every 6-bit Morton bucket spans < 2^5
+    distinct values in EACH dimension — so min/max pruning works for a
+    predicate on either one."""
+    rows = QUERIES["zorder_layout_stats"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["x_max"] - r["x_min"] < 32
+        assert r["y_max"] - r["y_min"] < 32
+
+
+def test_cluster_by_zorder_partitions_are_hyperrectangles(spark, sf_dir):
+    """repartitionByRange on the Morton key bounds every partition's
+    footprint in both dimensions (the per-file min/max stats a scan
+    would prune on), while a single-key sort leaves the other dimension
+    unbounded."""
+    from python_cdc_component_spark.operators.zorder import cluster_by_zorder
+    from python_cdc_component_spark.sources.events import read_events
+    ev = read_events(spark, sf_dir).select(
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("x"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+         .cast("long").bitwiseAND(F.lit(255)).alias("y"))
+    parts = (cluster_by_zorder(ev, F.col("x"), F.col("y"),
+                               num_partitions=16, bits=8)
+             .withColumn("pid", F.spark_partition_id())
+             .groupBy("pid")
+             .agg((F.max("x") - F.min("x")).alias("xs"),
+                  (F.max("y") - F.min("y")).alias("ys"),
+                  F.count(F.lit(1)).alias("n"))
+             .collect())
+    assert len(parts) > 4
+    total = sum(p["n"] for p in parts)
+    # weighted mean footprint must be far below the full 2D extent
+    xext = max(p["xs"] for p in parts)
+    mean_area = sum((p["xs"] + 1) * (p["ys"] + 1) * p["n"]
+                    for p in parts) / total
+    full_area = (ev.agg((F.max("x") - F.min("x") + 1)
+                        * (F.max("y") - F.min("y") + 1)).collect()[0][0])
+    assert mean_area < full_area / 4
+
+
+def test_zorder_plan_is_codegen_no_shuffle_before_agg(spark, sf_dir):
+    """The Morton key is pure projection arithmetic: the physical plan
+    has exactly ONE exchange (the bucket aggregation) and no sort."""
+    plan = (QUERIES["zorder_layout_stats"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
+    assert "Sort" not in plan
+    assert "BatchEvalPython" not in plan
