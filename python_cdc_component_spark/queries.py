@@ -5715,6 +5715,111 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") == F.col("obs_day")).alias("observed"))
 
 
+@query("embedding_pq_ann_recall", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+cb AS (SELECT vec_id AS k, e AS ce FROM v WHERE vec_id < 16),
+cand AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id >= 5),
+enc0 AS (
+  SELECT c.cid, j.j, b.k,
+         list_sum(list_transform(range(1, 9),
+             d -> (c.ce[j.j * 8 + d] - b.ce[j.j * 8 + d])
+                * (c.ce[j.j * 8 + d] - b.ce[j.j * 8 + d]))) AS d2
+  FROM cand c, (SELECT unnest(range(0, 8)) AS j) j, cb b),
+codes AS (SELECT cid, j, k AS code FROM enc0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY cid, j
+              ORDER BY d2, k) = 1),
+codesl AS (SELECT cid, list(code ORDER BY j) AS codes
+           FROM codes GROUP BY cid),
+cba AS (SELECT list(ce ORDER BY k) AS arr FROM cb),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+adc AS (SELECT q.qid, c.cid,
+        list_sum(list_transform(range(0, 8), j ->
+            list_sum(list_transform(range(1, 9), d ->
+                (q.qe[j * 8 + d] - a.arr[c.codes[j + 1] + 1][j * 8 + d])
+              * (q.qe[j * 8 + d] - a.arr[c.codes[j + 1] + 1][j * 8 + d])))))
+          AS adist
+        FROM codesl c, q, cba a),
+ex AS (SELECT q.qid, c.cid,
+       list_sum(list_transform(range(1, 65),
+           i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))) AS edist
+       FROM q, cand c),
+tq AS (SELECT qid, cid FROM adc
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY adist, cid) <= 10),
+te AS (SELECT qid, cid FROM ex
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY edist, cid) <= 10)
+SELECT t.qid, CAST(COUNT(e.cid) AS DOUBLE) / 10.0 AS recall_at_10
+FROM tq t LEFT JOIN te e ON t.qid = e.qid AND t.cid = e.cid
+GROUP BY t.qid
+""")
+def embedding_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (Jégou et al. 2011) — the memory move
+    that fits billion-vector search on a cluster: 64-float vectors
+    (256 B) compress to 8 one-byte codes (M=8 subspaces × K=16
+    codewords), a 32× cut, and query-candidate distance is the
+    asymmetric (ADC) sum of per-subspace lookup distances.  Spark
+    shape: the codebook is k×d driver scalars (16-row control-plane
+    collect, the kmeans-literal convention), so ENCODING is a
+    shuffle-free codegen projection (argmin over an array-of-structs
+    literal per subspace — no crossJoin, no window), and scoring
+    broadcasts the probe set over the encoded corpus.  Every fold
+    (encode distances, ADC, exact rerank) runs in identical IEEE order
+    to the oracle's list_sum, so codes and rankings replay bit-exactly.
+    Reported per probe as recall@10 vs the exact-L2 top-k — the
+    monitored-quality convention of embedding_ann_recall."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cb_rows = (emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                  .select("e").collect())          # 16-row codebook: control plane
+    cb = [r["e"] for r in cb_rows]
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    def sq_fold(a, b):
+        return fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+    cand = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    code_cols = []
+    for j in range(8):
+        sub = F.slice("ce", j * 8 + 1, 8)
+        structs = [F.struct(
+            sq_fold(sub, F.array(*[F.lit(v) for v in cb[k][j * 8:j * 8 + 8]]))
+            .alias("d"), F.lit(k).alias("k")) for k in range(16)]
+        code_cols.append(F.array_min(F.array(*structs))["k"].alias(f"c{j}"))
+    enc = cand.select("cid", "ce", *code_cols)
+
+    qp = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    pairs = enc.crossJoin(F.broadcast(qp))
+    dist_js = []
+    for j in range(8):
+        cbarr_j = F.array(*[F.array(*[F.lit(v) for v in cb[k][j * 8:j * 8 + 8]])
+                            for k in range(16)])
+        dist_js.append(sq_fold(F.slice("qe", j * 8 + 1, 8),
+                               F.element_at(cbarr_j, F.col(f"c{j}") + 1)))
+    scored = pairs.select(
+        "qid", "cid",
+        fold_sum(F.array(*dist_js)).alias("adist"),
+        sq_fold(F.col("qe"), F.col("ce")).alias("edist"))
+    wq = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("cid"))
+    we = Window.partitionBy("qid").orderBy(F.col("edist"), F.col("cid"))
+    tq = (scored.withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= 10).select("qid", "cid"))
+    te = (scored.withColumn("rn", F.row_number().over(we))
+                .filter(F.col("rn") <= 10).select(
+                    F.col("qid").alias("eqid"), F.col("cid").alias("ecid")))
+    hit = tq.join(te, (F.col("qid") == F.col("eqid"))
+                  & (F.col("cid") == F.col("ecid")), "left")
+    return (hit.groupBy("qid")
+               .agg((F.count("ecid").cast("double") / F.lit(10.0))
+                    .alias("recall_at_10")))
+
+
 def _zorder_layout_oracle() -> str:
     from .operators.zorder import zorder_key_sql
     return """

@@ -127,6 +127,36 @@ def test_cluster_by_zorder_partitions_are_hyperrectangles(spark, sf_dir):
     assert mean_area < full_area / 4
 
 
+# ---------------------------------------------------------------------------
+# embedding_pq_ann_recall
+
+
+def test_pq_recall_bounds_and_probe_coverage(spark, sf_dir):
+    rows = QUERIES["embedding_pq_ann_recall"](spark, sf_dir).collect()
+    assert {r["qid"] for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+    # PQ with 16 codewords x 8 subspaces over structured embeddings
+    # should beat random guessing by a wide margin on average
+    assert sum(r["recall_at_10"] for r in rows) / len(rows) > 0.3
+
+
+def test_pq_plan_encode_is_shuffle_free_and_probe_broadcast(spark, sf_dir):
+    """The scale contract: PQ encoding is a pure codegen projection
+    (argmin over literal codebook structs — zero Exchange, zero Sort,
+    no Python), and the probe set joins by broadcast, never a shuffled
+    or cartesian-partitioned join of the corpus."""
+    plan = (QUERIES["embedding_pq_ann_recall"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # exchanges: two top-k windows, the recall SMJ pair, final agg —
+    # nothing from the encode projection itself (codebook is literal)
+    n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffle <= 5
+
+
 def test_zorder_plan_is_codegen_no_shuffle_before_agg(spark, sf_dir):
     """The Morton key is pure projection arithmetic: the physical plan
     has exactly ONE exchange (the bucket aggregation) and no sort."""
