@@ -760,18 +760,18 @@ def embedding_int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "cid",
         (qdot.cast("double") / (F.col("a_qn") * F.col("b_qn"))).alias("qsim"),
         F.round(edot / (F.col("a_n") * F.col("b_n")), 6).alias("sim"))
+    # both rankings from ONE pass: the windows share the qid
+    # partitioning (single shuffle, single corpus scan) and recall is
+    # the direct intersection count — no two-branch self-join that
+    # would execute the scored subtree twice
     wq = Window.partitionBy("qid").orderBy(F.col("qsim").desc(), F.col("cid"))
     we = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
-    tq = (scored.withColumn("rn", F.row_number().over(wq))
-                .filter(F.col("rn") <= 10).select("qid", "cid"))
-    te = (scored.withColumn("rn", F.row_number().over(we))
-                .filter(F.col("rn") <= 10).select(
-                    F.col("qid").alias("eqid"), F.col("cid").alias("ecid")))
-    hit = tq.join(te, (F.col("qid") == F.col("eqid"))
-                  & (F.col("cid") == F.col("ecid")), "left")
-    return (hit.groupBy("qid")
-               .agg((F.count("ecid").cast("double") / F.lit(10.0))
-                    .alias("recall_at_10")))
+    ranked = (scored.withColumn("rq", F.row_number().over(wq))
+                    .withColumn("rx", F.row_number().over(we)))
+    both = F.when((F.col("rq") <= 10) & (F.col("rx") <= 10), 1).otherwise(0)
+    return (ranked.groupBy("qid")
+                  .agg((F.sum(both).cast("double") / F.lit(10.0))
+                       .alias("recall_at_10")))
 
 
 @query("multimodal_meta", """
@@ -5806,18 +5806,18 @@ def embedding_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "cid",
         fold_sum(F.array(*dist_js)).alias("adist"),
         sq_fold(F.col("qe"), F.col("ce")).alias("edist"))
+    # both rankings from ONE pass: the two windows share the qid
+    # partitioning, so the corpus is scanned and shuffled exactly once
+    # and recall@10 is the direct intersection count — no self-join of
+    # two top-k branches (which would execute the scored subtree twice)
     wq = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("cid"))
     we = Window.partitionBy("qid").orderBy(F.col("edist"), F.col("cid"))
-    tq = (scored.withColumn("rn", F.row_number().over(wq))
-                .filter(F.col("rn") <= 10).select("qid", "cid"))
-    te = (scored.withColumn("rn", F.row_number().over(we))
-                .filter(F.col("rn") <= 10).select(
-                    F.col("qid").alias("eqid"), F.col("cid").alias("ecid")))
-    hit = tq.join(te, (F.col("qid") == F.col("eqid"))
-                  & (F.col("cid") == F.col("ecid")), "left")
-    return (hit.groupBy("qid")
-               .agg((F.count("ecid").cast("double") / F.lit(10.0))
-                    .alias("recall_at_10")))
+    ranked = (scored.withColumn("rq", F.row_number().over(wq))
+                    .withColumn("rx", F.row_number().over(we)))
+    both = F.when((F.col("rq") <= 10) & (F.col("rx") <= 10), 1).otherwise(0)
+    return (ranked.groupBy("qid")
+                  .agg((F.sum(both).cast("double") / F.lit(10.0))
+                       .alias("recall_at_10")))
 
 
 def _zorder_layout_oracle() -> str:
