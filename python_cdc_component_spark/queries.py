@@ -5820,6 +5820,142 @@ def embedding_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("recall_at_10")))
 
 
+@query("temperature_mix_weights", """
+WITH c AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS toks
+           FROM documents GROUP BY lang),
+t AS (SELECT lang, n_docs, toks,
+             CAST(toks AS DOUBLE) / CAST(SUM(toks) OVER () AS DOUBLE) AS p
+      FROM c),
+w AS (SELECT lang, n_docs, round(p, 6) AS tok_share, POW(p, 0.3) AS pw
+      FROM t)
+SELECT lang, n_docs, tok_share,
+       round(pw / SUM(pw) OVER (), 6) AS w_temp
+FROM w
+""")
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (the mT5/XLM-R
+    mixture rule): per-language token share p_l, resampled as
+    p_l^alpha / Σ p^alpha with alpha=0.3 — upweights tail languages
+    without letting the head dominate.  Token totals are exact integer
+    sums (order-independent); the pow/normalize arithmetic runs over
+    the tiny per-language aggregate (constant-size global window, the
+    dsir λ-table move) and is rounded to 6 dp where libm could differ
+    in the last ulp."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"),
+                              F.sum("n_chars").alias("toks"))
+    wg = Window.partitionBy()
+    t = c.withColumn("p", F.col("toks").cast("double")
+                     / F.sum("toks").over(wg).cast("double"))
+    w = t.select("lang", "n_docs", F.round("p", 6).alias("tok_share"),
+                 F.pow("p", F.lit(0.3)).alias("pw"))
+    return w.select("lang", "n_docs", "tok_share",
+                    F.round(F.col("pw") / F.sum("pw").over(wg), 6)
+                     .alias("w_temp"))
+
+
+@query("winsorize_values", """
+WITH b AS (SELECT event_type,
+                  quantile_cont("value", 0.01) AS p01,
+                  quantile_cont("value", 0.99) AS p99
+           FROM events GROUP BY event_type)
+SELECT e.event_type, round(b.p01, 6) AS p01, round(b.p99, 6) AS p99,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e."value" < b.p01 OR e."value" > b.p99
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       round(CAST(SUM(CAST(LEAST(GREATEST(e."value", b.p01), b.p99)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_winsorized
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type, b.p01, b.p99
+""")
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics — outlier clipping at exact
+    per-group p01/p99 before aggregation (the standard guard before
+    any mean-based feature or loss).  Exact `percentile` hash-matches
+    DuckDB's quantile_cont (the ccnet_ppl_buckets precedent); the tiny
+    per-type threshold table broadcasts back onto the events, and the
+    clipped mean accumulates in decimal so it is partition-order
+    independent.  Two aggregation shuffles on event_type, one
+    broadcast join — no global sort, no ntile."""
+    ev = read_events(_spark(spark), sf_dir)
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"))
+    j = ev.join(F.broadcast(b), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (j.groupBy("event_type", "p01", "p99")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when((F.col("value") < F.col("p01"))
+                               | (F.col("value") > F.col("p99")), 1)
+                         .otherwise(0)).alias("n_clipped"),
+                  F.round(F.sum(clipped.cast(DEC)).cast("double")
+                          / F.count(F.lit(1)), 6).alias("mean_winsorized"))
+             .select("event_type", F.round("p01", 6).alias("p01"),
+                     F.round("p99", 6).alias("p99"), "n", "n_clipped",
+                     "mean_winsorized"))
+
+
+@query("vocab_drift_jsd", """
+WITH w AS (SELECT doc_id % 2 AS half, lang,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+cnt AS (SELECT lang, tok,
+               SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+        FROM w GROUP BY lang, tok),
+tot AS (SELECT lang, SUM(c0) AS t0, SUM(c1) AS t1, COUNT(*) AS v
+        FROM cnt GROUP BY lang),
+pq AS (SELECT c.lang, c.tok,
+              (c.c0 + 1.0) / (t.t0 + t.v) AS p,
+              (c.c1 + 1.0) / (t.t1 + t.v) AS q
+       FROM cnt c JOIN tot t ON c.lang = t.lang),
+terms AS (SELECT lang,
+                 CAST(round(0.5 * (p * ln(2 * p / (p + q)))
+                          + 0.5 * (q * ln(2 * q / (p + q))), 9)
+                      AS DECIMAL(28,9)) AS term
+          FROM pq)
+SELECT lang, round(CAST(SUM(term) AS DOUBLE), 6) AS jsd
+FROM terms GROUP BY lang
+""")
+def vocab_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Jensen-Shannon divergence between
+    the unigram distributions of two corpus halves (doc_id parity
+    stands in for run N vs run N+1), per language — the data-quality
+    alarm that catches a scraper or filter change before training
+    does.  Add-1 smoothing over the joint vocabulary; each JSD term is
+    rounded at 9 dp and summed in decimal (the dsir/lm discipline —
+    ln is the only libm call and it never enters a float accumulation).
+    Shuffles are vocab-sized (explode → (lang,tok) agg → lang rollup),
+    never corpus-sized; the per-language total table broadcasts."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    toks = d.select((F.col("doc_id") % 2).alias("half"), "lang",
+                    F.explode(F.split("text", " ")).alias("tok"))
+    # the vocab-sized count table feeds BOTH the per-language totals
+    # and the join probe side — persist_once or the corpus explode+agg
+    # runs twice (vocab-sized cache, scale-safe)
+    cnt = persist_once(
+        toks.groupBy("lang", "tok")
+            .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+                  .alias("c0"),
+                 F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                  .alias("c1")))
+    tot = cnt.groupBy("lang").agg(F.sum("c0").alias("t0"),
+                                  F.sum("c1").alias("t1"),
+                                  F.count(F.lit(1)).alias("v"))
+    pq = cnt.join(F.broadcast(tot), "lang").select(
+        "lang",
+        ((F.col("c0") + 1.0) / (F.col("t0") + F.col("v"))).alias("p"),
+        ((F.col("c1") + 1.0) / (F.col("t1") + F.col("v"))).alias("q"))
+    p, q = F.col("p"), F.col("q")
+    term = (F.round(F.lit(0.5) * (p * F.log(F.lit(2) * p / (p + q)))
+                    + F.lit(0.5) * (q * F.log(F.lit(2) * q / (p + q))), 9)
+            .cast("decimal(28,9)"))
+    return (pq.select("lang", term.alias("term"))
+              .groupBy("lang")
+              .agg(F.round(F.sum("term").cast("double"), 6).alias("jsd")))
+
+
 def _zorder_layout_oracle() -> str:
     from .operators.zorder import zorder_key_sql
     return """

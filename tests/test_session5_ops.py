@@ -160,6 +160,57 @@ def test_pq_plan_encode_is_shuffle_free_and_probe_broadcast(spark, sf_dir):
     assert plan.count("FileScan") == 2
 
 
+# ---------------------------------------------------------------------------
+# temperature mix / winsorize / vocab drift
+
+
+def test_temperature_weights_normalize_and_flatten(spark, sf_dir):
+    rows = QUERIES["temperature_mix_weights"](spark, sf_dir).collect()
+    assert abs(sum(r["w_temp"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["tok_share"] for r in rows) - 1.0) < 1e-4
+    # alpha < 1 flattens: the smallest language gains weight, the
+    # largest loses it
+    lo = min(rows, key=lambda r: r["tok_share"])
+    hi = max(rows, key=lambda r: r["tok_share"])
+    if lo["tok_share"] < hi["tok_share"]:        # distinct shares exist
+        assert lo["w_temp"] > lo["tok_share"]
+        assert hi["w_temp"] < hi["tok_share"]
+
+
+def test_winsorize_bounds_and_clip_fraction(spark, sf_dir):
+    rows = QUERIES["winsorize_values"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["p01"] <= r["mean_winsorized"] <= r["p99"]
+        # at exact p01/p99, at most ~2% of rows sit outside (plus ties)
+        assert r["n_clipped"] <= 0.03 * r["n"] + 2
+
+
+def test_vocab_drift_jsd_bounds(spark, sf_dir):
+    import math
+    rows = QUERIES["vocab_drift_jsd"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # JSD in nats is bounded by ln 2; a parity split of one
+        # distribution must be near zero, far from the bound
+        assert 0.0 <= r["jsd"] <= math.log(2.0)
+        assert r["jsd"] < 0.2
+
+
+def test_vocab_drift_plan_vocab_sized_shuffles_only(spark, sf_dir):
+    df = QUERIES["vocab_drift_jsd"](spark, sf_dir)
+    df.collect()          # materialize the vocab cache
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the shared vocab count table must be cached and substituted on
+    # BOTH its consumers (totals + join probe) — the corpus explode
+    # and its (lang,tok) shuffle execute exactly once
+    assert plan.count("InMemoryTableScan") >= 2
+    # and the corpus text column never appears above the explode+agg:
+    # everything downstream is vocab-sized
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_zorder_plan_is_codegen_no_shuffle_before_agg(spark, sf_dir):
     """The Morton key is pure projection arithmetic: the physical plan
     has exactly ONE exchange (the bucket aggregation) and no sort."""
