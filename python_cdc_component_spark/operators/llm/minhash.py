@@ -1,0 +1,59 @@
+"""MinHash signature + LSH band core, shared by the batch queries
+(queries.py) and the streaming index (streaming/lsh_index.py).
+
+Math contract (must stay bit-exact with the DuckDB oracles): word
+3-gram shingles → 28-bit shingle hash (md5 hex prefix, base-16) →
+per-doc min of 16 affine universal hashes ``(A·v + B) mod P`` with the
+fixed constants below; bands are 4 groups of 4 signature values joined
+with '|'. Any change here changes every minhash-family oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_P = 1073741789            # prime < 2^30
+MINHASH_AB = [
+    (769856275, 217599791), (961535127, 590286705), (854664772, 565530721),
+    (496812923, 179832556), (323361168, 304049021), (77553059, 471239301),
+    (541548435, 148510489), (706391834, 551752347), (3942791, 294076361),
+    (961632045, 109495871), (427268497, 297315902), (943672861, 78594278),
+    (799185083, 91400777), (199575859, 539133383), (709794197, 406447987),
+    (304978227, 54626437),
+]
+LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, h0..h15). Explode-then-agg: the
+    shuffle carries only (doc_id, 16×8 B) after map-side partial min.
+    The caller is responsible for input-split spreading (_spread) —
+    shingling + md5 is compute-bound."""
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # split once into a named column: referencing split(text) inside
+    # the transform lambda would re-evaluate it per element
+    sh = F.expr("transform(sequence(1, size(t) - 2), "
+                "i -> array_join(slice(t, i, 3), ' '))")
+    exploded = (t.filter(F.size("t") >= 3)
+                 .select("doc_id", F.explode(sh).alias("sh")))
+    v = F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 7),
+               16, 10).cast("long")
+    hashed = exploded.select("doc_id", v.alias("v"))
+    aggs = [F.min((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(MINHASH_P))
+             .alias(f"h{j}")
+            for j, (a, b) in enumerate(MINHASH_AB)]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def band_table(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, h0..h15) → (doc_id, band, bv): one row per band, the
+    band value a '|'-joined slice of the signature — the LSH bucket
+    key (uniformly distributed, skew-free join key)."""
+    from ..schema_align import union_epochs
+    per = 16 // bands
+    return union_epochs([
+        sig.select("doc_id", F.lit(b).alias("band"),
+                   F.concat_ws("|", *[F.col(f"h{b * per + i}")
+                                      for i in range(per)]).alias("bv"))
+        for b in range(bands)])

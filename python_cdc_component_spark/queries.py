@@ -539,43 +539,26 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then h_j = (A_j·v + B_j) mod P. 16× cheaper than 16 independent md5
 # passes, and the affine family keeps the permutations independent.
 # Constants are fixed (seeded) primes/odd multipliers < 2^30 so A·v fits
-# int64 in both engines (no overflow divergence).
-_MINHASH_P = 1073741789            # prime < 2^30
-_MINHASH_AB = [
-    (769856275, 217599791), (961535127, 590286705), (854664772, 565530721),
-    (496812923, 179832556), (323361168, 304049021), (77553059, 471239301),
-    (541548435, 148510489), (706391834, 551752347), (3942791, 294076361),
-    (961632045, 109495871), (427268497, 297315902), (943672861, 78594278),
-    (799185083, 91400777), (199575859, 539133383), (709794197, 406447987),
-    (304978227, 54626437),
-]
+# int64 in both engines (no overflow divergence). Core lives in
+# operators/llm/minhash.py (shared with the streaming LSH index).
+from .operators.llm.minhash import (MINHASH_P as _MINHASH_P,   # noqa: E402
+                                    MINHASH_AB as _MINHASH_AB)
 
 
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared minhash signature builder: word-3-gram shingles → 28-bit
-    shingle hash (md5 prefix) → per-doc min of 16 affine universal
-    hashes. One data shuffle on doc_id with map-side partial mins, plus
-    a conditional spread of the RAW text first: shingling+md5 is
-    compute-bound, and a small parquet input arrives as one partition —
-    without the spread the whole hash pipeline serializes onto one core
-    (input-split remedy, scripts/bench_scale_curve.py); when the scan
-    already has >= cores partitions no shuffle is paid."""
+    """Shared minhash signature builder (core: operators/llm/minhash.py
+    — word-3-gram shingles → 28-bit md5-prefix hash → per-doc min of 16
+    affine universal hashes; one data shuffle on doc_id with map-side
+    partial mins) plus a conditional spread of the RAW text first:
+    shingling+md5 is compute-bound, and a small parquet input arrives
+    as one partition — without the spread the whole hash pipeline
+    serializes onto one core (input-split remedy,
+    scripts/bench_scale_curve.py); when the scan already has >= cores
+    partitions no shuffle is paid."""
+    from .operators.llm.minhash import minhash_signatures
     d = _spread(read_table(spark, sf_dir, "documents")
                 .select("doc_id", "text"), spark)
-    # split once into a named column: referencing split(text) inside the
-    # transform lambda would re-evaluate it per element (O(tokens²)/doc)
-    t = d.select("doc_id", F.split("text", " ").alias("t"))
-    sh = F.expr("transform(sequence(1, size(t) - 2), "
-                "i -> array_join(slice(t, i, 3), ' '))")
-    exploded = (t.filter(F.size("t") >= 3)
-                 .select("doc_id", F.explode(sh).alias("sh")))
-    v = F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 7),
-               16, 10).cast("long")
-    hashed = exploded.select("doc_id", v.alias("v"))
-    aggs = [F.min((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(_MINHASH_P))
-             .alias(f"h{j}")
-            for j, (a, b) in enumerate(_MINHASH_AB)]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return minhash_signatures(d)
 
 
 _MINHASH_SIG_SQL = """
@@ -5954,6 +5937,108 @@ def vocab_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pq.select("lang", term.alias("term"))
               .groupBy("lang")
               .agg(F.round(F.sum("term").cast("double"), 6).alias("jsd")))
+
+
+@query("pmi_collocations", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+big AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+uc AS (SELECT w1 AS tok, COUNT(*) AS c FROM big GROUP BY w1),
+tots AS (SELECT (SELECT SUM(c) FROM uc) AS n_uni,
+                (SELECT SUM(c12) FROM bc) AS n_big),
+p AS (SELECT b.w1, b.w2, b.c12,
+             round(ln((CAST(b.c12 AS DOUBLE) * t.n_uni * t.n_uni)
+                      / (CAST(t.n_big AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+      FROM bc b JOIN uc u1 ON b.w1 = u1.tok
+                JOIN uc u2 ON b.w2 = u2.tok, tots t
+      WHERE b.c12 >= 5)
+SELECT w1, w2, c12, pmi FROM p
+QUALIFY ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) <= 20
+""")
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the classic
+    phrase detector (word2vec's phrase pass, quality-filter n-gram
+    lists).  Counting model: bigram events only — unigram marginals
+    are counted over the FIRST slot of each bigram so marginal and
+    joint totals come from the same event space.  Bigrams come from
+    the zip_with(slice, slice) form (heavy work in HOF arguments, the
+    §27 discipline); the vocab-sized count tables are cached once,
+    totals are control-plane scalars off the cached tables, and PMI is
+    one ln over an exact integer ratio, rounded at 6 dp before the
+    deterministic top-20 rank.  All shuffles are vocab-sized."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    t = _spread(d.select("doc_id", "text"), spark) \
+        .select("doc_id", F.split("text", " ").alias("w"))
+    big = (t.filter(F.size("w") >= 2)
+            .select(F.explode(F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.expr("slice(w, 2, size(w) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+                .alias("bg"))
+            .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
+    bc = persist_once(big.groupBy("w1", "w2")
+                         .agg(F.count(F.lit(1)).alias("c12")))
+    uc = persist_once(bc.groupBy(F.col("w1").alias("tok"))
+                        .agg(F.sum("c12").alias("c")))
+    n_uni = uc.agg(F.sum("c")).collect()[0][0]          # control-plane ints
+    n_big = bc.agg(F.sum("c12")).collect()[0][0]
+    p = (bc.filter(F.col("c12") >= 5)
+           .join(F.broadcast(uc.select(F.col("tok").alias("w1"),
+                                       F.col("c").alias("c1"))), "w1")
+           .join(F.broadcast(uc.select(F.col("tok").alias("w2"),
+                                       F.col("c").alias("c2"))), "w2")
+           .select("w1", "w2", "c12",
+                   F.round(F.log((F.col("c12").cast("double")
+                                  * F.lit(n_uni) * F.lit(n_uni))
+                                 / (F.lit(float(n_big)) * F.col("c1")
+                                    * F.col("c2"))), 6).alias("pmi")))
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (p.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 20).drop("rn")
+             .select("w1", "w2", "c12", "pmi"))
+
+
+@query("streaming_lsh_dedup_pairs", """
+WITH sig AS ({sig}),
+bands AS (
+  SELECT doc_id, 0 AS band, CONCAT_WS('|', h0, h1, h2, h3) AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, CONCAT_WS('|', h4, h5, h6, h7) FROM sig
+  UNION ALL SELECT doc_id, 2, CONCAT_WS('|', h8, h9, h10, h11) FROM sig
+  UNION ALL SELECT doc_id, 3, CONCAT_WS('|', h12, h13, h14, h15) FROM sig),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, COUNT(*) AS n_bands
+FROM pairs GROUP BY doc_a, doc_b
+""".format(sig=_MINHASH_SIG_SQL.format(mins=_MINHASH_MINS)))
+def streaming_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection end-to-end
+    (streaming/lsh_index.py): the corpus arrives in three ingest
+    batches; each batch probes the persistent LSH band index
+    (path-pruned bucket reads), emits the candidate pairs it
+    completes, then appends its own bands. The oracle is the FULL
+    corpus banded self-join — the streaming split must reproduce it
+    exactly, every pair exactly once, whatever the batch boundaries
+    (the streaming_bounded_dedup convention applied to the LLM dedup
+    surface)."""
+    import shutil
+    import tempfile
+    from .streaming.lsh_index import StreamingLshIndex
+
+    s = _spark(spark)
+    docs = _spread(read_table(s, sf_dir, "documents")
+                   .select("doc_id", "text"), s)
+    work = tempfile.mkdtemp(prefix="sparkcdc_lsh_")
+    try:
+        idx = StreamingLshIndex(index_path=f"{work}/index")
+        outs = [idx.process_batch(s, docs.filter(F.col("doc_id") % 3 == b))
+                for b in range(3)]
+        return union_epochs(outs).groupBy("doc_a", "doc_b").agg(
+            F.sum("n_bands").alias("n_bands"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _zorder_layout_oracle() -> str:

@@ -161,6 +161,99 @@ def test_pq_plan_encode_is_shuffle_free_and_probe_broadcast(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# streaming LSH index
+
+
+def _run_lsh_stream(spark, sf_dir, splits):
+    import shutil
+    import tempfile
+    from pyspark.sql import functions as SF
+    from python_cdc_component_spark.streaming.lsh_index import (
+        StreamingLshIndex)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    work = tempfile.mkdtemp(prefix="lsh_test_")
+    try:
+        idx = StreamingLshIndex(index_path=f"{work}/index",
+                                num_buckets=16)
+        acc = {}
+        for pred in splits(SF):
+            out = idx.process_batch(spark, docs.filter(pred))
+            for r in out.collect():
+                key = (r["doc_a"], r["doc_b"])
+                assert key not in acc, f"pair {key} emitted twice"
+                acc[key] = r["n_bands"]
+        return acc
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_lsh_any_split_matches_full_selfjoin(spark, sf_dir):
+    full = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+            for r in QUERIES["minhash_lsh_pairs"](spark, sf_dir).collect()}
+    two = _run_lsh_stream(
+        spark, sf_dir,
+        lambda SF: [SF.col("doc_id") < 250, SF.col("doc_id") >= 250])
+    five = _run_lsh_stream(
+        spark, sf_dir,
+        lambda SF: [SF.col("doc_id") % 5 == b for b in range(5)])
+    assert two == full
+    assert five == full
+
+
+def test_streaming_lsh_empty_batch_is_noop(spark, sf_dir):
+    import shutil
+    import tempfile
+    from python_cdc_component_spark.streaming.lsh_index import (
+        StreamingLshIndex)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    work = tempfile.mkdtemp(prefix="lsh_test_")
+    try:
+        idx = StreamingLshIndex(index_path=f"{work}/index", num_buckets=8)
+        first = idx.process_batch(spark, docs.filter("doc_id < 100"))
+        n0 = first.count()
+        empty = idx.process_batch(spark, docs.filter("doc_id < 0"))
+        assert empty.count() == 0
+        again = idx.process_batch(spark, docs.filter("doc_id < 100"))
+        assert again.count() >= n0      # re-ingest emits at least as many
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_lsh_index_layout_is_bucketed(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+    from python_cdc_component_spark.streaming.lsh_index import (
+        StreamingLshIndex, BUCKET_COL)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    work = tempfile.mkdtemp(prefix="lsh_test_")
+    try:
+        idx = StreamingLshIndex(index_path=f"{work}/index", num_buckets=16)
+        idx.process_batch(spark, docs)
+        subdirs = [d for d in os.listdir(f"{work}/index")
+                   if d.startswith(f"{BUCKET_COL}=")]
+        assert len(subdirs) >= 2      # probe reads can path-prune
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# pmi collocations
+
+
+def test_pmi_top20_are_positive_and_frequent(spark, sf_dir):
+    rows = QUERIES["pmi_collocations"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["c12"] >= 5
+    # top-ranked collocations must beat independence
+    assert rows[0]["pmi"] if rows else True
+
+
+# ---------------------------------------------------------------------------
 # temperature mix / winsorize / vocab drift
 
 
