@@ -54,7 +54,9 @@ DRIVER_WINDOW = [
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
     # rotated in (no r04 row): round-4/5 cluster family
-    "embedding_kmeans", "semantic_dedup_pairs", "semantic_dup_groups",
+    # (semantic_dup_groups rotated back out for session-5 additions —
+    # family still covered by semantic_dedup_pairs + the self gate)
+    "embedding_kmeans", "semantic_dedup_pairs",
     "cdc_pg_dedup_latest",
     # rotated in: TPC-H tail (q3/q5/q6 earned rows in r01-r03 and
     # rotate back out for the round-5 additions)
@@ -63,19 +65,26 @@ DRIVER_WINDOW = [
     # rotated in: windows suite (window_functions_suite/rollup_orders
     # earned rows in r01-r03, rotated back out)
     "hopping_window_agg",
-    # rotated in: text/sketch/evaluation operators (winnowing earned a
-    # bench-driver row in r4; tfidf/hll/jaccard-accuracy/lsh-groups
-    # rotate back out for the session-3 additions — still self-gated)
-    "countmin_heavy_hitters", "embedding_ann_recall", "simhash_near_pairs",
+    # rotated in: text/sketch/evaluation operators (countmin rotated
+    # back out for session-5 — sketch family stays self-gated)
+    "embedding_ann_recall", "simhash_near_pairs",
     # rotated in: format surface + the CDC→OLAP maintained-view flagship
     "all_datatypes_decode", "cdc_incremental_mv",
-    # rotated in: round-5 second-session additions (never had a row)
-    "dsir_select_docs", "exact_substr_spans", "ccnet_ppl_buckets",
-    "variant_shred_events", "xml_roundtrip_events",
-    # rotated in: session-3 additions — full TPC-H 22 + curation staples
+    # rotated in: round-5 second-session additions (never had a row;
+    # ccnet/xml rotated back out — ppl family covered by
+    # bigram_perplexity, format family by variant + all_datatypes)
+    "dsir_select_docs", "exact_substr_spans",
+    "variant_shred_events",
+    # rotated in: session-3 additions — TPC-H tail + curation staples
+    # (q16/q20 rotated back out, tail represented by q2/q11)
     "q2_min_cost_supplier", "q11_important_stock",
-    "q16_parts_supplier_relationship", "q20_potential_promotion",
     "ngram_decontaminate", "dup_canonical_best", "bigram_perplexity",
+    # rotated in: session-4/5 additions (never had a row) — streaming
+    # LSH index, PQ-ANN, Z-order layout, time-series resample, drift
+    # monitor, k-NN join
+    "streaming_lsh_dedup_pairs", "embedding_pq_ann_recall",
+    "zorder_layout_stats", "resample_interpolate", "vocab_drift_jsd",
+    "knn_join_ivf",
 ]
 
 

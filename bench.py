@@ -58,6 +58,10 @@ HEADLINE = [
     "dup_canonical_best",            # components + keep-longest canonical
     "bigram_perplexity",             # interpolated order-2 LM scoring
     "cdc_incremental_mv",            # delta-maintained aggregate view
+    # round-5 session-5 additions
+    "lsh_incremental_pairs",         # new-batch-only LSH index probe
+    "embedding_pq_ann_recall",       # PQ codes + ADC, one-pass recall
+    "resample_interpolate",          # daily gap-fill + interpolation
 ]
 
 

@@ -5753,10 +5753,17 @@ def embedding_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reported per probe as recall@10 vs the exact-L2 top-k — the
     monitored-quality convention of embedding_ann_recall."""
     s = _spark(spark)
-    emb = read_table(s, sf_dir, "embeddings").select(
+    raw = read_table(s, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    cb_rows = (emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
-                  .select("e").collect())          # 16-row codebook: control plane
+    # 16-row codebook: control-plane collect off the RAW scan (filter
+    # pushes down to parquet — collecting after the spread below would
+    # shuffle the whole corpus just to fetch 16 rows)
+    cb_rows = (raw.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                  .select("e").collect())
+    # interpreted-HOF encode/ADC folds are compute-bound: spread an
+    # under-split single-file scan across cores (conditional, no-op at
+    # real scale — the winnowing/minhash input-split remedy)
+    emb = _spread(raw, s)
     cb = [r["e"] for r in cb_rows]
 
     def fold_sum(arr):
@@ -5765,26 +5772,42 @@ def embedding_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sq_fold(a, b):
         return fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
 
+    def cbarr(j):
+        return F.array(*[F.array(*[F.lit(v) for v in cb[k][j * 8:j * 8 + 8]])
+                         for k in range(16)])
+
+    # subvectors hoisted to named columns FIRST (outer expressions
+    # referenced inside a lambda re-evaluate per element — §27), and
+    # the per-codeword distances come from ONE index-lambda transform
+    # per subspace instead of a 16-way unrolled fold list: same folds
+    # in the same IEEE order, 16× smaller expression tree (the
+    # unrolled form's analysis+codegen dominated the query's cost)
     cand = emb.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+        *[F.slice("e", j * 8 + 1, 8).alias(f"sub{j}") for j in range(8)])
+    def enc_lambda(j):
+        def l(cw, i):
+            return F.struct(sq_fold(F.col(f"sub{j}"), cw).alias("d"),
+                            i.alias("k"))
+        return l
+
     code_cols = []
     for j in range(8):
-        sub = F.slice("ce", j * 8 + 1, 8)
-        structs = [F.struct(
-            sq_fold(sub, F.array(*[F.lit(v) for v in cb[k][j * 8:j * 8 + 8]]))
-            .alias("d"), F.lit(k).alias("k")) for k in range(16)]
-        code_cols.append(F.array_min(F.array(*structs))["k"].alias(f"c{j}"))
+        d2s = F.transform(cbarr(j), enc_lambda(j))
+        code_cols.append(F.array_min(d2s)["k"].alias(f"c{j}"))
     enc = cand.select("cid", "ce", *code_cols)
 
-    qp = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    # the 5-row probe set comes off the RAW pushdown scan — routing it
+    # through the corpus spread would shuffle everything to build a
+    # broadcast of 5 rows
+    qp = raw.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        *[F.slice("e", j * 8 + 1, 8).alias(f"qsub{j}") for j in range(8)])
     pairs = enc.crossJoin(F.broadcast(qp))
     dist_js = []
     for j in range(8):
-        cbarr_j = F.array(*[F.array(*[F.lit(v) for v in cb[k][j * 8:j * 8 + 8]])
-                            for k in range(16)])
-        dist_js.append(sq_fold(F.slice("qe", j * 8 + 1, 8),
-                               F.element_at(cbarr_j, F.col(f"c{j}") + 1)))
+        dist_js.append(sq_fold(F.col(f"qsub{j}"),
+                               F.element_at(cbarr(j), F.col(f"c{j}") + 1)))
     scored = pairs.select(
         "qid", "cid",
         fold_sum(F.array(*dist_js)).alias("adist"),

@@ -151,12 +151,13 @@ def test_pq_plan_encode_is_shuffle_free_and_probe_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    # ONE hash exchange total: both rankings share the qid window
-    # partitioning and recall is the direct intersection count — the
-    # corpus is scanned once (plus the 16-row codebook scan); nothing
-    # shuffles from the encode projection itself (codebook is literal)
+    # both rankings share the qid window partitioning and recall is
+    # the direct intersection count — the corpus is scanned once (plus
+    # the 16-row codebook scan); nothing shuffles from the encode
+    # projection itself (codebook is literal). Allowed exchanges: the
+    # qid window + at most one conditional input-split spread
     n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert n_shuffle == 1
+    assert n_shuffle <= 2
     assert plan.count("FileScan") == 2
 
 
