@@ -23,11 +23,26 @@ class PlanSummary:
     pushed_filters: list[str]
     scans: int
     text: str
+    # distinct-node counts: a cached subtree (InMemoryTableScan) prints
+    # its build plan under EVERY consumer, so raw text counts overstate
+    # what executes; identical node lines (same plan_id / expr ids)
+    # are one executed node. Distinct nodes with different expr ids
+    # (e.g. self-join sides) remain distinct lines.
+    uniq_exchanges: int = 0
+    uniq_broadcasts: int = 0
+    uniq_sorts: int = 0
+    uniq_scans: int = 0
 
     @property
     def shuffles(self) -> int:
         """Hash/range exchanges only (broadcast exchanges excluded)."""
         return self.exchanges - self.broadcasts
+
+    @property
+    def uniq_shuffles(self) -> int:
+        """Distinct-node hash/range exchanges — the executed count when
+        cached subtrees appear under several consumers."""
+        return self.uniq_exchanges - self.uniq_broadcasts
 
 
 def plan_summary(df: DataFrame) -> PlanSummary:
@@ -36,6 +51,12 @@ def plan_summary(df: DataFrame) -> PlanSummary:
     text = df._jdf.queryExecution().executedPlan().toString()
     pushed = [m.group(0) for m in
               re.finditer(r"PushedFilters: \[[^\]]*\]", text)]
+
+    def uniq(pattern: str) -> int:
+        lines = {ln.lstrip(" +-:*()")
+                 for ln in text.splitlines() if re.search(pattern, ln)}
+        return len(lines)
+
     return PlanSummary(
         exchanges=len(re.findall(r"Exchange ", text)),
         broadcasts=len(re.findall(r"BroadcastExchange|BroadcastQueryStage",
@@ -44,6 +65,10 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         pushed_filters=pushed,
         scans=len(re.findall(r"FileScan|BatchScan", text)),
         text=text,
+        uniq_exchanges=uniq(r"Exchange "),
+        uniq_broadcasts=uniq(r"BroadcastExchange|BroadcastQueryStage"),
+        uniq_sorts=uniq(r"\bSort\b"),
+        uniq_scans=uniq(r"FileScan|BatchScan"),
     )
 
 

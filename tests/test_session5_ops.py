@@ -222,6 +222,35 @@ def test_streaming_lsh_empty_batch_is_noop(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_streaming_lsh_replay_does_not_inflate_band_counts(spark, sf_dir):
+    """At-least-once semantics: re-processing a batch re-appends its
+    bands (duplicate index rows), but countDistinct(band) makes every
+    LATER probe immune — pair band-multiplicities must not inflate."""
+    import shutil
+    import tempfile
+    from python_cdc_component_spark.streaming.lsh_index import (
+        StreamingLshIndex)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    b1, b2 = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    works = [tempfile.mkdtemp(prefix="lsh_test_") for _ in range(2)]
+    try:
+        clean = StreamingLshIndex(index_path=f"{works[0]}/index")
+        clean.process_batch(spark, b1)
+        ref = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+               for r in clean.process_batch(spark, b2).collect()}
+
+        dup = StreamingLshIndex(index_path=f"{works[1]}/index")
+        dup.process_batch(spark, b1)
+        dup.process_batch(spark, b1)          # crash-replay of batch 1
+        got = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+               for r in dup.process_batch(spark, b2).collect()}
+        assert got == ref
+    finally:
+        for w in works:
+            shutil.rmtree(w, ignore_errors=True)
+
+
 def test_streaming_lsh_index_layout_is_bucketed(spark, sf_dir):
     import os
     import shutil
