@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fs import fs_exists as _fs_exists
+from ..fs import fs_file_count as _fs_file_count
 from ..operators.llm.minhash import band_table, minhash_signatures
 from ..operators.schema_align import union_epochs
 
@@ -54,6 +55,13 @@ class StreamingLshIndex:
 
     index_path: str
     num_buckets: int = 64
+    # append-mode stores accrete one file per bucket per batch; probe
+    # cost then grows with BATCH COUNT (file open/footer overhead),
+    # not index size. Size-tiered compaction: when a touched bucket
+    # exceeds this many files it is rewritten into one — amortized
+    # O(1) per batch, and per-batch probe I/O returns to being
+    # proportional to touched-bucket DATA.
+    compact_file_threshold: int = 8
 
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("bv")),
@@ -100,6 +108,37 @@ class StreamingLshIndex:
             pairs = pairs.localCheckpoint(eager=True)
             (bands.write.partitionBy(BUCKET_COL)
                   .mode("append").parquet(self.index_path))
+            self._compact(spark, touched)
             return pairs
         finally:
             bands.unpersist()
+
+    def _compact(self, spark: SparkSession, touched: list[int]) -> int:
+        """Rewrite every touched bucket whose file count exceeds the
+        threshold into one file each — in ONE Spark job (read the due
+        bucket dirs together, hash-partition on the bucket id so each
+        lands wholly in one task, dynamic-partition overwrite). A
+        per-bucket job here would pay fixed job overhead × buckets per
+        batch (measured 3× total cost at 64 buckets); batched, the
+        amortized compaction I/O is index/threshold per batch and
+        untouched buckets are never opened."""
+        due = [b for b in touched
+               if _fs_file_count(
+                   spark, os.path.join(self.index_path, f"{BUCKET_COL}={b}"))
+               > self.compact_file_threshold]
+        if not due:
+            return 0
+        paths = [os.path.join(self.index_path, f"{BUCKET_COL}={b}")
+                 for b in due]
+        df = (spark.read.option("basePath", self.index_path)
+              .parquet(*paths)
+              .repartition(F.col(BUCKET_COL)))
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            (df.write.partitionBy(BUCKET_COL)
+               .mode("overwrite").parquet(self.index_path))
+        finally:
+            spark.conf.set(key, prev)
+        return len(due)
