@@ -6064,6 +6064,31 @@ def streaming_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query("lateral_topk_per_customer", """
+SELECT c.o_custkey, t.o_orderkey, t.o_totalprice
+FROM (SELECT DISTINCT o_custkey FROM orders) c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+""")
+def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-3 orders per customer) — the
+    SQL-surface form of per-group top-k, run through spark.sql verbatim
+    (identical text to the DuckDB oracle). Catalyst decorrelates the
+    LATERAL + LIMIT into a ranked join — no per-customer re-execution;
+    the same WindowGroupLimit shape as the DataFrame top-k queries."""
+    s = _spark(spark)
+    read_table(s, sf_dir, "orders").createOrReplaceTempView(
+        "orders_lateral_v")
+    return s.sql("""
+        SELECT c.o_custkey, t.o_orderkey, t.o_totalprice
+        FROM (SELECT DISTINCT o_custkey FROM orders_lateral_v) c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lateral_v o
+                 WHERE o.o_custkey = c.o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+    """)
+
+
 def _zorder_layout_oracle() -> str:
     from .operators.zorder import zorder_key_sql
     return """
