@@ -220,3 +220,22 @@ def run_component(spark: SparkSession, data_dir: str,
         json.dump(state.to_reference_doc(), fh, indent=2)
     return {"tables": {t: df.columns for t, df in results.items()},
             "state_path": out_state}
+
+
+def run_component_streaming(spark: SparkSession, data_dir: str,
+                            events_dir: str) -> dict:
+    """Streaming twin of :func:`run_component`: drain the append-only
+    event log directory through ``bounded_sync`` under the config's
+    stop conditions (``max_wait_s`` / ``max_runtime_s``), MERGE-
+    compacting per micro-batch. The stream checkpoint lives under the
+    data dir (``out/checkpoint``) — re-running the same data dir
+    resumes from it, the reference's chained-run contract."""
+    from .streaming.bounded import bounded_sync
+
+    cfg = parse_component_config(os.path.join(data_dir, "config.json"))
+    out_tables = os.path.join(data_dir, "out", "tables", "events")
+    ckpt = os.path.join(data_dir, "out", "checkpoint")
+    os.makedirs(os.path.dirname(out_tables), exist_ok=True)
+    stats = bounded_sync(spark, events_dir, out_tables, ckpt,
+                         to_stream_config(cfg))
+    return {"out_path": out_tables, "stats": stats}

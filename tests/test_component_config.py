@@ -126,6 +126,31 @@ def test_run_component_data_dir_convention(spark, sf_dir, tmp_path):
     assert n2 == 0
 
 
+def test_run_component_streaming(spark, sf_dir, tmp_path):
+    """Config-driven bounded streaming run: same config file drives the
+    micro-batch MERGE path; result equals the batch dedup."""
+    import shutil
+    from python_cdc_component_spark.config import run_component_streaming
+    src = tmp_path / "src"
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    data = tmp_path / "stream_run"
+    os.makedirs(data)
+    (data / "config.json").write_text(json.dumps({
+        "parameters": {
+            "destination": {"load_type": "incremental_load"},
+            "source_settings": {"primary_key": ["user_id"]},
+            "sync_options": {"max_wait_s": 5, "snapshot_mode": "initial"},
+        },
+        "action": "run",
+    }))
+    res = run_component_streaming(spark, str(data), str(src))
+    got = spark.read.parquet(res["out_path"])
+    n_users = (spark.read.parquet(f"{sf_dir}/events.parquet")
+               .select("user_id").distinct().count())
+    assert got.count() == n_users          # one compacted row per key
+
+
 def test_run_component_sync_actions(spark, sf_dir, tmp_path):
     for action, key in [("testConnection", "status"),
                         ("getSchemas", "schemas"),
