@@ -6038,14 +6038,15 @@ FROM pairs GROUP BY doc_a, doc_b
 """.format(sig=_MINHASH_SIG_SQL.format(mins=_MINHASH_MINS)))
 def streaming_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup detection end-to-end
-    (streaming/lsh_index.py): the corpus arrives in three ingest
+    (streaming/lsh_index.py): the corpus arrives in two ingest
     batches; each batch probes the persistent LSH band index
     (path-pruned bucket reads), emits the candidate pairs it
     completes, then appends its own bands. The oracle is the FULL
     corpus banded self-join — the streaming split must reproduce it
     exactly, every pair exactly once, whatever the batch boundaries
     (the streaming_bounded_dedup convention applied to the LLM dedup
-    surface)."""
+    surface; 2-way and 5-way splits additionally pytest-proven in
+    tests/test_session5_ops.py)."""
     import shutil
     import tempfile
     from .streaming.lsh_index import StreamingLshIndex
@@ -6056,8 +6057,8 @@ def streaming_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="sparkcdc_lsh_")
     try:
         idx = StreamingLshIndex(index_path=f"{work}/index")
-        outs = [idx.process_batch(s, docs.filter(F.col("doc_id") % 3 == b))
-                for b in range(3)]
+        outs = [idx.process_batch(s, docs.filter(F.col("doc_id") % 2 == b))
+                for b in range(2)]
         return union_epochs(outs).groupBy("doc_a", "doc_b").agg(
             F.sum("n_bands").alias("n_bands"))
     finally:
