@@ -113,6 +113,59 @@ class StreamingLshIndex:
         finally:
             bands.unpersist()
 
+    def purge_docs(self, spark: SparkSession, doc_ids: list[int]) -> int:
+        """Remove every band row of the given documents from the index
+        — the near-dup-index half of right-to-be-forgotten erasure
+        (``MergeCompactor.purge`` discipline) and the delete step of a
+        document UPDATE (purge old version, ``process_batch`` the new
+        text). The erased docs' band values are unknown without their
+        text, so the anti-join runs over the whole index ONCE — but the
+        rewrite still only touches buckets that actually held erased
+        rows (dynamic partition overwrite drops only rewritten
+        partitions, and partitions with no surviving rows are removed
+        explicitly). Returns the number of buckets rewritten."""
+        if not doc_ids or not _fs_exists(spark, self.index_path):
+            return 0
+        ids_df = spark.createDataFrame([(i,) for i in doc_ids],
+                                       "doc_id long")
+        idx = spark.read.option("basePath", self.index_path) \
+                        .parquet(self.index_path)
+        hit = (idx.join(F.broadcast(ids_df), "doc_id", "left_semi")
+                  .select(BUCKET_COL).distinct())
+        touched = [r[0] for r in hit.collect()]
+        if not touched:
+            return 0
+        paths = [os.path.join(self.index_path, f"{BUCKET_COL}={b}")
+                 for b in touched]
+        kept = (spark.read.option("basePath", self.index_path)
+                .parquet(*paths)
+                .join(F.broadcast(ids_df), "doc_id", "left_anti")
+                .repartition(F.col(BUCKET_COL)))
+        kept.persist()
+        try:
+            kept_buckets = {r[0] for r in
+                            kept.select(BUCKET_COL).distinct().collect()}
+            key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(key, "static")
+            spark.conf.set(key, "dynamic")
+            try:
+                (kept.write.partitionBy(BUCKET_COL)
+                     .mode("overwrite").parquet(self.index_path))
+            finally:
+                spark.conf.set(key, prev)
+            # dynamic overwrite only replaces partitions present in the
+            # written data — buckets whose every row was erased must be
+            # deleted explicitly
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            for b in set(touched) - kept_buckets:
+                jp = jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(self.index_path, f"{BUCKET_COL}={b}"))
+                jp.getFileSystem(conf).delete(jp, True)
+            return len(touched)
+        finally:
+            kept.unpersist()
+
     def _compact(self, spark: SparkSession, touched: list[int]) -> int:
         """Rewrite every touched bucket whose file count exceeds the
         threshold into one file each — in ONE Spark job (read the due

@@ -251,6 +251,57 @@ def test_streaming_lsh_replay_does_not_inflate_band_counts(spark, sf_dir):
             shutil.rmtree(w, ignore_errors=True)
 
 
+def test_streaming_lsh_purge_and_update_doc(spark, sf_dir):
+    """Document revision = purge old version + re-ingest new text; the
+    resulting pair set must equal a fresh index built on the final
+    corpus (and the purged doc's pairs must vanish)."""
+    import shutil
+    import tempfile
+    from pyspark.sql import functions as SF
+    from python_cdc_component_spark.streaming.lsh_index import (
+        StreamingLshIndex)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    # pick a doc that participates in at least one near-dup pair
+    full = QUERIES["minhash_lsh_pairs"](spark, sf_dir).collect()
+    assert full
+    victim = full[0]["doc_a"]
+    revised = docs.withColumn(
+        "text", SF.when(SF.col("doc_id") == victim,
+                        SF.lit("completely new revision text that "
+                               "matches nothing else at all"))
+                  .otherwise(SF.col("text")))
+    works = [tempfile.mkdtemp(prefix="lsh_test_") for _ in range(2)]
+    try:
+        # incremental: build on the original corpus, then revise the victim
+        inc = StreamingLshIndex(index_path=f"{works[0]}/index")
+        inc.process_batch(spark, docs)
+        inc.purge_docs(spark, [victim])
+        late = inc.process_batch(
+            spark, revised.filter(SF.col("doc_id") == victim))
+        # fresh: index built directly on the revised corpus
+        fresh = StreamingLshIndex(index_path=f"{works[1]}/index")
+        fresh_pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+                       for r in fresh.process_batch(spark, revised)
+                                     .collect()}
+        # incremental total = pairs not involving victim (from build)
+        #                   + pairs the revision completes
+        base = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+                for r in inc.process_batch(
+                    spark, docs.filter("doc_id < 0")).collect()}
+        assert base == {}
+        inc_pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+                     for r in late.collect()}
+        surviving = {p: n for p, n in
+                     {(r["doc_a"], r["doc_b"]): r["n_bands"]
+                      for r in full}.items()
+                     if victim not in p}
+        assert {**surviving, **inc_pairs} == fresh_pairs
+    finally:
+        for w in works:
+            shutil.rmtree(w, ignore_errors=True)
+
+
 def test_streaming_lsh_index_layout_is_bucketed(spark, sf_dir):
     import os
     import shutil
