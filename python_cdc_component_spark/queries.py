@@ -5606,8 +5606,9 @@ cand AS (
          GREATEST(n.doc_id, a.doc_id) AS doc_b, n.band
   FROM bands n JOIN bands a
     ON n.band = a.band AND n.bv = a.bv AND n.doc_id <> a.doc_id
+   AND (a.doc_id % 5 <> 0 OR n.doc_id < a.doc_id)
   WHERE n.doc_id % 5 = 0)
-SELECT doc_a, doc_b, COUNT(DISTINCT band) AS n_bands
+SELECT doc_a, doc_b, COUNT(*) AS n_bands
 FROM cand GROUP BY doc_a, doc_b
 """.format(sig=_MINHASH_SIG_SQL.format(mins=_MINHASH_MINS)))
 def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5631,15 +5632,20 @@ def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(_LSH_BANDS)])
     new = bands.filter(F.col("doc_id") % 5 == 0)
     n, a = new.alias("n"), bands.alias("a")
+    # orientation guard: a new×new pair would otherwise collide from
+    # both sides per band — restricting the new-vs-new case to
+    # n < a makes every (pair, band) row unique, so the multiplicity
+    # is a plain COUNT (no distinct-aggregate expand/exchange)
     cand = n.join(a, (F.col("n.band") == F.col("a.band"))
                   & (F.col("n.bv") == F.col("a.bv"))
-                  & (F.col("n.doc_id") != F.col("a.doc_id")))
+                  & (F.col("n.doc_id") != F.col("a.doc_id"))
+                  & ((F.col("a.doc_id") % 5 != 0)
+                     | (F.col("n.doc_id") < F.col("a.doc_id"))))
     pairs = cand.select(
         F.least("n.doc_id", "a.doc_id").alias("doc_a"),
-        F.greatest("n.doc_id", "a.doc_id").alias("doc_b"),
-        F.col("n.band").alias("band"))
+        F.greatest("n.doc_id", "a.doc_id").alias("doc_b"))
     return (pairs.groupBy("doc_a", "doc_b")
-                 .agg(F.countDistinct("band").alias("n_bands")))
+                 .agg(F.count(F.lit(1)).alias("n_bands")))
 
 
 @query("resample_interpolate", """

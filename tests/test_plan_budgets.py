@@ -51,7 +51,7 @@ BUDGETS = {
     "dup_canonical_best": 6,
     "bigram_perplexity": 9,
     "cdc_incremental_mv": 8,
-    "lsh_incremental_pairs": 7,
+    "lsh_incremental_pairs": 4,
     "embedding_pq_ann_recall": 3,
     "resample_interpolate": 3,
 }
