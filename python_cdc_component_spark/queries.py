@@ -1557,8 +1557,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(s, sf_dir, "documents")
     tok = (_spread(d.select("doc_id", "text"), s)
             .select("doc_id", F.explode(F.split("text", " ")).alias("w")))
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    # tf has exactly one row per (doc, term), so df is a plain COUNT
+    # over tf — no count_distinct expand, and the cached tf feeds both
+    # the df rollup and the scoring join (the corpus explode runs once)
+    tf = persist_once(
+        tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (tf.join(F.broadcast(df), "w")
                 .crossJoin(F.broadcast(n))
