@@ -6100,6 +6100,87 @@ def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query("event_transition_matrix", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS n,
+       round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER
+             (PARTITION BY event_type), 6) AS p
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""")
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the path-analysis staple behind sankeys and
+    next-action models. One user-keyed window for LEAD (deterministic
+    (ts, event_id) order), then a type-pair rollup whose key space is
+    |types|² — the normalization window runs over that tiny aggregate,
+    never the event stream."""
+    ev = read_events(_spark(spark), sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.select("user_id", "event_type",
+                     F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    cnt = (seq.groupBy(F.col("event_type").alias("from_type"),
+                       F.col("next_type").alias("to_type"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    wn = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6)
+         .alias("p"))
+
+
+@query("funnel_time_to_convert", """
+WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY e.user_id),
+d AS (SELECT s.user_id,
+             date_diff('second', s.t0, p.t1) AS sec_to_convert
+      FROM s JOIN p ON s.user_id = p.user_id)
+SELECT COUNT(*) AS n_converted,
+       CAST(MIN(sec_to_convert) AS BIGINT) AS min_sec,
+       round(quantile_cont(sec_to_convert, 0.5), 6) AS median_sec,
+       round(quantile_cont(sec_to_convert, 0.9), 6) AS p90_sec,
+       CAST(MAX(sec_to_convert) AS BIGINT) AS max_sec
+FROM d
+""")
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per-user first signup → first subsequent
+    purchase, summarized as exact conversion-time percentiles (the
+    activation-metric companion to event_funnel_stages). Two
+    user-keyed aggregates feed one user join; the percentile runs over
+    the converted-user aggregate (user-count-sized, exact `percentile`
+    ≡ quantile_cont — swap approx_percentile behind the same plan at
+    100 TB, the winsorize convention). Second diffs are exact
+    integers."""
+    ev = read_events(_spark(spark), sf_dir)
+    s0 = (ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    p1 = (ev.filter(F.col("event_type") == "purchase")
+            .join(s0, "user_id")
+            .filter(F.col("ts") > F.col("t0"))
+            .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    d = (s0.join(p1, "user_id")
+           .select((F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+                   .alias("sec_to_convert")))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("sec_to_convert").cast("long").alias("min_sec"),
+        F.round(F.percentile("sec_to_convert", F.lit(0.5)), 6)
+         .alias("median_sec"),
+        F.round(F.percentile("sec_to_convert", F.lit(0.9)), 6)
+         .alias("p90_sec"),
+        F.max("sec_to_convert").cast("long").alias("max_sec"))
+
+
 def _zorder_layout_oracle() -> str:
     from .operators.zorder import zorder_key_sql
     return """

@@ -335,6 +335,35 @@ def test_pmi_top20_are_positive_and_frequent(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# event analytics batch 2
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    out = QUERIES["event_transition_matrix"](spark, sf_dir)
+    sums = out.groupBy("from_type").agg(F.sum("p").alias("s")).collect()
+    assert sums
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-3
+    n_total = out.agg(F.sum("n")).collect()[0][0]
+    from python_cdc_component_spark.sources.events import read_events
+    ev = read_events(spark, sf_dir)
+    n_users = ev.select("user_id").distinct().count()
+    assert n_total == ev.count() - n_users     # one LEAD-less row per user
+
+
+def test_funnel_time_to_convert_bounds(spark, sf_dir):
+    r = QUERIES["funnel_time_to_convert"](spark, sf_dir).collect()[0]
+    from python_cdc_component_spark.sources.events import read_events
+    ev = read_events(spark, sf_dir)
+    n_signup = (ev.filter("event_type = 'signup'")
+                  .select("user_id").distinct().count())
+    assert 0 < r["n_converted"] <= n_signup
+    assert (r["min_sec"] <= r["median_sec"] <= r["p90_sec"]
+            <= r["max_sec"])
+    assert r["min_sec"] >= 0
+
+
+# ---------------------------------------------------------------------------
 # temperature mix / winsorize / vocab drift
 
 
