@@ -57,8 +57,12 @@ BUDGETS = {
 }
 
 
-@pytest.fixture(scope="module", autouse=True)
+@pytest.fixture(autouse=True)
 def fresh_cache(spark):
+    # per-test: an earlier query's persist_once cache substitutes
+    # InMemoryTableScan nodes into later identical subtrees, shifting
+    # the text-plan exchange census — clear so every budget measures
+    # the fresh plan, suite-order independently
     spark.catalog.clearCache()
     yield
 
