@@ -6181,6 +6181,57 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sec_to_convert").cast("long").alias("max_sec"))
 
 
+@query("multi_eval_decontaminate", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                    % 100 AS bucket
+           FROM documents),
+g AS (SELECT doc_id, bucket, md5(array_to_string(w[i:i+7], ' ')) AS gh
+      FROM t, unnest(range(1, len(w) - 6)) u(i)),
+ev AS (SELECT DISTINCT gh,
+              CASE WHEN bucket <= 93 THEN 'evalA'
+                   WHEN bucket <= 96 THEN 'evalB'
+                   ELSE 'evalC' END AS eval_set
+       FROM g WHERE bucket >= 90)
+SELECT g.doc_id, ev.eval_set,
+       CAST(COUNT(DISTINCT g.gh) AS BIGINT) AS n_bad_grams
+FROM g JOIN ev ON g.gh = ev.gh
+WHERE g.bucket < 80
+GROUP BY g.doc_id, ev.eval_set
+""")
+def multi_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against MANY eval benchmarks in ONE train-corpus
+    pass — the production shape: labs hold dozens of eval sets, and
+    re-scanning 100 TB of training text once per benchmark is the
+    naive cost this operator removes. The per-set label rides the
+    broadcast eval-gram table (eval sets are always tiny next to the
+    corpus), so the train side explodes and probes exactly once and
+    reports per-(doc, benchmark) contaminated-gram counts. Same 8-gram
+    md5 wire discipline as `ngram_decontaminate`."""
+    s = _spark(spark)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                       .cast("binary")), 1, 7), 16, 10)
+              .cast("long") % 100)
+    gram_col = F.explode(F.expr(
+        "CASE WHEN size(_w) >= 8 THEN "
+        "transform(sequence(1, size(_w) - 7), "
+        "i -> md5(array_join(slice(_w, i, 8), ' '))) "
+        "ELSE array() END")).alias("gh")
+    db = d.select("doc_id", bucket.alias("bucket"),
+                  F.split("text", " ").alias("_w"))
+    set_label = (F.when(F.col("bucket") <= 93, "evalA")
+                  .when(F.col("bucket") <= 96, "evalB")
+                  .otherwise("evalC"))
+    ev = (db.filter(F.col("bucket") >= 90)
+            .select(gram_col, set_label.alias("eval_set")).distinct())
+    return (db.filter(F.col("bucket") < 80).select("doc_id", gram_col)
+              .join(F.broadcast(ev), "gh")
+              .groupBy("doc_id", "eval_set")
+              .agg(F.countDistinct("gh").alias("n_bad_grams")))
+
+
 def _zorder_layout_oracle() -> str:
     from .operators.zorder import zorder_key_sql
     return """

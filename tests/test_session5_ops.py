@@ -335,6 +335,27 @@ def test_pmi_top20_are_positive_and_frequent(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# multi-eval decontamination
+
+
+def test_multi_eval_consistent_with_single_set(spark, sf_dir):
+    """The three per-benchmark reports must partition the single-set
+    report: every flagged doc appears in both, and the single-set
+    distinct-gram count is bounded by the per-set sum (a gram hash can
+    belong to several benchmarks) and by each per-set count."""
+    multi = QUERIES["multi_eval_decontaminate"](spark, sf_dir).collect()
+    single = {r["doc_id"]: r["n_bad_grams"]
+              for r in QUERIES["ngram_decontaminate"](spark, sf_dir)
+                       .collect()}
+    per_doc = {}
+    for r in multi:
+        per_doc.setdefault(r["doc_id"], []).append(r["n_bad_grams"])
+    assert set(per_doc) == set(single)
+    for doc, counts in per_doc.items():
+        assert max(counts) <= single[doc] <= sum(counts)
+
+
+# ---------------------------------------------------------------------------
 # event analytics batch 2
 
 
