@@ -1,0 +1,136 @@
+"""Persistent IVF vector index: build once, probe with partition-pruned
+reads.
+
+The in-query IVF (`embedding_ivf_ann`) re-derives the inverted file on
+every call — right for a one-shot analytical query, wrong for a serving
+path where the corpus is fixed and probes arrive continuously. This
+operator materializes the inverted file as parquet partitioned by cell
+(`_ivf_cell=<id>` directories, one file per cell), so a probe reads
+ONLY the `nprobe` cell directories its query vectors select: probe I/O
+is corpus/n_cells × nprobe, not the corpus — the property that makes
+billion-vector serving feasible. At 100 TB, n_cells scales with corpus
+size (cells stay bounded) and the centroid table stays k×d driver
+scalars.
+
+Centroid choice here is the deterministic seed sample (vectors
+``vec_id < n_cells``) so the DuckDB oracle replays the assignment
+bit-exactly; the trained path is ``kmeans_fit`` (operators/llm/kmeans),
+which plugs in as ``centroids=`` without touching the layout or probe
+code. Assignment is the kmeans array-literal argmin — a shuffle-free
+codegen projection; the only exchange in ``build`` is the
+one-file-per-cell repartition on the cell id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ...fs import fs_exists as _fs_exists
+
+CELL_COL = "_ivf_cell"
+
+
+def _sq_fold(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+@dataclass
+class IvfVectorIndex:
+    index_path: str
+    n_cells: int = 8
+
+    @property
+    def _cent_path(self) -> str:
+        return os.path.join(self.index_path, "_centroids.json")
+
+    def build(self, spark: SparkSession, emb: DataFrame,
+              centroids: list[list[float]] | None = None) -> int:
+        """Materialize the inverted file from ``emb`` (vec_id,
+        e: array<double>). ``centroids`` defaults to the seed sample
+        (first n_cells vectors by vec_id); pass ``kmeans_fit`` means
+        for the trained quantizer. Returns the number of cells
+        written."""
+        if centroids is None:
+            rows = (emb.filter(F.col("vec_id") < self.n_cells)
+                       .orderBy("vec_id").select("e").collect())
+            centroids = [r["e"] for r in rows]
+        structs = [F.struct(
+            _sq_fold(F.col("e"), F.array(*[F.lit(v) for v in c])).alias("d"),
+            F.lit(i).alias("k")) for i, c in enumerate(centroids)]
+        nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                 F.lit(0.0), lambda a, x: a + x))
+        assigned = emb.select(
+            "vec_id", "e", nrm.alias("nrm"),
+            F.array_min(F.array(*structs))["k"].alias(CELL_COL))
+        (assigned.repartition(F.col(CELL_COL))
+                 .write.partitionBy(CELL_COL)
+                 .mode("overwrite").parquet(self.index_path))
+        with open(self._cent_path, "w") as fh:
+            json.dump(centroids, fh)
+        return len(centroids)
+
+    def _probe_cells(self, qe: list[float],
+                     centroids: list[list[float]], nprobe: int) -> list[int]:
+        """Driver-side cell selection for one probe vector — identical
+        IEEE accumulation order to the build's fold, so the chosen
+        cells replay in any engine."""
+        dists = []
+        for k, c in enumerate(centroids):
+            acc = 0.0
+            for x, y in zip(qe, c):
+                acc = acc + (x - y) * (x - y)
+            dists.append((acc, k))
+        dists.sort()
+        return [k for _, k in dists[:nprobe]]
+
+    def probe(self, spark: SparkSession, probes: DataFrame,
+              k: int = 5, nprobe: int = 2,
+              audit: dict | None = None) -> DataFrame:
+        """Top-k cosine neighbors for each probe row (qid,
+        qe: array<double>), reading only the union of the probes'
+        ``nprobe`` nearest cell directories. Probe sets are small by
+        definition (serving path) — they collect driver-side and
+        broadcast back over the pruned candidate scan."""
+        with open(self._cent_path) as fh:
+            centroids = json.load(fh)
+        rows = probes.select("qid", "qe").collect()
+        cells_by_qid = {r["qid"]: self._probe_cells(r["qe"], centroids,
+                                                    nprobe)
+                        for r in rows}
+        cells = sorted({c for cl in cells_by_qid.values() for c in cl})
+        if audit is not None:
+            audit["cells"] = cells
+            audit["cells_by_qid"] = cells_by_qid
+        paths = [p for p in
+                 (os.path.join(self.index_path, f"{CELL_COL}={c}")
+                  for c in cells)
+                 if _fs_exists(spark, p)]
+        if not paths:
+            return spark.createDataFrame(
+                [], "qid long, cid long, sim double")
+        cand = (spark.read.option("basePath", self.index_path)
+                .parquet(*paths))
+        probe_tbl = spark.createDataFrame(
+            [(r["qid"], r["qe"], cells_by_qid[r["qid"]]) for r in rows],
+            "qid long, qe array<double>, cells array<int>")
+        qn = F.sqrt(F.aggregate(F.transform("qe", lambda x: x * x),
+                                F.lit(0.0), lambda a, x: a + x))
+        dot = F.aggregate(F.zip_with("qe", "e", lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        j = (cand.join(F.broadcast(probe_tbl.withColumn("qn", qn)),
+                       F.expr(f"array_contains(cells, {CELL_COL})")
+                       & (F.col("vec_id") != F.col("qid")))
+             .select("qid", F.col("vec_id").alias("cid"),
+                     F.round(dot / (F.col("qn") * F.col("nrm")), 6)
+                      .alias("sim")))
+        w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                              F.col("cid"))
+        return (j.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= k).drop("rn"))

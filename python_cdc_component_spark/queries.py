@@ -6232,6 +6232,68 @@ def multi_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.countDistinct("gh").alias("n_bad_grams")))
 
 
+@query("ann_index_probe", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 8),
+d AS (SELECT vec_id, e, cent_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> (e[i] - ce[i]) * (e[i] - ce[i]))) AS dist
+      FROM v, cent),
+assign AS (SELECT vec_id, e, cent_id FROM d
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cent_id) = 1),
+n AS (SELECT vec_id, e, cent_id,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM assign),
+qcells AS (SELECT vec_id AS qid, cent_id FROM d
+           WHERE vec_id IN (5, 6, 7)
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cent_id) <= 2),
+q AS (SELECT vec_id AS qid, e AS qe,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+      FROM v WHERE vec_id IN (5, 6, 7)),
+s AS (SELECT qc.qid, n.vec_id AS cid,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> q.qe[i] * n.e[i])) / (q.qn * n.nrm), 6)
+               AS sim
+      FROM qcells qc JOIN n ON n.cent_id = qc.cent_id
+                     JOIN q ON q.qid = qc.qid
+      WHERE n.vec_id <> qc.qid)
+SELECT qid, cid, sim FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 5
+""")
+def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent IVF index end-to-end (operators/llm/annindex.py):
+    BUILD materializes the inverted file as parquet partitioned by
+    cell (shuffle-free array-literal-argmin assignment, one file per
+    cell), PROBE selects each query's nprobe=2 nearest cells
+    driver-side and reads ONLY those cell directories — probe I/O is
+    corpus/n_cells × nprobe, the serving-path property the in-query
+    IVF (`embedding_ivf_ann`) cannot give. Cell choice and cosine use
+    the oracle's IEEE fold order, so the pruned result replays
+    bit-exactly."""
+    import shutil
+    import tempfile
+    from .operators.llm.annindex import IvfVectorIndex
+
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    work = tempfile.mkdtemp(prefix="sparkcdc_ivf_")
+    try:
+        idx = IvfVectorIndex(index_path=f"{work}/index", n_cells=8)
+        idx.build(s, emb)
+        probes = (emb.filter(F.col("vec_id").isin([5, 6, 7]))
+                     .select(F.col("vec_id").alias("qid"),
+                             F.col("e").alias("qe")))
+        out = idx.probe(s, probes, k=5, nprobe=2)
+        # pin before the tempdir vanishes
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _zorder_layout_oracle() -> str:
     from .operators.zorder import zorder_key_sql
     return """

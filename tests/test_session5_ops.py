@@ -335,6 +335,73 @@ def test_pmi_top20_are_positive_and_frequent(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# persistent IVF index
+
+
+def test_ivf_index_probe_prunes_cells(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+    from python_cdc_component_spark.operators.llm.annindex import (
+        IvfVectorIndex, CELL_COL)
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e")))
+    work = tempfile.mkdtemp(prefix="ivf_test_")
+    try:
+        idx = IvfVectorIndex(index_path=f"{work}/index", n_cells=8)
+        n_written = idx.build(spark, emb)
+        assert n_written == 8
+        dirs = [d for d in os.listdir(f"{work}/index")
+                if d.startswith(f"{CELL_COL}=")]
+        assert len(dirs) >= 4               # corpus spreads over cells
+        probes = (emb.filter(F.col("vec_id").isin([5, 6, 7]))
+                     .select(F.col("vec_id").alias("qid"),
+                             F.col("e").alias("qe")))
+        audit = {}
+        out = idx.probe(spark, probes, k=5, nprobe=2, audit=audit)
+        rows = out.collect()
+        # every probe gets exactly k results
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["qid"], []).append(r)
+        assert set(per_q) == {5, 6, 7} and all(
+            len(v) == 5 for v in per_q.values())
+        # the probe touched at most nprobe cells per query and strictly
+        # fewer than the whole index
+        assert all(len(c) == 2 for c in audit["cells_by_qid"].values())
+        assert len(audit["cells"]) < len(dirs) or len(dirs) <= 6
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_ivf_index_trained_centroids_plug_in(spark, sf_dir):
+    """kmeans_fit means slot in as the quantizer without layout or
+    probe changes — the trained path."""
+    import shutil
+    import tempfile
+    from python_cdc_component_spark.operators.llm.annindex import (
+        IvfVectorIndex)
+    from python_cdc_component_spark.operators.llm.kmeans import kmeans_fit
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e")))
+    _, cents = kmeans_fit(emb, k=4, iters=2)
+    cents = [vec for _cid, vec in cents]        # (cid, k×d) pairs
+    work = tempfile.mkdtemp(prefix="ivf_test_")
+    try:
+        idx = IvfVectorIndex(index_path=f"{work}/index", n_cells=4)
+        idx.build(spark, emb, centroids=cents)
+        probes = (emb.filter(F.col("vec_id") < 2)
+                     .select(F.col("vec_id").alias("qid"),
+                             F.col("e").alias("qe")))
+        out = idx.probe(spark, probes, k=3, nprobe=1)
+        assert out.groupBy("qid").count().filter("count != 3").count() == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # multi-eval decontamination
 
 
