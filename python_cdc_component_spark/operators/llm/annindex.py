@@ -76,6 +76,37 @@ class IvfVectorIndex:
             json.dump(centroids, fh)
         return len(centroids)
 
+    def add_batch(self, spark: SparkSession, emb: DataFrame) -> int:
+        """Incremental ingest: assign a new vector batch under the
+        STORED centroids (the codebook does not move — the standard
+        serving contract; retraining is a rebuild) and append to the
+        cell layout. Returns the number of rows added. Probe results
+        include the new vectors immediately; append-file accretion is
+        bounded by the same size-tiered compaction argument as the
+        streaming LSH index (compact when a cell's file count grows —
+        left to the caller's maintenance window here since serving
+        indexes batch their ingests)."""
+        with open(self._cent_path) as fh:
+            centroids = json.load(fh)
+        structs = [F.struct(
+            _sq_fold(F.col("e"), F.array(*[F.lit(v) for v in c])).alias("d"),
+            F.lit(i).alias("k")) for i, c in enumerate(centroids)]
+        nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                 F.lit(0.0), lambda a, x: a + x))
+        assigned = emb.select(
+            "vec_id", "e", nrm.alias("nrm"),
+            F.array_min(F.array(*structs))["k"].alias(CELL_COL))
+        assigned.persist()
+        try:
+            n = assigned.count()
+            if n:
+                (assigned.repartition(F.col(CELL_COL))
+                         .write.partitionBy(CELL_COL)
+                         .mode("append").parquet(self.index_path))
+            return n
+        finally:
+            assigned.unpersist()
+
     def _probe_cells(self, qe: list[float],
                      centroids: list[list[float]], nprobe: int) -> list[int]:
         """Driver-side cell selection for one probe vector — identical

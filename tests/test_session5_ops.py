@@ -375,6 +375,41 @@ def test_ivf_index_probe_prunes_cells(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_ivf_index_incremental_add_equals_full_build(spark, sf_dir):
+    """build(half) + add_batch(other half) must probe identically to
+    build(all) — the stored centroids pin the assignment, so the split
+    cannot change any cell or any result."""
+    import shutil
+    import tempfile
+    from python_cdc_component_spark.operators.llm.annindex import (
+        IvfVectorIndex)
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e")))
+    probes = (emb.filter(F.col("vec_id").isin([5, 6]))
+                 .select(F.col("vec_id").alias("qid"),
+                         F.col("e").alias("qe")))
+    works = [tempfile.mkdtemp(prefix="ivf_test_") for _ in range(2)]
+    try:
+        full = IvfVectorIndex(index_path=f"{works[0]}/index", n_cells=8)
+        full.build(spark, emb)
+        ref = {(r["qid"], r["cid"]): r["sim"]
+               for r in full.probe(spark, probes, k=5, nprobe=2).collect()}
+
+        cents = [r["e"] for r in emb.filter("vec_id < 8")
+                 .orderBy("vec_id").select("e").collect()]
+        inc = IvfVectorIndex(index_path=f"{works[1]}/index", n_cells=8)
+        inc.build(spark, emb.filter("vec_id % 2 = 0"), centroids=cents)
+        added = inc.add_batch(spark, emb.filter("vec_id % 2 = 1"))
+        assert added > 0
+        got = {(r["qid"], r["cid"]): r["sim"]
+               for r in inc.probe(spark, probes, k=5, nprobe=2).collect()}
+        assert got == ref
+    finally:
+        for w in works:
+            shutil.rmtree(w, ignore_errors=True)
+
+
 def test_ivf_index_trained_centroids_plug_in(spark, sf_dir):
     """kmeans_fit means slot in as the quantizer without layout or
     probe changes — the trained path."""
