@@ -6164,11 +6164,15 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(_spark(spark), sf_dir)
     s0 = (ev.filter(F.col("event_type") == "signup")
             .groupBy("user_id").agg(F.min("ts").alias("t0")))
-    p1 = (ev.filter(F.col("event_type") == "purchase")
-            .join(s0, "user_id")
-            .filter(F.col("ts") > F.col("t0"))
-            .groupBy("user_id").agg(F.min("ts").alias("t1")))
-    d = (s0.join(p1, "user_id")
+    # t0 is constant per user after the join, so carrying MIN(t0)
+    # through the purchase aggregate avoids rebuilding and re-joining
+    # the signup aggregate (one events scan per funnel stage, not two
+    # for the signup stage)
+    d = (ev.filter(F.col("event_type") == "purchase")
+           .join(s0, "user_id")
+           .filter(F.col("ts") > F.col("t0"))
+           .groupBy("user_id").agg(F.min("ts").alias("t1"),
+                                   F.min("t0").alias("t0"))
            .select((F.unix_timestamp("t1") - F.unix_timestamp("t0"))
                    .alias("sec_to_convert")))
     return d.agg(
@@ -6292,6 +6296,46 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _quality_keep_calibrated_oracle() -> str:
+    return """
+WITH sc AS ({base}),
+j AS (SELECT s.doc_id, d.lang, s.margin
+      FROM sc s JOIN documents d ON s.doc_id = d.doc_id),
+th AS (SELECT lang, quantile_cont(margin, 0.7) AS thr
+       FROM j GROUP BY lang)
+SELECT j.doc_id, j.lang, j.margin, round(th.thr, 6) AS thr,
+       (j.margin > th.thr) AS keep
+FROM j JOIN th ON j.lang = th.lang
+""".format(base=ORACLES["quality_classifier_score"].rstrip())
+
+
+@query("quality_keep_calibrated", None)
+def quality_keep_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate-calibrated quality filtering: a fixed global margin
+    threshold keeps wildly different fractions per language (the
+    classifier is trained on the head language), so production filters
+    calibrate the cutoff per language to a TARGET KEEP RATE — here the
+    top 30 % by margin within each language. Exact per-language
+    percentile over the (already 6dp-rounded, cross-engine-identical)
+    margins; thresholds are a languages-sized broadcast; at 100 TB the
+    percentile swaps for approx_percentile behind the same plan (the
+    winsorize convention)."""
+    sc = QUERIES["quality_classifier_score"](spark, sf_dir) \
+        .select("doc_id", "margin")
+    d = read_table(_spark(spark), sf_dir, "documents") \
+        .select("doc_id", "lang")
+    j = sc.join(d, "doc_id")
+    th = j.groupBy("lang").agg(
+        F.percentile("margin", F.lit(0.7)).alias("thr"))
+    return (j.join(F.broadcast(th), "lang")
+             .select("doc_id", "lang", "margin",
+                     F.round("thr", 6).alias("thr"),
+                     (F.col("margin") > F.col("thr")).alias("keep")))
+
+
+ORACLES["quality_keep_calibrated"] = _quality_keep_calibrated_oracle()
 
 
 def _zorder_layout_oracle() -> str:

@@ -335,6 +335,25 @@ def test_pmi_top20_are_positive_and_frequent(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# calibrated quality keep
+
+
+def test_quality_keep_rate_calibrated_per_language(spark, sf_dir):
+    """Every language keeps ~30% (ties aside) — the point of
+    calibration; a global threshold would not."""
+    out = QUERIES["quality_keep_calibrated"](spark, sf_dir)
+    rates = (out.groupBy("lang")
+             .agg((F.sum(F.col("keep").cast("int"))
+                   / F.count(F.lit(1))).alias("rate"),
+                  F.count(F.lit(1)).alias("n"))
+             .collect())
+    assert rates
+    for r in rates:
+        if r["n"] >= 20:
+            assert 0.15 <= r["rate"] <= 0.45, (r["lang"], r["rate"])
+
+
+# ---------------------------------------------------------------------------
 # persistent IVF index
 
 
