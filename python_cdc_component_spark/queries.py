@@ -6298,6 +6298,66 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _doremi_mix_oracle() -> str:
+    return """
+WITH ppl AS ({base}),
+j AS (SELECT p.doc_id, p.ppl, d.source
+      FROM ppl p JOIN documents d ON p.doc_id = d.doc_id),
+agg AS (SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) AS mean_ppl
+        FROM j GROUP BY source),
+x AS (SELECT source, n_docs, mean_ppl,
+             mean_ppl / MIN(mean_ppl) OVER () AS excess,
+             CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS share
+      FROM agg),
+w AS (SELECT source, n_docs, mean_ppl, excess,
+             share * excess AS raw_w FROM x)
+SELECT source, n_docs, round(mean_ppl, 6) AS mean_ppl,
+       round(excess, 6) AS excess,
+       round(raw_w / SUM(raw_w) OVER (), 6) AS w_mix
+FROM w
+""".format(base=ORACLES["unigram_perplexity"].rstrip())
+
+
+@query("doremi_mix_weights", None)
+def doremi_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-loss domain reweighting (DoReMi's core signal,
+    simplified to one round): per-source mean perplexity under the
+    corpus unigram LM, normalized by the easiest domain; mixture
+    weight ∝ doc share × excess loss, so harder domains are upsampled
+    relative to their size — the loss-aware alternative to
+    `temperature_mix_weights`. Composes the independently-oracled
+    per-doc perplexities (already 4dp-rounded, cross-engine
+    identical); the per-source aggregate is decimal-accumulated and
+    the normalize arithmetic runs on the sources-sized table
+    (constant-size windows, the dsir λ-table move)."""
+    ppl = QUERIES["unigram_perplexity"](spark, sf_dir) \
+        .select("doc_id", "ppl")
+    d = read_table(_spark(spark), sf_dir, "documents") \
+        .select("doc_id", "source")
+    agg = (ppl.join(d, "doc_id")
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   (F.sum(F.col("ppl").cast(DEC)).cast("double")
+                    / F.count(F.lit(1))).alias("mean_ppl")))
+    wg = Window.partitionBy()
+    x = agg.select(
+        "source", "n_docs", "mean_ppl",
+        (F.col("mean_ppl") / F.min("mean_ppl").over(wg)).alias("excess"),
+        (F.col("n_docs").cast("double")
+         / F.sum("n_docs").over(wg)).alias("share"))
+    w = x.withColumn("raw_w", F.col("share") * F.col("excess"))
+    return w.select(
+        "source", "n_docs", F.round("mean_ppl", 6).alias("mean_ppl"),
+        F.round("excess", 6).alias("excess"),
+        F.round(F.col("raw_w") / F.sum("raw_w").over(wg), 6)
+         .alias("w_mix"))
+
+
+ORACLES["doremi_mix_weights"] = _doremi_mix_oracle()
+
+
 def _quality_keep_calibrated_oracle() -> str:
     return """
 WITH sc AS ({base}),
