@@ -77,6 +77,41 @@ def _r6(x: float) -> float:
                                      rounding=ROUND_HALF_UP))
 
 
+def test_text_kernels_survive_unicode(spark):
+    """The text pipeline is exercised on ASCII word-soup fixtures; real
+    corpora carry combining marks, CJK, emoji and RTL text. The core
+    kernels must stay deterministic and crash-free on them (md5 hashes
+    operate on UTF-8 bytes in both engines)."""
+    from python_cdc_component_spark.operators.llm.minhash import (
+        minhash_signatures)
+    from python_cdc_component_spark.queries import QUERIES as Q
+    texts = [
+        "café né résumé naïve déjà vu élan " * 4,
+        "日本語 の テキスト 処理 は 難しい です ね " * 4,
+        "مرحبا بالعالم هذا نص عربي للاختبار " * 4,
+        "emoji 🎉 test 🚀 with 🌍 symbols 🎯 here 🔥 now " * 4,
+        "źäļg̰o̶ combining marks text " * 4,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    sig1 = {r["doc_id"]: tuple(r[f"h{j}"] for j in range(16))
+            for r in minhash_signatures(docs).collect()}
+    sig2 = {r["doc_id"]: tuple(r[f"h{j}"] for j in range(16))
+            for r in minhash_signatures(docs).collect()}
+    assert sig1 == sig2 and len(sig1) == len(texts)
+    # duckdb twin hashes the same UTF-8 bytes
+    import duckdb
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    from python_cdc_component_spark.queries import (
+        _MINHASH_SIG_SQL, _MINHASH_MINS)
+    oracle = {r[0]: tuple(r[1:]) for r in con.execute(
+        _MINHASH_SIG_SQL.format(mins=_MINHASH_MINS)
+        .replace("FROM documents", "FROM docs")).fetchall()}
+    assert sig1 == oracle
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(
     st.tuples(st.integers(0, 3),            # user
