@@ -2280,10 +2280,17 @@ def hll_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, so the oracle checks the ACCURACY CONTRACT instead:
     an rsd=0.01 HLL estimate must land within 5% (a 5-sigma bound) of
     the exact count, emitted as a boolean the hash compare verifies."""
+    # exact-distinct and the HLL sketch run in SEPARATE aggregates
+    # joined on the tiny group key: mixing them in one agg makes the
+    # distinct Expand carry the 2^14-register HLL buffer through an
+    # object-hash fallback — measured 30-38 s for 10k rows under the
+    # hostile gate (200 partitions, AQE off) vs ~1 s split
     ev = read_events(_spark(spark), sf_dir)
-    agg = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users"),
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"))
+    hll = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("hll"))
+    agg = exact.join(F.broadcast(hll), "event_type")
     within = (F.abs(F.col("hll") - F.col("exact_users"))
               <= 0.05 * F.col("exact_users"))
     return agg.select("event_type", "exact_users",
@@ -6065,6 +6072,13 @@ def streaming_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(read_table(s, sf_dir, "documents")
                    .select("doc_id", "text"), s)
     work = tempfile.mkdtemp(prefix="sparkcdc_lsh_")
+    # size per-batch shuffles to the ingest batch, not the session's
+    # analytical default (the reference sizes its chunks the same way,
+    # executor.py:44): a 200-partition conf turns every micro-batch
+    # stage into 200 near-empty tasks × ~10 stages × batches
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    s.conf.set(pkey, "32")
     try:
         idx = StreamingLshIndex(index_path=f"{work}/index")
         outs = [idx.process_batch(s, docs.filter(F.col("doc_id") % 2 == b))
@@ -6072,6 +6086,7 @@ def streaming_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return union_epochs(outs).groupBy("doc_a", "doc_b").agg(
             F.sum("n_bands").alias("n_bands"))
     finally:
+        s.conf.set(pkey, prev)
         shutil.rmtree(work, ignore_errors=True)
 
 
