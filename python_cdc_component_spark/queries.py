@@ -6313,6 +6313,84 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query("user_feature_export", """
+WITH base AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS days_active,
+         round(CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_value,
+         strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day
+  FROM events GROUP BY user_id),
+tc AS (SELECT user_id, event_type, COUNT(*) AS c FROM events
+       GROUP BY user_id, event_type),
+fav AS (SELECT user_id, event_type AS top_type FROM tc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY c DESC, event_type) = 1)
+SELECT b.user_id, b.n_events, b.days_active, b.mean_value, b.last_day,
+       f.top_type
+FROM base b JOIN fav f ON b.user_id = f.user_id
+""")
+def user_feature_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity ML feature assembly — the churn/LTV feature export
+    every event store ends up producing: activity counts, active days,
+    decimal-exact mean value, recency, modal event type (deterministic
+    tie-break). Two user-keyed aggregates sharing one shuffle key +
+    a user-keyed top-1 window; every feature is exactly reproducible
+    (the property that makes offline/online feature parity possible)."""
+    ev = read_events(_spark(spark), sf_dir)
+    base = (ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.to_date("ts")).alias("days_active"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.count(F.lit(1)), 6).alias("mean_value"),
+        F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd")
+         .alias("last_day")))
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c"))
+    wf = Window.partitionBy("user_id").orderBy(F.col("c").desc(),
+                                               "event_type")
+    fav = (tc.withColumn("rn", F.row_number().over(wf))
+             .filter(F.col("rn") == 1)
+             .select("user_id", F.col("event_type").alias("top_type")))
+    return base.join(fav, "user_id").select(
+        "user_id", "n_events", "days_active", "mean_value", "last_day",
+        "top_type")
+
+
+@query("doc_feature_join", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+n AS (SELECT vec_id,
+             round(sqrt(list_sum(list_transform(e, x -> x * x))), 6)
+               AS emb_norm
+      FROM v)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       n.emb_norm
+FROM documents d JOIN n ON d.doc_id = n.vec_id
+""")
+def doc_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal feature assembly: text-side features joined with
+    the document's embedding statistics (vec_id aligns with doc_id in
+    the driver fixtures — the co-partitioned layout a real pipeline
+    maintains). At 100 TB both sides bucket on the shared id, so this
+    join is co-located (bucketed_join_revenue demonstrates the
+    Exchange-free form); here it is a plain equi-join with the norm
+    computed as a fold in oracle IEEE order."""
+    s = _spark(spark)
+    d = read_table(s, sf_dir, "documents")
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    nrm = F.round(F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                     F.lit(0.0), lambda a, x: a + x)), 6)
+    n = emb.select("vec_id", nrm.alias("emb_norm"))
+    return (d.join(n, d["doc_id"] == n["vec_id"])
+             .select("doc_id", "lang", "source", "n_chars",
+                     F.size(F.split("text", " ")).cast("long")
+                      .alias("n_tokens"),
+                     "emb_norm"))
+
+
 def _doremi_mix_oracle() -> str:
     return """
 WITH ppl AS ({base}),
