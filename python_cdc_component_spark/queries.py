@@ -6313,6 +6313,28 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query("events_hourly_heatmap", """
+SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS INTEGER) AS hod,
+       COUNT(*) AS n,
+       round(CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_value
+FROM events GROUP BY dayofweek(ts), hour(ts)
+""")
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the ops-dashboard
+    staple. One aggregation shuffle over the 168-cell key after
+    map-side partials; decimal-exact means. Engine quirk pinned here:
+    Spark's dayofweek is 1-based Sunday=1, DuckDB's 0-based Sunday=0 —
+    the projection normalizes to DuckDB's convention so the contract
+    is explicit rather than accidental."""
+    ev = read_events(_spark(spark), sf_dir)
+    return (ev.groupBy((F.dayofweek("ts") - 1).alias("dow"),
+                       F.hour("ts").alias("hod"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum(F.col("value").cast(DEC)).cast("double")
+                           / F.count(F.lit(1)), 6).alias("mean_value")))
+
+
 @query("user_feature_export", """
 WITH base AS (
   SELECT user_id, COUNT(*) AS n_events,
