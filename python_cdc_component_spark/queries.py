@@ -6335,6 +6335,24 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / F.count(F.lit(1)), 6).alias("mean_value")))
 
 
+@query("value_histogram_bins", """
+SELECT event_type,
+       CAST(floor("value" / 50.0) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM events GROUP BY event_type, floor("value" / 50.0)
+""")
+def value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group — the profiling primitive under
+    every distribution dashboard: one aggregation shuffle over the
+    (type, bin) key after map-side partials; no sort, no window, no
+    driver-side binning. Bin edges are exact integer floors of the
+    scaled value, so cell membership is engine-independent."""
+    ev = read_events(_spark(spark), sf_dir)
+    return (ev.groupBy("event_type",
+                       F.floor(F.col("value") / 50.0).alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
 @query("user_feature_export", """
 WITH base AS (
   SELECT user_id, COUNT(*) AS n_events,
