@@ -16,12 +16,47 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
 
 
 def fs_file_count(spark: SparkSession, path: str,
-                  suffix: str = ".parquet") -> int:
+                  suffix: str = ".parquet", recursive: bool = False) -> int:
     """Number of data files directly under ``path`` (0 if absent) —
-    the compaction-debt signal for append-mode stores."""
+    the compaction-debt signal for append-mode stores. With
+    ``recursive`` the count descends into sub-directories (partition
+    tiers such as ``_batch=K``)."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return 0
-    return sum(1 for st in fs.listStatus(jpath)
-               if st.getPath().getName().endswith(suffix))
+    n = 0
+    stack = [jpath]
+    while stack:
+        p = stack.pop()
+        for st in fs.listStatus(p):
+            if st.isDirectory():
+                if recursive:
+                    stack.append(st.getPath())
+            elif st.getPath().getName().endswith(suffix):
+                n += 1
+    return n
+
+
+def fs_touch(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file (parents included) — the
+    processed-batch manifest primitive."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(jpath, True).close()
+
+
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path`` (no-op if absent)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.delete(jpath, True))
+
+
+def fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    """Names of immediate children of ``path`` ([] if absent)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]

@@ -11,19 +11,48 @@ cost is O(|batch| × collision fan-out), the property that makes
 continuous dedup viable at corpus scale.
 
 Index layout: parquet partitioned by ``_lsh_bucket = pmod(xxhash64(bv),
-N)``. A batch's probe reads ONLY the bucket directories its own band
-values hash into (explicit path list + basePath, the MergeCompactor
+N)`` and, inside each bucket, by ``_batch`` — the batch commit tier.
+``_batch=-1`` is the unbatched/compacted tier; ``_batch=<id>`` holds
+one identified batch's rows until compaction folds them into ``-1``.
+A batch's probe reads ONLY the bucket directories its own band values
+hash into (explicit path list + basePath, the MergeCompactor
 discipline) — per-batch index I/O is proportional to the batch's
 bucket footprint, never the full index.
 
-Exactly-once note: the emitted pairs are pinned with an eager
-``localCheckpoint`` BEFORE the batch's bands are appended — the probe
-reads the very directories the append is about to grow, and a lazy
-plan evaluated after the append would see the batch's own bands in the
-"index" side and double-count (the view_maintain lesson). Restart
-semantics follow the enclosing stream's checkpoint: re-processing a
-batch re-appends its bands (idempotence is the caller's dedup-on-pair
-concern, same as the reference's at-least-once Debezium window).
+Exactly-once (when the caller passes ``batch_id``, e.g. the
+``foreachBatch`` epoch id):
+
+* the batch's rows are written with a **dynamic partition overwrite**
+  of its own ``(bucket, _batch=id)`` partitions — band values are a
+  pure function of the batch's text, so a crashed half-append is
+  replaced, not doubled, on replay;
+* a marker file ``_batches/<id>`` is touched only AFTER the append —
+  a replay that finds the marker recomputes and returns the identical
+  pair set (the batch's stored copy and its in-memory copy collapse
+  under ``countDistinct(band)``) and skips the append entirely, so
+  the index bytes are untouched;
+* compaction folds committed batch tiers into ``_batch=-1`` and then
+  drops the consumed tiers — a crash between those two steps leaves
+  duplicate rows, which are *semantically benign* here: probes count
+  ``countDistinct(band)`` and purge anti-joins remove every copy.
+
+Without ``batch_id`` the append is plain at-least-once (the
+reference's Debezium window): re-processing re-appends, and
+``countDistinct`` keeps later probes immune (tested).
+
+Erasure sidecar: ``_docmap/`` stores (doc_id, bucket) pairs
+partitioned by ``_doc_part = doc_id mod N`` — written in
+:meth:`process_batch` while the bands are in hand. :meth:`purge_docs`
+resolves victim buckets from the sidecar's victim partitions alone,
+so erasure I/O is proportional to the victims' footprint, never a
+full-index scan (untouched buckets are never opened — tested by
+corrupting them).
+
+The emitted pairs are pinned with an eager ``localCheckpoint`` BEFORE
+the batch's bands are appended — the probe reads the very directories
+the append is about to grow, and a lazy plan evaluated after the
+append would see the batch's own bands in the "index" side and
+double-count (the view_maintain lesson).
 
 Parity guarantee (tested): feeding a corpus through in ANY batch split
 yields exactly the pairs of the full-corpus banded self-join
@@ -39,19 +68,26 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fs import fs_delete as _fs_delete
 from ..fs import fs_exists as _fs_exists
 from ..fs import fs_file_count as _fs_file_count
+from ..fs import fs_list_names as _fs_list_names
+from ..fs import fs_touch as _fs_touch
 from ..operators.llm.minhash import band_table, minhash_signatures
 from ..operators.schema_align import union_epochs
 
 BUCKET_COL = "_lsh_bucket"
+BATCH_COL = "_batch"
+DOC_PART_COL = "_doc_part"
+COMPACTED_TIER = -1
 
 
 @dataclass
 class StreamingLshIndex:
     """Persistent LSH band index with batch-probe-then-append flow.
     Call :meth:`process_batch` once per micro-batch (e.g. from
-    ``foreachBatch``)."""
+    ``foreachBatch``, passing the epoch id as ``batch_id`` for
+    exactly-once appends)."""
 
     index_path: str
     num_buckets: int = 64
@@ -63,16 +99,39 @@ class StreamingLshIndex:
     # proportional to touched-bucket DATA.
     compact_file_threshold: int = 8
 
+    @property
+    def _docmap_path(self) -> str:
+        return os.path.join(self.index_path, "_docmap")
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.index_path, "_batches")
+
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("bv")),
                       F.lit(self.num_buckets)).cast("int")
 
-    def process_batch(self, spark: SparkSession,
-                      batch_docs: DataFrame) -> DataFrame:
+    def _overwrite_dynamic(self, spark: SparkSession, df: DataFrame,
+                           cols: list[str], path: str) -> None:
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            df.write.partitionBy(*cols).mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set(key, prev)
+
+    def process_batch(self, spark: SparkSession, batch_docs: DataFrame,
+                      batch_id: int | None = None) -> DataFrame:
         """Probe + append one batch of (doc_id, text) rows. Returns the
         near-dup candidate pairs (doc_a, doc_b, n_bands) completed by
         this batch, already materialized (safe to consume after the
-        index append)."""
+        index append). With ``batch_id``, a replay of an
+        already-committed batch returns the identical pairs and leaves
+        the index bytes untouched."""
+        committed = (batch_id is not None
+                     and _fs_exists(spark, os.path.join(
+                         self._manifest_path, str(batch_id))))
         bands = (band_table(minhash_signatures(batch_docs))
                  .withColumn(BUCKET_COL, self._bucket()))
         bands.persist()
@@ -91,12 +150,17 @@ class StreamingLshIndex:
                 if paths:
                     indexed = (spark.read
                                .option("basePath", self.index_path)
-                               .parquet(*paths))
+                               .parquet(*paths)
+                               .drop(BATCH_COL))
                     probe_side = union_epochs([indexed, bands])
             n, a = bands.alias("n"), probe_side.alias("a")
             cand = n.join(a, (F.col("n.band") == F.col("a.band"))
                           & (F.col("n.bv") == F.col("a.bv"))
                           & (F.col("n.doc_id") != F.col("a.doc_id")))
+            # countDistinct, not count: a band value present both in
+            # the in-memory batch and in an at-least-once/stored copy
+            # of the same doc must count once — this is what makes
+            # replay return identical multiplicities
             pairs = (cand.select(
                          F.least("n.doc_id", "a.doc_id").alias("doc_a"),
                          F.greatest("n.doc_id", "a.doc_id").alias("doc_b"),
@@ -106,8 +170,29 @@ class StreamingLshIndex:
             # pin BEFORE the append below grows the directories the
             # probe read lazily
             pairs = pairs.localCheckpoint(eager=True)
-            (bands.write.partitionBy(BUCKET_COL)
-                  .mode("append").parquet(self.index_path))
+            if committed:
+                return pairs        # replay of a committed batch: no-op
+            tier = COMPACTED_TIER if batch_id is None else int(batch_id)
+            out = bands.withColumn(BATCH_COL, F.lit(tier))
+            if batch_id is None:
+                (out.write.partitionBy(BUCKET_COL, BATCH_COL)
+                    .mode("append").parquet(self.index_path))
+            else:
+                # deterministic per-batch partitions: a replay after a
+                # crashed half-append REPLACES the partial files
+                self._overwrite_dynamic(spark, out,
+                                        [BUCKET_COL, BATCH_COL],
+                                        self.index_path)
+            docmap = (bands.select("doc_id", BUCKET_COL).distinct()
+                      .withColumn(DOC_PART_COL,
+                                  F.pmod("doc_id",
+                                         F.lit(self.num_buckets))
+                                  .cast("int")))
+            (docmap.write.partitionBy(DOC_PART_COL)
+                   .mode("append").parquet(self._docmap_path))
+            if batch_id is not None:
+                _fs_touch(spark, os.path.join(self._manifest_path,
+                                              str(batch_id)))
             self._compact(spark, touched)
             return pairs
         finally:
@@ -118,66 +203,94 @@ class StreamingLshIndex:
         — the near-dup-index half of right-to-be-forgotten erasure
         (``MergeCompactor.purge`` discipline) and the delete step of a
         document UPDATE (purge old version, ``process_batch`` the new
-        text). The erased docs' band values are unknown without their
-        text, so the anti-join runs over the whole index ONCE — but the
-        rewrite still only touches buckets that actually held erased
-        rows (dynamic partition overwrite drops only rewritten
-        partitions, and partitions with no surviving rows are removed
-        explicitly). Returns the number of buckets rewritten."""
-        if not doc_ids or not _fs_exists(spark, self.index_path):
+        text). Victim buckets come from the ``_docmap`` sidecar's
+        victim partitions (``doc_id mod N`` is computable driver-side)
+        — the index itself is only opened at the buckets being
+        rewritten, so erasure I/O is proportional to the victims'
+        footprint. Surviving rows are folded into the ``_batch=-1``
+        tier; fully-emptied buckets are removed. Returns the number of
+        buckets rewritten."""
+        if not doc_ids or not _fs_exists(spark, self._docmap_path):
             return 0
-        ids_df = spark.createDataFrame([(i,) for i in doc_ids],
+        ids_df = spark.createDataFrame([(int(i),) for i in doc_ids],
                                        "doc_id long")
-        idx = spark.read.option("basePath", self.index_path) \
-                        .parquet(self.index_path)
-        hit = (idx.join(F.broadcast(ids_df), "doc_id", "left_semi")
-                  .select(BUCKET_COL).distinct())
-        touched = [r[0] for r in hit.collect()]
+        map_paths = [p for p in
+                     (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
+                      for v in sorted({int(i) % self.num_buckets
+                                       for i in doc_ids}))
+                     if _fs_exists(spark, p)]
+        if not map_paths:
+            return 0
+        victim_map = (spark.read.option("basePath", self._docmap_path)
+                      .parquet(*map_paths)
+                      .join(F.broadcast(ids_df), "doc_id", "left_semi"))
+        touched = [r[0] for r in
+                   victim_map.select(BUCKET_COL).distinct().collect()]
         if not touched:
             return 0
-        paths = [os.path.join(self.index_path, f"{BUCKET_COL}={b}")
-                 for b in touched]
+        paths = [p for p in
+                 (os.path.join(self.index_path, f"{BUCKET_COL}={b}")
+                  for b in touched)
+                 if _fs_exists(spark, p)]
         kept = (spark.read.option("basePath", self.index_path)
                 .parquet(*paths)
                 .join(F.broadcast(ids_df), "doc_id", "left_anti")
+                .withColumn(BATCH_COL, F.lit(COMPACTED_TIER))
                 .repartition(F.col(BUCKET_COL)))
-        kept.persist()
-        try:
-            kept_buckets = {r[0] for r in
-                            kept.select(BUCKET_COL).distinct().collect()}
-            key = "spark.sql.sources.partitionOverwriteMode"
-            prev = spark.conf.get(key, "static")
-            spark.conf.set(key, "dynamic")
-            try:
-                (kept.write.partitionBy(BUCKET_COL)
-                     .mode("overwrite").parquet(self.index_path))
-            finally:
-                spark.conf.set(key, prev)
-            # dynamic overwrite only replaces partitions present in the
-            # written data — buckets whose every row was erased must be
-            # deleted explicitly
-            jvm = spark._jvm
-            conf = spark._jsc.hadoopConfiguration()
-            for b in set(touched) - kept_buckets:
-                jp = jvm.org.apache.hadoop.fs.Path(
-                    os.path.join(self.index_path, f"{BUCKET_COL}={b}"))
-                jp.getFileSystem(conf).delete(jp, True)
-            return len(touched)
-        finally:
-            kept.unpersist()
+        # eager pin, not persist(): the overwrite below replaces the
+        # very directories this plan reads — a lost cached block would
+        # otherwise recompute from a half-replaced source
+        kept = kept.localCheckpoint(eager=True)
+        kept_buckets = {r[0] for r in
+                        kept.select(BUCKET_COL).distinct().collect()}
+        if kept_buckets:
+            self._overwrite_dynamic(spark, kept, [BUCKET_COL, BATCH_COL],
+                                    self.index_path)
+        # the overwrite only replaced (bucket, -1): drop the consumed
+        # batch tiers, and whole buckets with no survivors
+        for b in touched:
+            bdir = os.path.join(self.index_path, f"{BUCKET_COL}={b}")
+            if b not in kept_buckets:
+                _fs_delete(spark, bdir)
+                continue
+            for name in _fs_list_names(spark, bdir):
+                if (name.startswith(f"{BATCH_COL}=")
+                        and name != f"{BATCH_COL}={COMPACTED_TIER}"):
+                    _fs_delete(spark, os.path.join(bdir, name))
+        # same rewrite for the sidecar's victim partitions
+        kept_map = (spark.read.option("basePath", self._docmap_path)
+                    .parquet(*map_paths)
+                    .join(F.broadcast(ids_df), "doc_id", "left_anti")
+                    .repartition(F.col(DOC_PART_COL)))
+        kept_map = kept_map.localCheckpoint(eager=True)
+        kept_parts = {r[0] for r in
+                      kept_map.select(DOC_PART_COL).distinct().collect()}
+        if kept_parts:
+            self._overwrite_dynamic(spark, kept_map, [DOC_PART_COL],
+                                    self._docmap_path)
+        for p in map_paths:
+            v = int(p.rsplit("=", 1)[1])
+            if v not in kept_parts:
+                _fs_delete(spark, p)
+        return len(touched)
 
     def _compact(self, spark: SparkSession, touched: list[int]) -> int:
-        """Rewrite every touched bucket whose file count exceeds the
-        threshold into one file each — in ONE Spark job (read the due
-        bucket dirs together, hash-partition on the bucket id so each
-        lands wholly in one task, dynamic-partition overwrite). A
-        per-bucket job here would pay fixed job overhead × buckets per
-        batch (measured 3× total cost at 64 buckets); batched, the
-        amortized compaction I/O is index/threshold per batch and
-        untouched buckets are never opened."""
+        """Rewrite every touched bucket whose (recursive) file count
+        exceeds the threshold into one ``_batch=-1`` file each — in
+        ONE Spark job (read the due bucket dirs together,
+        hash-partition on the bucket id so each lands wholly in one
+        task, dynamic-partition overwrite of the ``-1`` tier, then
+        drop the consumed batch tiers). A per-bucket job here would
+        pay fixed job overhead × buckets per batch (measured 3× total
+        cost at 64 buckets); batched, the amortized compaction I/O is
+        index/threshold per batch and untouched buckets are never
+        opened. A crash between the tier overwrite and the tier drops
+        leaves duplicate rows — benign: probes countDistinct, purge
+        anti-joins all copies."""
         due = [b for b in touched
                if _fs_file_count(
-                   spark, os.path.join(self.index_path, f"{BUCKET_COL}={b}"))
+                   spark, os.path.join(self.index_path, f"{BUCKET_COL}={b}"),
+                   recursive=True)
                > self.compact_file_threshold]
         if not due:
             return 0
@@ -185,13 +298,16 @@ class StreamingLshIndex:
                  for b in due]
         df = (spark.read.option("basePath", self.index_path)
               .parquet(*paths)
+              .withColumn(BATCH_COL, F.lit(COMPACTED_TIER))
               .repartition(F.col(BUCKET_COL)))
-        key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
-        try:
-            (df.write.partitionBy(BUCKET_COL)
-               .mode("overwrite").parquet(self.index_path))
-        finally:
-            spark.conf.set(key, prev)
+        # eager pin before the read-then-overwrite of the same dirs
+        df = df.localCheckpoint(eager=True)
+        self._overwrite_dynamic(spark, df, [BUCKET_COL, BATCH_COL],
+                                self.index_path)
+        for b in due:
+            bdir = os.path.join(self.index_path, f"{BUCKET_COL}={b}")
+            for name in _fs_list_names(spark, bdir):
+                if (name.startswith(f"{BATCH_COL}=")
+                        and name != f"{BATCH_COL}={COMPACTED_TIER}"):
+                    _fs_delete(spark, os.path.join(bdir, name))
         return len(due)
