@@ -42,7 +42,7 @@ from .engine import SyncConfig
 from .sinks.state import RunState
 from .streaming.bounded import BoundedStreamConfig
 
-_ENV_TPL = re.compile(r"^\{\{env\.([A-Za-z_][A-Za-z0-9_]*)\}\}$")
+_ENV_TPL = re.compile(r"\{\{env\.([A-Za-z_][A-Za-z0-9_]*)\}\}")
 
 _LOAD_TYPES = {
     # load_type → (mode, incremental)  [configuration.py:171-184]
@@ -59,12 +59,12 @@ _BINARY_MODES = {"hex", "base64", "base64-url-safe", "bytes"}
 
 
 def _resolve(v):
-    """Keboola ``{{env.NAME}}`` template → environment value (left
-    verbatim when unset, like a dry-run)."""
+    """Keboola ``{{env.NAME}}`` template → environment value, including
+    embedded occurrences (``host-{{env.X}}.db``). Each unset variable
+    is left verbatim, like a dry-run."""
     if isinstance(v, str):
-        m = _ENV_TPL.match(v)
-        if m:
-            return os.environ.get(m.group(1), v)
+        return _ENV_TPL.sub(
+            lambda m: os.environ.get(m.group(1), m.group(0)), v)
     return v
 
 
@@ -175,8 +175,13 @@ def to_stream_config(cfg: ComponentConfig) -> BoundedStreamConfig:
     conditions from sync_options; reference MySQL default max runtime
     when unset)."""
     mode, _ = _LOAD_TYPES[cfg.load_type]
+    # no-PK configs pass the EMPTY key list through: bounded_sync then
+    # dedupes on all non-system columns, the same semantics the batch
+    # path gets from dedup_latest_no_pk (reference component.py:406-408)
+    # — injecting a fixture key here would MERGE-collapse distinct
+    # payloads sharing that column.
     return BoundedStreamConfig(
-        mode=mode, primary_keys=list(cfg.primary_key) or ["user_id"],
+        mode=mode, primary_keys=list(cfg.primary_key),
         max_duration_s=cfg.max_runtime_s or 85500.0,
         max_wait_s=cfg.max_wait_s,
         snapshot_mode=cfg.snapshot_mode)
@@ -189,7 +194,6 @@ def run_component(spark: SparkSession, data_dir: str,
     reference's state-doc form) → sync → ``out/tables`` +
     ``out/state.json``. ``source_dir`` is the event store standing in
     for the binlog (sandbox seam). Returns a result summary dict."""
-    from . import control
     from .engine import sync
 
     cfg = parse_component_config(os.path.join(data_dir, "config.json"))

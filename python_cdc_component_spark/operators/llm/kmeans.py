@@ -236,7 +236,8 @@ def semantic_dup_pairs(emb: DataFrame, threshold: float = 0.85,
                        id_col: str = "vec_id",
                        vec_col: str = "e",
                        target_cluster_size: int = 512,
-                       max_cluster_size: int | None = None) -> DataFrame:
+                       max_cluster_size: int | str | None = "auto"
+                       ) -> DataFrame:
     """SemDeDup candidate pairs: same-final-cluster pairs with
     round(cosine, 6) >= threshold.  Deliberately NOT exact across
     cluster boundaries (that is ``cosine_dup_pairs``'s job) — the
@@ -254,8 +255,12 @@ def semantic_dup_pairs(emb: DataFrame, threshold: float = 0.85,
     ``ceil(s / cap)`` slices before the search, bounding the work at
     s²/slices.  Pairs across slices of a split cluster are sacrificed —
     the same graceful recall-for-bound trade SemDeDup already makes at
-    cluster boundaries.  Off (None) in the oracled bench path; the
-    scale entry point sets it."""
+    cluster boundaries.  Default ``"auto"`` = ``4 ×
+    target_cluster_size`` so the guard is ON for direct users (a
+    forgotten opt-in guard protects nobody); the oracled driver path
+    passes ``None`` explicitly because its DuckDB twin has no split."""
+    if max_cluster_size == "auto":
+        max_cluster_size = 4 * target_cluster_size
     assigned, _ = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
                              vec_col=vec_col,
                              target_cluster_size=target_cluster_size)

@@ -4574,7 +4574,10 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.llm.kmeans import semantic_dup_pairs
     emb = read_table(_spark(spark), sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    return semantic_dup_pairs(emb, threshold=0.4, k=4, iters=2)
+    # max_cluster_size=None: the DuckDB oracle replays cluster-local
+    # search with no hash-split; direct users get the "auto" cap
+    return semantic_dup_pairs(emb, threshold=0.4, k=4, iters=2,
+                              max_cluster_size=None)
 
 
 @query("cdc_pg_dedup_latest", """
@@ -4637,7 +4640,8 @@ def semantic_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nb")),
         F.struct(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nb"))))
     nbr = union_epochs([
-        semantic_dup_pairs(emb, threshold=0.4, k=4, iters=2)
+        semantic_dup_pairs(emb, threshold=0.4, k=4, iters=2,
+                           max_cluster_size=None)
             .select(both.alias("_s")).select("_s.vec_id", "_s.nb"),
         emb.select("vec_id", F.col("vec_id").alias("nb")),
     ])
@@ -5633,8 +5637,10 @@ def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only its own band rows against it; here old signatures are rebuilt
     inline because the driver contract is a single stateless query (the
     stored-index flavor is exercised by `bloom_dedup_incremental`).
-    new×new pairs collide from both sides, so the band multiplicity is
-    COUNT(DISTINCT band), not COUNT(*)."""
+    The n < a orientation guard below makes every (pair, band) row
+    unique — new×new pairs would otherwise collide from both sides —
+    so the band multiplicity is a plain COUNT, no distinct-aggregate
+    expand/exchange."""
     sig = persist_once(_minhash_sig_df(_spark(spark), sf_dir))
     bands = union_epochs([
         sig.select("doc_id", F.lit(b).alias("band"),
@@ -6550,12 +6556,13 @@ FROM z GROUP BY zbucket
 def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout statistics — the data-layout operator for
     two-dimensional pruning (operators/zorder.py).  Events bucketed to
-    10 bits of user and 10 bits of day are interleaved into a 20-bit
+    8 bits of user and 8 bits of day are interleaved into a 16-bit
     Morton key; grouping by the key's top 6 bits simulates a 64-file
     range layout and reports each file's min/max footprint in BOTH
     dimensions.  The guarantee this query makes visible (and the pytest
-    asserts): every bucket spans ≤ 2^7 distinct values per dimension,
-    so a predicate on EITHER user or day prunes ~7/8 of the files —
+    asserts): every bucket spans ≤ 2^5 distinct values per dimension
+    (the 10 interleaved low bits carry 5 bits of each), so a predicate
+    on EITHER user or day prunes ~7/8 of the files —
     single-key sorts give that for one dimension and nothing for the
     other.  Pure integer bit arithmetic (codegen), one aggregation
     shuffle on the 64-value bucket key after map-side partials."""

@@ -186,12 +186,22 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
     spark.streams.addListener(listener)
     try:
         if cfg.mode.upper() == "DEDUPE":
-            compactor = MergeCompactor(out_path, cfg.primary_keys,
+            keys = list(cfg.primary_keys)
+            if not keys:
+                # no-PK parity with the batch path (dedup_latest_no_pk,
+                # reference component.py:406-408): key = every
+                # non-system column, collapsing exact-duplicate
+                # payloads — NOT a fixture default that would merge
+                # distinct payloads sharing one column.
+                system = set(SC.ingest_names) | {"_table",
+                                                 "_snapshot_phase"}
+                keys = [c for c in stream.columns if c not in system]
+            compactor = MergeCompactor(out_path, keys,
                                        cfg.num_state_buckets)
             view = None
             if cfg.view_path and cfg.view_group_keys:
                 from .view_maintain import StreamingAggView
-                view = StreamingAggView(cfg.view_path, cfg.primary_keys,
+                view = StreamingAggView(cfg.view_path, keys,
                                         cfg.view_group_keys,
                                         cfg.view_measure)
 

@@ -91,6 +91,49 @@ def test_env_template_resolution(monkeypatch):
                         "#password": "{{env.UNSET_VAR_XYZ}}"}}})
     assert cfg.db.host == "db.internal"
     assert cfg.db.password == "{{env.UNSET_VAR_XYZ}}"
+    # embedded occurrences resolve too; unset ones stay verbatim
+    cfg2 = parse_component_config({"parameters": {
+        "db_settings": {
+            "host": "ro-{{env.CDC_TEST_HOST}}:3306/{{env.UNSET_VAR_XYZ}}"}}})
+    assert cfg2.db.host == "ro-db.internal:3306/{{env.UNSET_VAR_XYZ}}"
+
+
+def test_stream_config_no_pk_passes_empty_keys_through():
+    cfg = parse_component_config({"parameters": {
+        "destination": {"load_type": "incremental_load"}}})
+    assert cfg.primary_key == []
+    assert to_stream_config(cfg).primary_keys == []
+
+
+def test_run_component_streaming_no_pk_matches_batch(spark, sf_dir,
+                                                     tmp_path):
+    """A config WITHOUT source_settings.primary_key must get the batch
+    no-PK semantics on the streaming path too: dedupe on ALL payload
+    columns (one row per distinct payload), not a MERGE-collapse on an
+    injected fixture key."""
+    import shutil
+    from python_cdc_component_spark.config import run_component_streaming
+    src = tmp_path / "src"
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    data = tmp_path / "stream_run_nopk"
+    os.makedirs(data)
+    (data / "config.json").write_text(json.dumps({
+        "parameters": {
+            "destination": {"load_type": "incremental_load"},
+            "sync_options": {"max_wait_s": 5, "snapshot_mode": "initial"},
+        },
+        "action": "run",
+    }))
+    res = run_component_streaming(spark, str(data), str(src))
+    got = spark.read.parquet(res["out_path"])
+    payload = ["user_id", "event_type", "value", "props"]
+    src_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_payloads = src_df.select(*payload).distinct().count()
+    n_users = src_df.select("user_id").distinct().count()
+    assert n_payloads > n_users         # the two semantics differ here
+    assert got.count() == n_payloads    # batch no-PK semantics
+    assert (got.select(*payload).distinct().count() == n_payloads)
 
 
 def test_run_component_data_dir_convention(spark, sf_dir, tmp_path):

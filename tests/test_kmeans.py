@@ -140,3 +140,24 @@ def test_vectorized_assignment_matches_jvm_path(spark, sf_dir,
     assert [c for c, _ in cent] == [c for c, _ in cent_pd]
     for (_, a), (_, b) in zip(cent, cent_pd):
         assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_semantic_dedup_cap_defaults_on(spark):
+    """The runaway-cluster guard is ON by default ('auto' = 4 x
+    target_cluster_size): a degenerate hot corpus gets hash-split
+    without the caller opting in (VERDICT r5 #7 — an opt-in guard
+    protects nobody)."""
+    n = 700     # > 4 * target_cluster_size with target 128
+    emb = spark.createDataFrame(
+        [(i, [1.0 + i * 1e-9, 0.0]) for i in range(n)],
+        "vec_id int, e array<double>")
+    pairs = semantic_dup_pairs(emb, threshold=0.99, k=1, iters=1,
+                               target_cluster_size=128)
+    # auto cap = 512 -> ceil(700/512) = 2 slices
+    assert pairs.select("cluster_id").distinct().count() == 2
+    assert 0 < pairs.count() < n * (n - 1) / 2
+    # explicit None restores the uncapped single-cluster search
+    unc = semantic_dup_pairs(emb, threshold=0.99, k=1, iters=1,
+                             target_cluster_size=128,
+                             max_cluster_size=None)
+    assert unc.select("cluster_id").distinct().count() == 1
