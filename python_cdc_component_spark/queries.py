@@ -3441,21 +3441,22 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the right plan. Documents shorter than k+w-1 chars yield no full
     window and drop out in both engines."""
     d = read_table(_spark(spark), sf_dir, "documents")
-    # k-grams over a hoisted CHAR ARRAY, not substring(text, i, 8):
-    # substring seeks codepoints from the string start — O(i) per call,
-    # O(chars²) per doc inside the interpreted lambda (measured 3.2×
-    # on 5k-char docs, and the gap grows with length); slicing the
-    # pre-split array is O(k) per element. Identical hash inputs.
+    # k-grams via substring(text, i, 8) DIRECTLY — not a hoisted
+    # split(text,'') char array. The round-5 hoist assumed substring's
+    # codepoint seek is O(i) (O(chars²)/doc); measured on this Spark
+    # build (NOTES_r6: 300..80k-char docs, ASCII and non-ASCII, warm
+    # best-of-2) substring wins at EVERY length by 10-30% — the
+    # per-char 1-element-string allocations of split() cost more than
+    # the seek ever does. Identical hash inputs either way.
     hs = F.expr(
-        "transform(sequence(1, size(_c) - 7), "
-        "i -> md5(array_join(slice(_c, i, 8), '')))")
+        "transform(sequence(1, length(text) - 7), "
+        "i -> md5(substring(text, i, 8)))")
     wins = F.expr(
         "transform(sequence(0, size(hs) - 4), "
         "i -> array_min(slice(hs, i + 1, 4)))")
     # length >= 11 = k + w - 1 guarantees sequence() bounds ascend
     return (_spread(d.filter(F.length("text") >= 11)
                      .select("doc_id", "text"), _spark(spark))
-             .select("doc_id", F.split("text", "").alias("_c"))
              .select("doc_id", hs.alias("hs"))
              .select("doc_id", wins.alias("w"))
              .select("doc_id",
