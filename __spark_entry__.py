@@ -35,11 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle (S2-S8, K1-K5, P3/P4/P7, F8/F10, T1/T3/T6/T8), the UDF
 # surface (§2.10), and one flagship per LLM-pipeline operator family.
 # Everything else still runs under scripts/check_oracle.py + pytest.
-# The driver's CORRECTNESS gate checks the FIRST 50 entries.  Round-5
-# rotation (VERDICT r4 #6): ~25 flagship slots stay pinned; the other 25
-# rotate through queries that never had a driver row (r04 window: CDC
-# core + lifecycle + LLM batch 1 — all 50 green, still covered by the
-# 142-query self gate every round).
+# Round-6 rotation (VERDICT r5 #5): the 25 flagship slots stay pinned;
+# the other 25 rotate to queries that have NEVER earned a driver row in
+# any round (plus cdc_current_state/udtf_json_kv back through per the
+# verdict). The rotated-out r05 batch (embedding_kmeans,
+# semantic_dedup_pairs, streaming_lsh_dedup_pairs, TPC-H tail, ...) all
+# earned green r05 rows and stay covered by the 192-query self gate.
 DRIVER_WINDOW = [
     # pinned flagships: CDC core + lifecycle essentials
     "cdc_dedup_latest", "cdc_append", "cdc_chunked_dedup",
@@ -53,38 +54,25 @@ DRIVER_WINDOW = [
     # pinned flagships: LLM pipeline
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
-    # rotated in (no r04 row): round-4/5 cluster family
-    # (semantic_dup_groups rotated back out for session-5 additions —
-    # family still covered by semantic_dedup_pairs + the self gate)
-    "embedding_kmeans", "semantic_dedup_pairs",
-    "cdc_pg_dedup_latest",
-    # rotated in: TPC-H tail (q3/q5/q6 earned rows in r01-r03 and
-    # rotate back out for the round-5 additions)
-    "q9_nation_year_profit", "q18_large_volume_customers",
-    "q21_late_supplier_blame",
-    # rotated in: windows suite (window_functions_suite/rollup_orders
-    # earned rows in r01-r03, rotated back out)
-    "hopping_window_agg",
-    # rotated in: text/sketch/evaluation operators (countmin rotated
-    # back out for session-5 — sketch family stays self-gated)
-    "embedding_ann_recall", "simhash_near_pairs",
-    # rotated in: format surface + the CDC→OLAP maintained-view flagship
-    "all_datatypes_decode", "cdc_incremental_mv",
-    # rotated in: round-5 second-session additions (never had a row;
-    # ccnet/xml rotated back out — ppl family covered by
-    # bigram_perplexity, format family by variant + all_datatypes)
-    "dsir_select_docs", "exact_substr_spans",
-    "variant_shred_events",
-    # rotated in: session-3 additions — TPC-H tail + curation staples
-    # (q16/q20 rotated back out, tail represented by q2/q11)
-    "q2_min_cost_supplier", "q11_important_stock",
-    "ngram_decontaminate", "dup_canonical_best", "bigram_perplexity",
-    # rotated in: session-4/5 additions (never had a row) — streaming
-    # LSH index, PQ-ANN, Z-order layout, time-series resample, drift
-    # monitor, k-NN join
-    "streaming_lsh_dedup_pairs", "embedding_pq_ann_recall",
-    "zorder_layout_stats", "resample_interpolate", "vocab_drift_jsd",
-    "knn_join_ivf",
+    # rotated in (first-ever driver rows): event analytics
+    "event_funnel_stages", "cohort_retention", "event_transition_matrix",
+    # rotated in: dup-graph + erasure + split lifecycle
+    "khop_dup_neighbors", "gdpr_forget_keys", "leakage_safe_split",
+    "cdc_time_travel",
+    # rotated in: LM-scoring / mixture family
+    "ccnet_ppl_buckets", "temperature_mix_weights", "doremi_mix_weights",
+    # rotated in: quality family
+    "quality_classifier_score", "quality_keep_calibrated",
+    "gopher_quality_filter",
+    # rotated in: curation / serving order / stats
+    "pmi_collocations", "winsorize_values", "train_shuffle_order",
+    "kcenter_diverse_select", "tfidf_top_terms",
+    # rotated in: ANN index probe + sketch + BPE
+    "ann_index_probe", "hll_distinct_contract", "bpe_merges",
+    # rotated in: format surface
+    "xml_roundtrip_events",
+    # back through per the verdict: T7 soft delete + UDF surface
+    "cdc_current_state", "udtf_json_kv", "grouped_centroids_pandas",
 ]
 
 

@@ -127,6 +127,58 @@ def bench_many_tables(spark, n_tables: int = 150, rows_per_table: int = 10_000,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_streaming_fleet(spark, sf_dir: str, n_tables: int = 32,
+                          sample_tables: int = 4) -> dict:
+    """Streaming fleet fusion (VERDICT r5 #6): the many-tables scenario
+    on the BOUNDED STREAMING path. A per-table loop pays one streaming
+    query's bring-up (source listing, checkpoint, trigger scheduling)
+    per table; ``bounded_sync_multi_fused`` pays it once per
+    (schema, mode, keys) group. Here the fleet shares one schema+cfg,
+    so the fused path is ONE query over the union of all sources. The
+    per-table cost is measured on a sample and extrapolated (running
+    all n per-table would just multiply the known constant)."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from python_cdc_component_spark.streaming.bounded import (
+        BoundedStreamConfig, bounded_sync, bounded_sync_multi_fused)
+
+    root = tempfile.mkdtemp(prefix="bench_fleet_")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        (raw.withColumn("t", F.pmod("event_id", F.lit(n_tables)))
+            .write.partitionBy("t").mode("overwrite")
+            .parquet(f"{root}/src"))
+        dirs = {f"t{i}": f"{root}/src/t={i}" for i in range(n_tables)}
+        cfgs = {t: BoundedStreamConfig(mode="DEDUPE",
+                                       primary_keys=["user_id"],
+                                       max_wait_s=5)
+                for t in dirs}
+
+        t0 = time.time()
+        stats = bounded_sync_multi_fused(
+            spark, dirs, f"{root}/fused_out", f"{root}/fused_ckpt", cfgs)
+        fused_sec = round(time.time() - t0, 3)
+
+        lat = []
+        for t in list(dirs)[:sample_tables]:
+            t0 = time.time()
+            bounded_sync(spark, dirs[t], f"{root}/solo/{t}",
+                         f"{root}/solo_ckpt/{t}", cfgs[t])
+            lat.append(time.time() - t0)
+        per_table_p50 = round(statistics.median(lat), 3)
+        return {
+            "n_tables": n_tables, "n_queries": stats["n_queries"],
+            "fused_total_sec": fused_sec,
+            "per_table_p50_sec": per_table_p50,
+            "per_table_loop_est_sec": round(per_table_p50 * n_tables, 3),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_skew(spark, n: int = 1_000_000, hot_frac: float = 0.5) -> dict:
     """Inline skew-strategy ladder (plain vs AQE skew-join vs salted vs
     broadcast) so the measured justification for operators/joins.py
@@ -268,6 +320,7 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_BENCH_EXTRAS", "1") != "0":
         doc["many_tables"] = bench_many_tables(spark)
+        doc["streaming_fleet"] = bench_streaming_fleet(spark, sf_dir)
         doc["skew_join"] = bench_skew(spark)
         doc["q1_decimal_probe"] = bench_q1_decimal_probe(spark, sf_dir)
     print(json.dumps(doc))

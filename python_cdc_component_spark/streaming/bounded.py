@@ -266,3 +266,131 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
         }
     finally:
         spark.streams.removeListener(listener)
+
+
+def _fleet_group_key(spark: SparkSession, events_dir: str,
+                     cfg: BoundedStreamConfig) -> tuple:
+    """Fusion grouping key: (payload schema fingerprint, mode, keys).
+    Tables sharing all three can share ONE streaming query."""
+    st = spark.read.parquet(events_dir).schema
+    fp = tuple(sorted((f.name, f.dataType.simpleString())
+                      for f in st.fields))
+    return (fp, cfg.mode.upper(), tuple(cfg.primary_keys or ()))
+
+
+def bounded_sync_multi_fused(spark: SparkSession,
+                             events_dirs: dict[str, str],
+                             out_dir: str, checkpoint_root: str,
+                             cfgs: dict[str, BoundedStreamConfig]) -> dict:
+    """Streaming twin of ``engine.sync_multi_fused_hetero`` (VERDICT r5
+    #6): drain a FLEET of bounded CDC streams in O(#schema/mode/key
+    groups) streaming queries instead of one query per table.
+
+    Tables are grouped by (payload schema fingerprint, mode, primary
+    keys); each group is ONE ``foreachBatch`` query over the union of
+    its tables' sources, every event stamped with its ``_table``
+    discriminator, compacted by ONE :class:`MergeCompactor` keyed
+    ``(_table, *pks)`` — per-table results are bit-identical to running
+    :func:`bounded_sync` per table (parity-tested), but a 150-table
+    fleet with 3 schemas costs 3 queries' worth of trigger scheduling,
+    checkpointing, and job launch overhead. No-PK groups dedupe on all
+    non-system columns, same as the single-table path.
+
+    All group queries run CONCURRENTLY under ``Trigger.AvailableNow``
+    with a shared ``max_duration_s`` guard (the max across the fleet).
+    Group state lands at ``{out_dir}/group=<i>`` partitioned the same
+    way as any MergeCompactor state; ``fleet.json`` beside it maps
+    groups to tables for readers (:func:`read_fleet_table`).
+    """
+    import json
+    import os
+
+    groups: dict[tuple, list[str]] = {}
+    for t in sorted(cfgs):
+        groups.setdefault(
+            _fleet_group_key(spark, events_dirs[t], cfgs[t]), []).append(t)
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest: dict[str, dict] = {}
+    queries, reasons = [], {}
+    max_duration = max(c.max_duration_s for c in cfgs.values())
+    for gi, (key, tables) in enumerate(sorted(groups.items())):
+        _, mode, pks = key
+        cfg0 = cfgs[tables[0]]
+        parts = []
+        for t in tables:
+            s = read_event_stream(spark, events_dirs[t],
+                                  cfg0.max_files_per_trigger)
+            parts.append(s.withColumn("_table", F.lit(t)))
+        stream = parts[0]
+        for p in parts[1:]:
+            stream = stream.unionByName(p)
+        gpath = os.path.join(out_dir, f"group={gi}")
+        ckpt = os.path.join(checkpoint_root, f"group={gi}")
+        if mode == "DEDUPE":
+            keys = ["_table", *pks]
+            if not pks:
+                system = set(SC.ingest_names) | {"_table",
+                                                 "_snapshot_phase"}
+                keys = ["_table"] + [c for c in stream.columns
+                                     if c not in system]
+            compactor = MergeCompactor(gpath, keys,
+                                       cfg0.num_state_buckets)
+
+            def sink(batch_df: DataFrame, batch_id: int,
+                     _c=compactor) -> None:
+                _c.merge(spark, batch_df.drop("_snapshot_phase"))
+
+            writer = stream.writeStream.foreachBatch(sink)
+        else:
+            writer = (stream.drop("_snapshot_phase")
+                      .writeStream.format("parquet")
+                      .partitionBy("_table")
+                      .option("path", gpath))
+        writer = (writer.option("checkpointLocation", ckpt)
+                  .trigger(availableNow=True))
+        queries.append((gi, writer.start()))
+        manifest[str(gi)] = {"tables": tables, "mode": mode,
+                             "primary_keys": list(pks), "path": gpath}
+
+    start = time.time()
+    for gi, q in queries:
+        reasons[gi] = "drained"
+        while q.isActive:
+            remaining = max_duration - (time.time() - start)
+            if remaining <= 0:
+                reasons[gi] = "max_duration"
+                q.stop()
+                break
+            if q.awaitTermination(min(1.0, remaining)):
+                break
+        q.awaitTermination()
+
+    with open(os.path.join(out_dir, "fleet.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return {"n_tables": len(cfgs), "n_queries": len(groups),
+            "groups": {gi: m["tables"] for gi, m in manifest.items()},
+            "stopped_reasons": reasons, "out_dir": out_dir}
+
+
+def read_fleet_table(spark: SparkSession, out_dir: str,
+                     table: str) -> DataFrame:
+    """Read one table's compacted rows back out of a
+    :func:`bounded_sync_multi_fused` output directory (drops the fleet
+    plumbing columns — same shape as a per-table ``bounded_sync``
+    state read)."""
+    import json
+    import os
+
+    from ..sinks.merge import BUCKET_COL as _MERGE_BUCKET
+
+    with open(os.path.join(out_dir, "fleet.json")) as fh:
+        manifest = json.load(fh)
+    for m in manifest.values():
+        if table in m["tables"]:
+            df = (spark.read.option("mergeSchema", "true")
+                  .option("basePath", m["path"]).parquet(m["path"])
+                  .filter(F.col("_table") == table).drop("_table"))
+            return df.drop(_MERGE_BUCKET) if _MERGE_BUCKET in df.columns \
+                else df
+    raise KeyError(f"table {table!r} not in fleet at {out_dir}")

@@ -4,7 +4,11 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, column
 names, and order-insensitive values. Usage::
 
-    python scripts/check_oracle.py [sf_dir] [query ...]
+    python scripts/check_oracle.py [--shard K/N] [sf_dir] [query ...]
+
+``--shard K/N`` (1-based K) runs every N-th query of the (stable,
+insertion-ordered) list starting at K — lets CI split the ~9-minute
+full gate across processes; the shards partition the query set exactly.
 """
 
 from __future__ import annotations
@@ -82,8 +86,15 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    shard_k, shard_n = 1, 1
+    if argv and argv[0] == "--shard":
+        shard_k, shard_n = (int(x) for x in argv[1].split("/"))
+        if not 1 <= shard_k <= shard_n:
+            raise SystemExit(f"bad shard {argv[1]!r}: need 1 <= K <= N")
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     if os.environ.get("SPARK_GRAFT_HOSTILE"):
         # driver simulation: vanilla session, non-UTC TZ, no AQE, default
         # 200 shuffle partitions — results must be config-invariant
@@ -102,10 +113,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    names = [n for i, n in enumerate(qs)
+             if i % shard_n == shard_k - 1 and (not only or n in only)]
     failed = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    n_run = 0
+    for name in names:
+        fn = qs[name]
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -139,7 +153,7 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"OK   {name} ({dt:.1f}s, {len(sdf)} rows)")
-    print(f"\n{len(failed)} failed of {len(only) or len(qs)}")
+    print(f"\n{len(failed)} failed of {n_run}")
     return 1 if failed else 0
 
 
