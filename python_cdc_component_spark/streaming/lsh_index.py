@@ -210,22 +210,31 @@ class StreamingLshIndex:
         footprint. Surviving rows are folded into the ``_batch=-1``
         tier; fully-emptied buckets are removed. Returns the number of
         buckets rewritten."""
-        if not doc_ids or not _fs_exists(spark, self._docmap_path):
+        if not doc_ids or not _fs_exists(spark, self.index_path):
             return 0
         ids_df = spark.createDataFrame([(int(i),) for i in doc_ids],
                                        "doc_id long")
-        map_paths = [p for p in
-                     (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
-                      for v in sorted({int(i) % self.num_buckets
-                                       for i in doc_ids}))
-                     if _fs_exists(spark, p)]
-        if not map_paths:
-            return 0
-        victim_map = (spark.read.option("basePath", self._docmap_path)
-                      .parquet(*map_paths)
-                      .join(F.broadcast(ids_df), "doc_id", "left_semi"))
+        map_paths = []
+        if _fs_exists(spark, self._docmap_path):
+            map_paths = [
+                p for p in
+                (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
+                 for v in sorted({int(i) % self.num_buckets
+                                  for i in doc_ids}))
+                if _fs_exists(spark, p)]
+        if map_paths:
+            victims = (spark.read.option("basePath", self._docmap_path)
+                       .parquet(*map_paths)
+                       .join(F.broadcast(ids_df), "doc_id", "left_semi"))
+        else:
+            # pre-sidecar index: erasure must still happen — fall back
+            # to the one-time full scan (the pre-r6 path); the next
+            # process_batch starts building the sidecar
+            victims = (spark.read.option("basePath", self.index_path)
+                       .parquet(self.index_path)
+                       .join(F.broadcast(ids_df), "doc_id", "left_semi"))
         touched = [r[0] for r in
-                   victim_map.select(BUCKET_COL).distinct().collect()]
+                   victims.select(BUCKET_COL).distinct().collect()]
         if not touched:
             return 0
         paths = [p for p in
@@ -257,21 +266,24 @@ class StreamingLshIndex:
                 if (name.startswith(f"{BATCH_COL}=")
                         and name != f"{BATCH_COL}={COMPACTED_TIER}"):
                     _fs_delete(spark, os.path.join(bdir, name))
-        # same rewrite for the sidecar's victim partitions
-        kept_map = (spark.read.option("basePath", self._docmap_path)
-                    .parquet(*map_paths)
-                    .join(F.broadcast(ids_df), "doc_id", "left_anti")
-                    .repartition(F.col(DOC_PART_COL)))
-        kept_map = kept_map.localCheckpoint(eager=True)
-        kept_parts = {r[0] for r in
-                      kept_map.select(DOC_PART_COL).distinct().collect()}
-        if kept_parts:
-            self._overwrite_dynamic(spark, kept_map, [DOC_PART_COL],
-                                    self._docmap_path)
-        for p in map_paths:
-            v = int(p.rsplit("=", 1)[1])
-            if v not in kept_parts:
-                _fs_delete(spark, p)
+        # same rewrite for the sidecar's victim partitions (absent on a
+        # pre-sidecar index — nothing to erase there)
+        if map_paths:
+            kept_map = (spark.read.option("basePath", self._docmap_path)
+                        .parquet(*map_paths)
+                        .join(F.broadcast(ids_df), "doc_id", "left_anti")
+                        .repartition(F.col(DOC_PART_COL)))
+            kept_map = kept_map.localCheckpoint(eager=True)
+            kept_parts = {r[0] for r in
+                          kept_map.select(DOC_PART_COL)
+                                  .distinct().collect()}
+            if kept_parts:
+                self._overwrite_dynamic(spark, kept_map, [DOC_PART_COL],
+                                        self._docmap_path)
+            for p in map_paths:
+                v = int(p.rsplit("=", 1)[1])
+                if v not in kept_parts:
+                    _fs_delete(spark, p)
         return len(touched)
 
     def _compact(self, spark: SparkSession, touched: list[int]) -> int:

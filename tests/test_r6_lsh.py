@@ -179,3 +179,25 @@ def test_lsh_compaction_folds_batch_tiers(spark, sf_dir):
         assert out.count() == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_lsh_purge_pre_sidecar_index_falls_back_to_full_scan(spark, sf_dir):
+    """An index built before the _docmap sidecar existed must still
+    erase (one-time full scan), never silently no-op."""
+    docs = _docs(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="lsh_r6_")
+    try:
+        idx = StreamingLshIndex(index_path=f"{work}/index", num_buckets=8)
+        idx.process_batch(spark, docs)
+        shutil.rmtree(f"{work}/index/_docmap")      # simulate legacy index
+        victim = docs.select("doc_id").first()[0]
+        n = idx.purge_docs(spark, [victim])
+        assert n > 0
+        bucket_paths = [os.path.join(idx.index_path, d)
+                        for d in os.listdir(idx.index_path)
+                        if d.startswith(f"{BUCKET_COL}=")]
+        left = (spark.read.option("basePath", idx.index_path)
+                .parquet(*bucket_paths))
+        assert left.filter(F.col("doc_id") == int(victim)).count() == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
