@@ -233,12 +233,26 @@ def run_component_streaming(spark: SparkSession, data_dir: str,
     stop conditions (``max_wait_s`` / ``max_runtime_s``), MERGE-
     compacting per micro-batch. The stream checkpoint lives under the
     data dir (``out/checkpoint``) — re-running the same data dir
-    resumes from it, the reference's chained-run contract."""
-    from .streaming.bounded import bounded_sync
+    resumes from it, the reference's chained-run contract.
+
+    A config listing MULTIPLE ``source_settings.tables`` expects
+    ``{events_dir}/{table}`` subdirectories (one event log per table,
+    the reference's multi-table capture) and drains the whole fleet
+    through :func:`streaming.bounded.bounded_sync_multi_fused` —
+    O(#schema/mode/key groups) streaming queries, not O(#tables)."""
+    from .streaming.bounded import bounded_sync, bounded_sync_multi_fused
 
     cfg = parse_component_config(os.path.join(data_dir, "config.json"))
-    out_tables = os.path.join(data_dir, "out", "tables", "events")
     ckpt = os.path.join(data_dir, "out", "checkpoint")
+    if len(cfg.tables) > 1:
+        out_root = os.path.join(data_dir, "out", "tables")
+        os.makedirs(out_root, exist_ok=True)
+        dirs = {t: os.path.join(events_dir, t) for t in cfg.tables}
+        stats = bounded_sync_multi_fused(
+            spark, dirs, out_root, ckpt,
+            {t: to_stream_config(cfg) for t in cfg.tables})
+        return {"out_path": out_root, "stats": stats}
+    out_tables = os.path.join(data_dir, "out", "tables", "events")
     os.makedirs(os.path.dirname(out_tables), exist_ok=True)
     stats = bounded_sync(spark, events_dir, out_tables, ckpt,
                          to_stream_config(cfg))

@@ -203,3 +203,39 @@ def test_run_component_sync_actions(spark, sf_dir, tmp_path):
         (d / "config.json").write_text(json.dumps(
             {"parameters": {}, "action": action}))
         assert key in run_component(spark, str(d), sf_dir)
+
+
+def test_run_component_streaming_multi_table_fleet(spark, sf_dir,
+                                                   tmp_path):
+    """A config listing multiple source tables drains the fleet through
+    bounded_sync_multi_fused: one streaming query for the shared
+    (schema, mode, keys) group, per-table rows readable back."""
+    import shutil
+    from pyspark.sql import functions as F
+    from python_cdc_component_spark.config import run_component_streaming
+    from python_cdc_component_spark.streaming.bounded import (
+        read_fleet_table)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tmp_path / "src"
+    for i, t in enumerate(["inv.products", "inv.orders"]):
+        raw.filter(F.col("event_id") % 2 == i).write.parquet(
+            str(src / t))
+    data = tmp_path / "fleet_run"
+    os.makedirs(data)
+    (data / "config.json").write_text(json.dumps({
+        "parameters": {
+            "destination": {"load_type": "incremental_load"},
+            "source_settings": {"tables": ["inv.products", "inv.orders"],
+                                "primary_key": ["user_id"]},
+            "sync_options": {"max_wait_s": 5, "snapshot_mode": "initial"},
+        },
+        "action": "run",
+    }))
+    res = run_component_streaming(spark, str(data), str(src))
+    assert res["stats"]["n_tables"] == 2
+    assert res["stats"]["n_queries"] == 1       # one fused group
+    for i, t in enumerate(["inv.products", "inv.orders"]):
+        got = read_fleet_table(spark, res["out_path"], t)
+        want = (raw.filter(F.col("event_id") % 2 == i)
+                .select("user_id").distinct().count())
+        assert got.count() == want              # one row per key
