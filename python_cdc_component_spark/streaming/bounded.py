@@ -298,10 +298,19 @@ def bounded_sync_multi_fused(spark: SparkSession,
 
     All group queries run CONCURRENTLY under ``Trigger.AvailableNow``
     with a shared ``max_duration_s`` guard (the max across the fleet).
-    Group state lands at ``{out_dir}/group=<i>`` partitioned the same
-    way as any MergeCompactor state; ``fleet.json`` beside it maps
-    groups to tables for readers (:func:`read_fleet_table`).
+    Group state lands at ``{out_dir}/group=<gid>`` partitioned the
+    same way as any MergeCompactor state, where ``gid`` is a stable
+    hash of (group key, member tables) — NOT an enumeration index, so
+    adding or removing a table from the fleet can never resume another
+    group's checkpoint (a changed membership changes the union plan's
+    source legs, which a file-source checkpoint cannot absorb; the new
+    gid starts fresh and the keyed MERGE reconverges). ``fleet.json``
+    beside it maps groups to tables for readers
+    (:func:`read_fleet_table`). Snapshot-mode parity matches
+    :func:`bounded_sync`: ``never``/``schema_only`` on a group's FIRST
+    contact drains-and-commits without emitting rows.
     """
+    import hashlib
     import json
     import os
 
@@ -314,9 +323,13 @@ def bounded_sync_multi_fused(spark: SparkSession,
     manifest: dict[str, dict] = {}
     queries, reasons = [], {}
     max_duration = max(c.max_duration_s for c in cfgs.values())
-    for gi, (key, tables) in enumerate(sorted(groups.items())):
+    for key, tables in sorted(groups.items()):
         _, mode, pks = key
         cfg0 = cfgs[tables[0]]
+        gi = hashlib.md5(repr((key, tuple(tables)))
+                         .encode()).hexdigest()[:12]
+        gpath = os.path.join(out_dir, f"group={gi}")
+        ckpt = os.path.join(checkpoint_root, f"group={gi}")
         parts = []
         for t in tables:
             s = read_event_stream(spark, events_dirs[t],
@@ -325,8 +338,16 @@ def bounded_sync_multi_fused(spark: SparkSession,
         stream = parts[0]
         for p in parts[1:]:
             stream = stream.unionByName(p)
-        gpath = os.path.join(out_dir, f"group={gi}")
-        ckpt = os.path.join(checkpoint_root, f"group={gi}")
+        # snapshot-mode dispatch, same contract as bounded_sync: the
+        # group's initial contact under never/schema_only commits every
+        # present file while emitting zero rows
+        is_initial = not os.path.exists(os.path.join(ckpt, "commits"))
+        effective = cfg0.snapshot_mode
+        if is_initial and effective == "never":
+            effective = "schema_only"
+        if is_initial and effective in ("schema_only",
+                                        "schema_only_recovery"):
+            stream = stream.filter(F.lit(False))
         if mode == "DEDUPE":
             keys = ["_table", *pks]
             if not pks:
@@ -350,8 +371,9 @@ def bounded_sync_multi_fused(spark: SparkSession,
         writer = (writer.option("checkpointLocation", ckpt)
                   .trigger(availableNow=True))
         queries.append((gi, writer.start()))
-        manifest[str(gi)] = {"tables": tables, "mode": mode,
-                             "primary_keys": list(pks), "path": gpath}
+        manifest[gi] = {"tables": tables, "mode": mode,
+                        "primary_keys": list(pks), "path": gpath,
+                        "snapshot_mode_effective": effective}
 
     start = time.time()
     for gi, q in queries:

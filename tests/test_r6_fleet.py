@@ -63,3 +63,73 @@ def test_fleet_fusion_parity_and_query_count(spark, sf_dir):
             assert _rows(solo) == _rows(fleet), f"row mismatch for {t}"
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_fleet_membership_change_never_resumes_wrong_checkpoint(
+        spark, sf_dir):
+    """Group ids are content hashes, not enumeration indexes: growing
+    the fleet re-groups under a FRESH checkpoint (a union plan with a
+    new source leg cannot resume the old one) and results stay
+    correct."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="fleet_r6_")
+    try:
+        dirs = {}
+        for i, t in enumerate(["a", "b", "c"]):
+            d = os.path.join(work, "src", t)
+            raw.filter(F.col("event_id") % 3 == i).write.parquet(d)
+            dirs[t] = d
+        cfg = lambda: BoundedStreamConfig(  # noqa: E731
+            mode="DEDUPE", primary_keys=["user_id"], max_wait_s=5)
+        out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        s1 = bounded_sync_multi_fused(
+            spark, {t: dirs[t] for t in ["a", "b"]}, out, ckpt,
+            {t: cfg() for t in ["a", "b"]})
+        s2 = bounded_sync_multi_fused(spark, dirs, out, ckpt,
+                                      {t: cfg() for t in dirs})
+        assert list(s1["groups"]) != list(s2["groups"])   # fresh gid
+        for i, t in enumerate(["a", "b", "c"]):
+            got = read_fleet_table(spark, out, t).count()
+            want = (raw.filter(F.col("event_id") % 3 == i)
+                    .select("user_id").distinct().count())
+            assert got == want, t
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_fleet_snapshot_never_bootstrap_emits_nothing_then_streams(
+        spark, sf_dir):
+    """snapshot_mode='never' parity on the fused path: first contact
+    commits the present files with zero rows; a later run picks up only
+    NEW files."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="fleet_r6_")
+    try:
+        d = os.path.join(work, "src", "a")
+        raw.filter("event_id % 2 = 0").write.parquet(d)
+        cfgs = {"a": BoundedStreamConfig(mode="DEDUPE",
+                                         primary_keys=["user_id"],
+                                         max_wait_s=5,
+                                         snapshot_mode="never"),
+                "b": BoundedStreamConfig(mode="DEDUPE",
+                                         primary_keys=["user_id"],
+                                         max_wait_s=5,
+                                         snapshot_mode="never")}
+        d2 = os.path.join(work, "src", "b")
+        raw.filter("event_id % 2 = 1").write.parquet(d2)
+        dirs = {"a": d, "b": d2}
+        out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        s1 = bounded_sync_multi_fused(spark, dirs, out, ckpt, cfgs)
+        g = next(iter(s1["groups"]))
+        assert not os.path.exists(os.path.join(out, f"group={g}")) or \
+            spark.read.parquet(os.path.join(out, f"group={g}")).count() == 0
+        # new file arrives; second run must emit ONLY its rows
+        extra = raw.filter("event_id % 2 = 0").limit(50)
+        extra.write.mode("append").parquet(d)
+        bounded_sync_multi_fused(spark, dirs, out, ckpt, cfgs)
+        got = read_fleet_table(spark, out, "a").count()
+        want = extra.select("user_id").distinct().count()
+        assert got == want
+        assert read_fleet_table(spark, out, "b").count() == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
