@@ -133,3 +133,17 @@ def test_fleet_snapshot_never_bootstrap_emits_nothing_then_streams(
         assert read_fleet_table(spark, out, "b").count() == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_oracle_shard_flag_partitions_exactly():
+    """--shard K/N selects every N-th query (1-based K): shards are
+    disjoint and their union is the full insertion-ordered set."""
+    import __spark_entry__ as entry
+    names = list(entry.queries())
+    for n_shards in (2, 3, 5):
+        shards = [[q for i, q in enumerate(names)
+                   if i % n_shards == k - 1]
+                  for k in range(1, n_shards + 1)]
+        flat = [q for s in shards for q in s]
+        assert sorted(flat) == sorted(names)
+        assert len(flat) == len(set(flat))
