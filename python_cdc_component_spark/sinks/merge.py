@@ -101,13 +101,16 @@ class MergeCompactor:
             # in one task; the extra exchange carries only the touched
             # buckets' compacted rows.
             compacted = compacted.repartition(F.col(BUCKET_COL))
-            prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
-            spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
-            try:
-                (compacted.write.partitionBy(BUCKET_COL)
-                 .mode("overwrite").parquet(self.state_path))
-            finally:
-                spark.conf.set(_OVERWRITE_MODE_KEY, prev)
+            # WRITER-level dynamic overwrite, never the session conf:
+            # inside foreachBatch the plan runs on the micro-batch's
+            # CLONED session whose SQLConf was frozen at stream start —
+            # a conf set here on the outer session never reaches it, the
+            # overwrite silently degrades to static, and every bucket
+            # the batch did NOT touch is wiped (reproduced: two
+            # single-key batches, 64 buckets -> first key lost).
+            (compacted.write.partitionBy(BUCKET_COL)
+             .option(_OVERWRITE_MODE_KEY.rsplit(".", 1)[-1], "dynamic")
+             .mode("overwrite").parquet(self.state_path))
             return len(touched)
         finally:
             batch.unpersist()
@@ -142,14 +145,13 @@ class MergeCompactor:
             # silently keep its old files; delete those dirs explicitly
             surviving = {r[0] for r in
                          kept.select(BUCKET_COL).distinct().collect()}
-            prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
-            spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
             try:
+                # writer-level dynamic overwrite (see merge())
                 (kept.repartition(F.col(BUCKET_COL))
                  .write.partitionBy(BUCKET_COL)
+                 .option(_OVERWRITE_MODE_KEY.rsplit(".", 1)[-1], "dynamic")
                  .mode("overwrite").parquet(self.state_path))
             finally:
-                spark.conf.set(_OVERWRITE_MODE_KEY, prev)
                 current.unpersist()
             emptied = [b for b in touched
                        if b not in surviving

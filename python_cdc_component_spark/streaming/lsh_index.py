@@ -113,13 +113,16 @@ class StreamingLshIndex:
 
     def _overwrite_dynamic(self, spark: SparkSession, df: DataFrame,
                            cols: list[str], path: str) -> None:
-        key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
-        try:
-            df.write.partitionBy(*cols).mode("overwrite").parquet(path)
-        finally:
-            spark.conf.set(key, prev)
+        # WRITER-level option, never the session conf: inside
+        # foreachBatch the plan runs on the micro-batch's CLONED
+        # session whose SQLConf was frozen at stream start — a conf set
+        # on the outer session never reaches it and the overwrite
+        # silently degrades to static, wiping the whole index
+        # (reproduced before this fix: 4 streamed epochs left only the
+        # last batch's bands, markers and sidecar gone).
+        (df.write.partitionBy(*cols)
+           .option("partitionOverwriteMode", "dynamic")
+           .mode("overwrite").parquet(path))
 
     def process_batch(self, spark: SparkSession, batch_docs: DataFrame,
                       batch_id: int | None = None) -> DataFrame:

@@ -147,3 +147,32 @@ def test_oracle_shard_flag_partitions_exactly():
         flat = [q for s in shards for q in s]
         assert sorted(flat) == sorted(names)
         assert len(flat) == len(set(flat))
+
+
+def test_merge_state_survives_partial_bucket_batches_in_stream(
+        spark, tmp_path):
+    """Regression (r6): inside foreachBatch the micro-batch runs on a
+    CLONED session whose SQLConf was frozen at stream start, so a
+    session-conf 'dynamic' overwrite silently degraded to static and
+    each batch wiped every bucket it did not touch. Two single-key
+    batches over a 64-bucket state must both survive."""
+    from python_cdc_component_spark.sinks.merge import MergeCompactor
+    src = str(tmp_path / "src")
+    schema = ("k long, v string, kbc__event_timestamp long, "
+              "kbc__file string, kbc__pos long")
+    spark.createDataFrame([(1, "a", 10, "f", 1)], schema) \
+        .write.parquet(src, mode="append")
+    spark.createDataFrame([(2, "b", 20, "f", 2)], schema) \
+        .write.parquet(src, mode="append")
+    comp = MergeCompactor(str(tmp_path / "state"), ["k"], 64)
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", "1").parquet(src)
+         .writeStream
+         .foreachBatch(lambda bdf, bid: comp.merge(spark, bdf))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    keys = sorted(r[0] for r in
+                  spark.read.parquet(str(tmp_path / "state"))
+                  .select("k").collect())
+    assert keys == [1, 2]

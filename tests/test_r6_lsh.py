@@ -201,3 +201,48 @@ def test_lsh_purge_pre_sidecar_index_falls_back_to_full_scan(spark, sf_dir):
         assert left.filter(F.col("doc_id") == int(victim)).count() == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_lsh_index_end_to_end_foreachbatch_stream(spark, sf_dir):
+    """The production wiring: documents arrive as files, a real
+    Structured Streaming query feeds foreachBatch(process_batch,
+    batch_id=epoch). Union of emitted pairs must equal the full-corpus
+    banded self-join, each pair exactly once, with the manifest
+    recording every epoch."""
+    import json as _json
+    from python_cdc_component_spark.queries import QUERIES
+    docs = _docs(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="lsh_r6_")
+    try:
+        src = f"{work}/src"
+        # several files so maxFilesPerTrigger yields multiple epochs
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).write.parquet(
+                src, mode="append")
+        idx = StreamingLshIndex(index_path=f"{work}/index",
+                                num_buckets=16)
+        acc = {}
+
+        def sink(batch_df, batch_id):
+            out = idx.process_batch(spark, batch_df.select("doc_id",
+                                                           "text"),
+                                    batch_id=batch_id)
+            for r in out.collect():
+                key = (r["doc_a"], r["doc_b"])
+                assert key not in acc, f"pair {key} emitted twice"
+                acc[key] = r["n_bands"]
+
+        q = (spark.readStream.schema(docs.schema)
+             .option("maxFilesPerTrigger", "1").parquet(src)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", f"{work}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        full = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+                for r in QUERIES["minhash_lsh_pairs"](spark, sf_dir)
+                            .collect()}
+        assert acc == full
+        markers = sorted(os.listdir(f"{work}/index/_batches"))
+        assert len(markers) >= 2        # really ran multiple epochs
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
