@@ -232,7 +232,7 @@ def _pair_kernel(threshold: float):
 
 
 def semantic_dup_pairs(emb: DataFrame, threshold: float = 0.85,
-                       k: int | None = 4, iters: int = 2,
+                       k: int | None = None, iters: int = 2,
                        id_col: str = "vec_id",
                        vec_col: str = "e",
                        target_cluster_size: int = 512,
@@ -258,7 +258,14 @@ def semantic_dup_pairs(emb: DataFrame, threshold: float = 0.85,
     cluster boundaries.  Default ``"auto"`` = ``4 ×
     target_cluster_size`` so the guard is ON for direct users (a
     forgotten opt-in guard protects nobody); the oracled driver path
-    passes ``None`` explicitly because its DuckDB twin has no split."""
+    passes ``None`` explicitly because its DuckDB twin has no split.
+
+    Scale defaults (measured, SCALING.md scale-curve section): with a
+    FIXED k, per-cluster size grows with the corpus and the kernel is
+    O(n²/k) — a 30× blow-up ran 76× slower. ``k=None`` (the default)
+    sizes k adaptively to ``target_cluster_size`` and, with the cap,
+    bounds total kernel work at ~n × cap — measured linear. Pin k only
+    when an external oracle must replay the clustering exactly."""
     if max_cluster_size == "auto":
         max_cluster_size = 4 * target_cluster_size
     assigned, _ = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,

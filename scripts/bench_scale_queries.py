@@ -126,6 +126,32 @@ def main() -> None:
                 "data_ratio": factor,
                 "linear": bool(big_s / base_s <= 1.3 * factor),
             })
+        # the oracled semantic_dedup_pairs pins k=4 for DuckDB replay —
+        # O(n²/k) by construction. Measure the SCALE entry point too
+        # (adaptive k + auto cap = the defaults), which is the form a
+        # 100 TB user runs.
+        from python_cdc_component_spark.operators.llm.kmeans import (
+            semantic_dup_pairs)
+
+        def sem_scale(sf_dir):
+            emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                   .select("vec_id",
+                           F.col("embedding").cast("array<double>")
+                           .alias("e")))
+            t0 = time.time()
+            (semantic_dup_pairs(emb, threshold=0.4, iters=2)
+             .write.format("noop").mode("overwrite").save())
+            return round(time.time() - t0, 3)
+
+        base_s = min(sem_scale(BASE), sem_scale(BASE))
+        big_s = min(sem_scale(blow), sem_scale(blow))
+        rows.append({
+            "query": "semantic_dedup_scale_path(adaptive k + auto cap)",
+            "base_sec": base_s, f"x{factor}_sec": big_s,
+            "time_ratio": round(big_s / base_s, 2),
+            "data_ratio": factor,
+            "linear": bool(big_s / base_s <= 1.3 * factor),
+        })
         print(json.dumps({"metric": "query_scale_curve",
                           "factor": factor, "build_sec": build_sec,
                           "base": BASE, "rows": rows}))
