@@ -49,29 +49,51 @@ def select_centroids(n: DataFrame, n_centroids: int,
     """Deterministic k-means||-spirit quantizer: seeded-hash oversample
     of ``4*n_centroids`` unit vectors (TakeOrdered on ``xxhash64(id,
     seed)`` — one distributed top-K, id-order independent), then greedy
-    farthest-point (k-center) refinement over the driver-side pool
-    (O((4K)² · K) on K-row scalars).  Spreads centroids across the
-    data's regions whatever the id assignment."""
+    farthest-point (k-center) refinement over the driver-side pool.
+    The refinement keeps each pool point's min-distance-to-chosen
+    incrementally (one new distance per point per round — O(pool × K)
+    total, the textbook Gonzalez form), so an adaptive K=sqrt(n) stays
+    driver-cheap; above 1024 centroids the hash sample is already
+    region-spreading and the refinement is skipped (exactness never
+    depends on centroid choice, only pruning quality does)."""
     pool_rows = (n.select(F.col("_id").alias("_cid"),
                           F.col("_u").alias("_cu"))
                   .orderBy(F.xxhash64(F.col("_cid"), F.lit(seed)), "_cid")
                   .limit(4 * n_centroids).collect())
     pool = [(r["_cid"], list(r["_cu"])) for r in pool_rows]
+    if n_centroids > 1024:
+        return pool[:n_centroids]
     centroids = pool[:1]
+    mind = [_dist(p[1], pool[0][1]) for p in pool]
+    mind[0] = -1.0      # chosen points can never be re-picked
     while len(centroids) < n_centroids and len(centroids) < len(pool):
-        chosen = {c[0] for c in centroids}
-        nxt = max((p for p in pool if p[0] not in chosen),
-                  key=lambda p: min(_dist(p[1], c[1]) for c in centroids))
-        centroids.append(nxt)
+        i = max(range(len(pool)), key=lambda j: mind[j])
+        centroids.append(pool[i])
+        ci = pool[i][1]
+        mind[i] = -1.0
+        for j, p in enumerate(pool):
+            if mind[j] >= 0.0:
+                d = _dist(p[1], ci)
+                if d < mind[j]:
+                    mind[j] = d
     return centroids
 
 
 def cosine_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "e", threshold: float = 0.4,
-                     n_centroids: int = 8, round_dp: int = 6,
+                     n_centroids: int | None = None, round_dp: int = 6,
                      seed: int = 41) -> DataFrame:
     """All pairs with round(cosine, round_dp) >= threshold, emitted as
     (vec_a < vec_b, sim). ``vec_col`` must be ``array<double>``.
+
+    ``n_centroids=None`` (default) sizes K = ceil(sqrt(n)), capped at
+    4096 so the K² driver-side bucket-pair list stays bounded — the
+    module docstring's "K scales with sqrt(n)" made real. A FIXED K
+    makes bucket size grow with the corpus and the within-bucket join
+    O(n²/K): measured 30× blow-up at K=8 ran >200× slower, adaptive K
+    is n^1.5 worst-case with pruning doing far better at real
+    thresholds. Pin K only where an external oracle must replay the
+    bucketization (the oracled query pins 8).
 
     Centroid selection is a two-step deterministic quantizer in the
     k-means|| spirit: (1) a seeded-hash OVERSAMPLE of ``4*n_centroids``
@@ -86,6 +108,8 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
     quality does."""
     spark = emb.sparkSession
     n = normalize_vectors(emb, id_col, vec_col)
+    if n_centroids is None:
+        n_centroids = max(1, min(4096, math.ceil(math.sqrt(n.count()))))
     centroids = select_centroids(n, n_centroids, seed)
     cent_df = spark.createDataFrame(
         [(cid, cu) for cid, cu in centroids], "_cid long, _cu array<double>")
