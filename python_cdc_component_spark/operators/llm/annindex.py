@@ -165,3 +165,74 @@ class IvfVectorIndex:
                                               F.col("cid"))
         return (j.withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") <= k).drop("rn"))
+
+
+def knn_join(emb: DataFrame, k_neighbors: int = 3,
+             k_cells: int | None = None, iters: int = 2,
+             target_cell_size: int = 512,
+             id_col: str = "vec_id", vec_col: str = "e") -> DataFrame:
+    """k-NN JOIN at corpus scale: top-``k_neighbors`` neighbors for
+    EVERY vector (qid, nid, sim), cell-blocked by a trained Lloyd
+    quantizer (``kmeans_fit``) so pairwise work is Σ|cell|², never n².
+
+    ``k_cells=None`` (default) sizes the quantizer adaptively to
+    ``target_cell_size`` — total kernel work ≈ n × target, measured
+    linear — the same scale defaults as ``semantic_dup_pairs`` (a
+    FIXED cell count makes |cell| grow with the corpus and the join
+    O(n²/k)). Pin ``k_cells`` only where an external oracle must
+    replay the clustering (the oracled query pins 4).
+
+    Within a cell the sims come from a grouped Arrow kernel that
+    accumulates dot products and norms SEQUENTIALLY OVER DIMENSIONS
+    but vectorized across the cell — the IEEE op order of a SQL
+    ``list_sum`` fold, so every sim is bit-exact against a DuckDB
+    replay (the SemDeDup kernel discipline). The kernel emits a raw-sim
+    candidate set with a 2e-6 margin past the k-th best; the final
+    (round(sim,6), nid) ranking happens Spark-side because kernel-side
+    rounding could disagree with BigDecimal HALF_UP exactly at a grid
+    boundary.
+    """
+    import pandas as pd
+
+    from .kmeans import kmeans_fit
+
+    assigned, _ = kmeans_fit(emb, k=k_cells, iters=iters, id_col=id_col,
+                             vec_col=vec_col,
+                             target_cluster_size=target_cell_size)
+    kn = int(k_neighbors)
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"qid": [], "nid": [], "sim": []})
+        E = np.array(pdf["e"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        S = np.zeros((m, m))
+        n2 = np.zeros(m)
+        for d in range(E.shape[1]):
+            col = E[:, d]
+            S += col[:, None] * col[None, :]
+            n2 += col * col
+        nrm = np.sqrt(n2)
+        sim = S / (nrm[:, None] * nrm[None, :])
+        np.fill_diagonal(sim, -np.inf)
+        cap = max(50, 4 * kn)
+        out_q, out_n, out_s = [], [], []
+        for i in range(m):
+            order = np.argsort(-sim[i], kind="stable")
+            kth = sim[i, order[min(kn - 1, m - 2)]]
+            keep = [j for j in order if sim[i, j] >= kth - 2e-6][:cap]
+            out_q += [ids[i]] * len(keep)
+            out_n += [ids[j] for j in keep]
+            out_s += [sim[i, j] for j in keep]
+        return pd.DataFrame({"qid": out_q, "nid": out_n, "sim": out_s})
+
+    cand = (assigned.select("vec_id", "e", "cid")
+            .groupBy("cid")
+            .applyInPandas(topk, schema="qid long, nid long, sim double"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                          F.col("nid"))
+    return (cand.select("qid", "nid", F.round("sim", 6).alias("sim"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= kn).drop("rn"))

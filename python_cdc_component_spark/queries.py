@@ -5286,6 +5286,33 @@ def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rn") <= 3).drop("rn"))
 
 
+@query("knn_join_kmeans", """
+WITH {kmeans},
+n AS (SELECT vec_id, e, cid,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM a3),
+s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6)
+                 AS sim
+      FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+SELECT qid, nid, sim FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3
+""".format(kmeans=_KMEANS_SQL))
+def knn_join_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-NN join OPERATOR (`operators/llm/annindex.knn_join`) under
+    its oracle pin: Lloyd-trained cells (k_cells=4, 2 iterations — the
+    `_KMEANS_SQL` replay) instead of `knn_join_ivf`'s seed cells. The
+    operator's SCALE defaults are adaptive (k_cells=None sizes cells to
+    target_cell_size, total kernel work ≈ n × target — the
+    semantic_dup_pairs discipline); the pin exists only so DuckDB can
+    replay the clustering bit-exactly. Kernel + Spark-side
+    (round(sim,6), nid) final ranking as in `knn_join_ivf`."""
+    from .operators.llm.annindex import knn_join
+    emb = read_table(_spark(spark), sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    return knn_join(emb, k_neighbors=3, k_cells=4, iters=2)
+
+
 @query("quality_classifier_score", f"""
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
 f AS (SELECT doc_id,
