@@ -165,3 +165,73 @@ def cosine_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                       F.round(dot / (F.col("_na") * F.col("_nb")), round_dp)
                        .alias("sim")))
     return pairs.filter(F.col("sim") >= threshold)
+
+
+# Deterministic pseudo-random hyperplanes shared with the DuckDB oracle:
+# integer arithmetic only, so the plane coefficients are bit-identical
+# across engines and the sign bits (hence the candidate set) agree
+# exactly. j = hyperplane index, i = dimension index.
+_HP_COEF = "(((1 + (j*{dim} + i) * 2654435761) % 1000003) / 1000003.0 - 0.5)"
+
+
+def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
+                         n_bands: int = 4,
+                         bits_per_band: int | None = None,
+                         target_bucket_size: int = 512,
+                         id_col: str = "vec_id",
+                         vec_col: str = "e") -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) LSH near-dup candidates
+    with an exact cosine filter — the APPROXIMATE embedding scale path
+    (vs. the exact centroid-bucketed join above, which is Ω(n²) on
+    unclustered data; SCALING.md "embedding near-dup").
+
+    ``bits_per_band=None`` (default) sizes the band key space to the
+    corpus: bits = ceil(log2(n / target_bucket_size)) (clamped to
+    [1, 24]), so expected bucket size stays ~target and same-band pair
+    work stays ~n × target — a FIXED key space (the old 4-bit bands =
+    16 keys) makes buckets grow with n and the band self-join
+    O(n²/keys). Recall per band drops as bits grow (P[collision] =
+    (1 - θ/π)^bits); compensate with ``n_bands`` — the standard LSH
+    trade. Pin both only where an external oracle must replay the
+    geometry (the oracled query pins 4×4).
+    """
+    spark = emb.sparkSession
+    if bits_per_band is None:
+        n_rows = emb.count()
+        bits_per_band = max(1, min(24, math.ceil(math.log2(
+            max(2.0, n_rows / target_bucket_size)))))
+    dim = len(emb.select(vec_col).first()[0])
+    total_bits = n_bands * bits_per_band
+    coef = _HP_COEF.format(dim=dim)
+    v = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("e"))
+    nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                             F.lit(0.0), lambda a, x: a + x))
+    u = (v.withColumn("nrm", nrm)
+          .withColumn("uv", F.expr("transform(e, x -> x / nrm)")))
+    bits = F.expr(f"""transform(sequence(0, {total_bits - 1}), j -> CASE
+        WHEN aggregate(sequence(0, {dim - 1}), cast(0 as double),
+                       (acc, i) -> acc + element_at(uv, i+1) * {coef}) >= 0
+        THEN 1 ELSE 0 END)""")
+    sig = persist_once(u.withColumn("bits", bits))
+    key = F.expr(f"""aggregate(sequence(0, {bits_per_band - 1}),
+        cast(0 as long),
+        (acc, t) -> acc * 2 + element_at(bits, b * {bits_per_band} + t + 1))""")
+    bands = (sig.select("vec_id", "e", "nrm",
+                        F.explode(F.sequence(
+                            F.lit(0), F.lit(n_bands - 1))).alias("b"),
+                        "bits")
+                .select("vec_id", "e", "nrm", "b", key.alias("band_key")))
+    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                     F.col("nrm").alias("na"), "b", "band_key")
+    bb = bands.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                      F.col("nrm").alias("nb"), "b", "band_key")
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cand = (a.join(bb, ["b", "band_key"])
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b",
+                     F.round(dot / (F.col("na") * F.col("nb")), 6)
+                      .alias("sim"))
+             .distinct())
+    return cand.filter(F.col("sim") >= threshold)

@@ -2407,49 +2407,21 @@ SELECT vec_a, vec_b, sim FROM cand WHERE sim >= 0.4
 """)
 def embedding_hyperplane_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (SimHash-for-cosine) LSH near-dup candidates:
-    16 sign bits from deterministic integer-arithmetic hyperplanes, 4
-    bands x 4 bits, candidates = same-band pairs, then exact cosine
-    filter. The APPROXIMATE scale path next to the exact bucketed join
-    (operators/llm/simjoin.py): band keys are uniform, the self-join is
-    an equi-join on (band, key), and the shuffle carries 16 bits per
-    vector — this is how cosine near-dup runs when even centroid
-    pruning is too expensive."""
+    the `operators/llm/simjoin.hyperplane_lsh_pairs` operator under its
+    oracle pin — 16 sign bits from deterministic integer-arithmetic
+    hyperplanes, 4 bands x 4 bits, candidates = same-band pairs, exact
+    cosine filter. The operator's SCALE defaults are adaptive
+    (bits_per_band=None sizes the band key space to ceil(log2(n /
+    target_bucket_size)), keeping buckets ~target and band-join work
+    ~n x target — a fixed 16-key band space makes buckets grow with n
+    and the self-join O(n^2/16)); the 4x4 pin exists only so DuckDB
+    replays the geometry bit-exactly."""
+    from .operators.llm.simjoin import hyperplane_lsh_pairs
     s = _spark(spark)
     emb = read_table(s, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
-                             F.lit(0.0), lambda a, x: a + x))
-    u = (emb.withColumn("nrm", nrm)
-            .withColumn("uv", F.expr("transform(e, x -> x / nrm)")))
-    bits = F.expr(f"""transform(sequence(0, 15), j -> CASE WHEN
-        aggregate(sequence(0, 63), cast(0 as double),
-                  (acc, i) -> acc + element_at(uv, i+1) * {_HP}) >= 0
-        THEN 1 ELSE 0 END)""")
-    sig = persist_once(u.withColumn("bits", bits))
-    bands = sig.select(
-        "vec_id", "e", "nrm",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
-        F.col("bits")).select(
-        "vec_id", "e", "nrm", "b",
-        (F.expr("element_at(bits, 4*b+1)") * 8
-         + F.expr("element_at(bits, 4*b+2)") * 4
-         + F.expr("element_at(bits, 4*b+3)") * 2
-         + F.expr("element_at(bits, 4*b+4)")).alias("band_key"))
-    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-                     F.col("nrm").alias("na"), "b", "band_key")
-    bb = bands.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-                      F.col("nrm").alias("nb"), F.col("b").alias("b2"),
-                      F.col("band_key").alias("band_key2"))
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    cand = (a.join(bb, (F.col("b") == F.col("b2"))
-                   & (F.col("band_key") == F.col("band_key2"))
-                   & (F.col("vec_a") < F.col("vec_b")))
-             .select("vec_a", "vec_b",
-                     F.round(dot / (F.col("na") * F.col("nb")), 6)
-                      .alias("sim"))
-             .distinct())
-    return cand.filter(F.col("sim") >= 0.4)
+    return hyperplane_lsh_pairs(emb, threshold=0.4, n_bands=4,
+                                bits_per_band=4)
 
 
 @query("all_datatypes_decode", """
