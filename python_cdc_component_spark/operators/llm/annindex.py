@@ -43,8 +43,15 @@ def _sq_fold(a, b):
 
 @dataclass
 class IvfVectorIndex:
+    """``n_cells=None`` sizes the cell count at :meth:`build` time to
+    ``ceil(n / target_cell_size)`` — probe cost corpus/n_cells × nprobe
+    then stays ~target × nprobe as the corpus grows (the r6
+    fixed-parameter audit: a pinned cell count makes every probe scan
+    grow linearly with the corpus). Pin it only where an oracle must
+    replay the assignment."""
     index_path: str
-    n_cells: int = 8
+    n_cells: int | None = 8
+    target_cell_size: int = 512
 
     @property
     def _cent_path(self) -> str:
@@ -57,6 +64,10 @@ class IvfVectorIndex:
         (first n_cells vectors by vec_id); pass ``kmeans_fit`` means
         for the trained quantizer. Returns the number of cells
         written."""
+        if self.n_cells is None:
+            import math as _math
+            self.n_cells = max(1, _math.ceil(
+                emb.count() / self.target_cell_size))
         if centroids is None:
             rows = (emb.filter(F.col("vec_id") < self.n_cells)
                        .orderBy("vec_id").select("e").collect())
