@@ -47,19 +47,80 @@ _OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
 @dataclass
 class MergeCompactor:
     """Keyed-upsert sink: ``merge`` is called once per micro-batch (from
-    ``foreachBatch``) or once per chained batch run."""
+    ``foreachBatch``) or once per chained batch run.
+
+    The bucket count is part of the store's PHYSICAL LAYOUT: a row of
+    key k lives in directory ``pmod(xxhash64(k), N)`` for the N the
+    store was BUILT with. The first write persists N to
+    ``_meta.json``; every later open resolves N from the store, so a
+    caller constructed with a different ``num_buckets`` cannot
+    silently mis-bucket (which would read the wrong directory on merge
+    and produce duplicate rows per key). Growing a store's N is an
+    explicit full rewrite — :meth:`rebucket` — exactly like bucketed
+    tables everywhere."""
 
     state_path: str
     keys: list[str]
     num_buckets: int = 32
 
+    def _meta_path(self) -> str:
+        import os
+        return os.path.join(self.state_path, "_meta.json")
+
+    def _resolve_buckets(self, spark: SparkSession) -> int:
+        """Layout-resolved bucket count: the stored N wins over the
+        constructor arg; a legacy store (no meta) gets the current N
+        persisted on first contact."""
+        import json
+        import os
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as fh:
+                stored = int(json.load(fh)["num_buckets"])
+            self.num_buckets = stored
+            return stored
+        if _fs_exists(spark, self.state_path):
+            os.makedirs(self.state_path, exist_ok=True)
+            with open(self._meta_path(), "w") as fh:
+                json.dump({"num_buckets": self.num_buckets}, fh)
+        return self.num_buckets
+
+    def _write_meta(self) -> None:
+        import json
+        import os
+        os.makedirs(self.state_path, exist_ok=True)
+        with open(self._meta_path(), "w") as fh:
+            json.dump({"num_buckets": self.num_buckets}, fh)
+
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
                       F.lit(self.num_buckets)).cast("int")
 
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
+        """Maintenance op: rewrite the whole store under a new bucket
+        count (state growth outpacing N means per-bucket merge I/O
+        creeps up — the SCALING.md "N ~ state_bytes /
+        target_partition_bytes" knob, applied). Full rewrite by
+        construction; returns the new N."""
+        self._resolve_buckets(spark)
+        if not _fs_exists(spark, self.state_path):
+            self.num_buckets = int(new_num_buckets)
+            return self.num_buckets
+        cur = (spark.read.option("mergeSchema", "true")
+               .option("basePath", self.state_path)
+               .parquet(self.state_path).drop(BUCKET_COL))
+        self.num_buckets = int(new_num_buckets)
+        out = (cur.withColumn(BUCKET_COL, self._bucket())
+                  .repartition(F.col(BUCKET_COL))
+                  .localCheckpoint(eager=True))
+        (out.write.partitionBy(BUCKET_COL)
+            .mode("overwrite").parquet(self.state_path))
+        self._write_meta()
+        return self.num_buckets
+
     def merge(self, spark: SparkSession, batch_df: DataFrame) -> int:
         """Upsert one batch into the compacted state. Returns the number
         of buckets rewritten (0 for an empty batch)."""
+        self._resolve_buckets(spark)
         batch = batch_df.withColumn(BUCKET_COL, self._bucket())
         batch.persist()
         try:
@@ -111,6 +172,9 @@ class MergeCompactor:
             (compacted.write.partitionBy(BUCKET_COL)
              .option(_OVERWRITE_MODE_KEY.rsplit(".", 1)[-1], "dynamic")
              .mode("overwrite").parquet(self.state_path))
+            import os
+            if not os.path.exists(self._meta_path()):
+                self._write_meta()      # pin the layout at first write
             return len(touched)
         finally:
             batch.unpersist()
@@ -123,6 +187,7 @@ class MergeCompactor:
         contract as ``merge``). Returns the number of buckets rewritten.
         Erasure is physical: the rewritten files no longer contain the
         rows, unlike a tombstone append."""
+        self._resolve_buckets(spark)
         keys = keys_df.select(*self.keys).distinct()
         keys.persist()
         try:

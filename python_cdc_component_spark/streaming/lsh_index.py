@@ -107,6 +107,30 @@ class StreamingLshIndex:
     def _manifest_path(self) -> str:
         return os.path.join(self.index_path, "_batches")
 
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.index_path, "_meta.json")
+
+    def _resolve_buckets(self, spark: SparkSession) -> int:
+        """The bucket count is physical layout (band values hash to
+        ``pmod(xxhash64(bv), N)`` directories for the N the index was
+        BUILT with): the stored N wins over the constructor arg, so a
+        mismatched caller cannot silently probe the wrong bucket and
+        MISS pairs. Legacy index (no meta): current N is persisted."""
+        import json
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as fh:
+                self.num_buckets = int(json.load(fh)["num_buckets"])
+        elif _fs_exists(spark, self.index_path):
+            self._write_meta()
+        return self.num_buckets
+
+    def _write_meta(self) -> None:
+        import json
+        os.makedirs(self.index_path, exist_ok=True)
+        with open(self._meta_path, "w") as fh:
+            json.dump({"num_buckets": self.num_buckets}, fh)
+
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("bv")),
                       F.lit(self.num_buckets)).cast("int")
@@ -132,6 +156,7 @@ class StreamingLshIndex:
         index append). With ``batch_id``, a replay of an
         already-committed batch returns the identical pairs and leaves
         the index bytes untouched."""
+        self._resolve_buckets(spark)
         committed = (batch_id is not None
                      and _fs_exists(spark, os.path.join(
                          self._manifest_path, str(batch_id))))
@@ -193,6 +218,8 @@ class StreamingLshIndex:
                                   .cast("int")))
             (docmap.write.partitionBy(DOC_PART_COL)
                    .mode("append").parquet(self._docmap_path))
+            if not os.path.exists(self._meta_path):
+                self._write_meta()      # pin the layout at first append
             if batch_id is not None:
                 _fs_touch(spark, os.path.join(self._manifest_path,
                                               str(batch_id)))
@@ -215,6 +242,7 @@ class StreamingLshIndex:
         buckets rewritten."""
         if not doc_ids or not _fs_exists(spark, self.index_path):
             return 0
+        self._resolve_buckets(spark)
         ids_df = spark.createDataFrame([(int(i),) for i in doc_ids],
                                        "doc_id long")
         map_paths = []

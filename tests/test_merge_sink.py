@@ -203,3 +203,44 @@ def test_purge_physically_erases_and_prunes(spark, tmp_path):
                               f"_kbc_bucket={bucketed[other]}")}
     for b in untouched:
         assert after[b] == before[b]
+
+
+def test_merge_bucket_count_is_layout_pinned_and_rebucketable(
+        spark, tmp_path):
+    """A MergeCompactor reopened with a different num_buckets must use
+    the STORE's layout (a mismatched modulus would read the wrong
+    bucket and duplicate keys); rebucket() is the explicit migration."""
+    import os
+    from pyspark.sql import functions as F
+    from python_cdc_component_spark.sinks.merge import (
+        BUCKET_COL, MergeCompactor)
+    path = str(tmp_path / "state")
+    rows = [(i, f"v{i}", i, "f", i) for i in range(100)]
+    schema = ("k long, v string, kbc__event_timestamp long, "
+              "kbc__file string, kbc__pos long")
+    a = MergeCompactor(path, ["k"], 8)
+    a.merge(spark, spark.createDataFrame(rows[:50], schema))
+    # reopen with a different N: layout must win, upserts stay correct
+    b = MergeCompactor(path, ["k"], 64)
+    b.merge(spark, spark.createDataFrame(rows[50:], schema))
+    assert b.num_buckets == 8
+    state = spark.read.parquet(path)
+    assert state.count() == 100
+    assert state.select("k").distinct().count() == 100
+    n_dirs = len([d for d in os.listdir(path)
+                  if d.startswith(f"{BUCKET_COL}=")])
+    assert n_dirs <= 8
+    # explicit migration to a wider layout
+    assert b.rebucket(spark, 32) == 32
+    n_dirs = len([d for d in os.listdir(path)
+                  if d.startswith(f"{BUCKET_COL}=")])
+    assert 8 < n_dirs <= 32
+    state = spark.read.parquet(path)
+    assert state.count() == 100
+    # post-rebucket merges use the new layout from the stored meta
+    c = MergeCompactor(path, ["k"], 8)
+    c.merge(spark, spark.createDataFrame(
+        [(5, "updated", 999, "f", 999)], schema))
+    assert c.num_buckets == 32
+    upd = spark.read.parquet(path).filter(F.col("k") == 5).collect()
+    assert len(upd) == 1 and upd[0]["v"] == "updated"

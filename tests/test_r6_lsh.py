@@ -246,3 +246,24 @@ def test_lsh_index_end_to_end_foreachbatch_stream(spark, sf_dir):
         assert len(markers) >= 2        # really ran multiple epochs
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_lsh_bucket_count_is_layout_pinned(spark, sf_dir):
+    """Reopening an index with a DIFFERENT num_buckets must not probe
+    the wrong directories (missed pairs): the stored layout wins."""
+    docs = _docs(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="lsh_r6_")
+    try:
+        a = StreamingLshIndex(index_path=f"{work}/index", num_buckets=16)
+        a.process_batch(spark, docs.filter("doc_id % 2 = 0"))
+        # a different process opens the same index with the default N
+        b = StreamingLshIndex(index_path=f"{work}/index", num_buckets=64)
+        got = _pairs(b.process_batch(spark, docs.filter("doc_id % 2 = 1")))
+        assert b.num_buckets == 16          # layout resolved from meta
+        from python_cdc_component_spark.queries import QUERIES
+        full = _pairs(QUERIES["minhash_lsh_pairs"](spark, sf_dir))
+        first = {p: n for p, n in full.items()
+                 if p[0] % 2 == 0 and p[1] % 2 == 0}
+        assert {**first, **got} == full
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
