@@ -234,3 +234,18 @@ def test_leakage_safe_split_never_straddles_components(spark, sf_dir):
     assert all(len(s) == 1 for s in by_comp.values())
     splits = {r["split"] for r in rows}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node near-dup CHAIN (diameter 199) must converge under the
+    default round budget — pointer jumping makes rounds O(log diameter)
+    — and every node must land in component 0. Pre-r6, plain
+    propagation covered only max_iter hops and silently returned split
+    components."""
+    from python_cdc_component_spark.operators.llm.components import (
+        connected_components)
+    edges = spark.createDataFrame([(i, i + 1) for i in range(199)],
+                                  "src long, dst long")
+    out = connected_components(edges).collect()
+    assert len(out) == 200
+    assert {r["component"] for r in out} == {0}
