@@ -55,33 +55,31 @@ def connected_components(edges: DataFrame, src: str = "src",
     converged = False
     for _ in range(max_iter):
         # neighbor labels: for each edge a→b, b's current label is a
-        # candidate for a
+        # candidate for a. NOTE `labels` feeds this subtree AND the
+        # union below — every round references it twice, so without
+        # per-round lineage truncation the lazy plan DOUBLES per round
+        # (2^rounds Catalyst analysis: the pre-r6 loop OOMed the driver
+        # at round ~15 on a 200-node chain).
         nbr = (both.join(labels.withColumnRenamed("node", "b"), "b")
                .select(F.col("a").alias("node"),
                        F.col("label").alias("nbr_label")))
         stepped = (labels.unionByName(
                        nbr.withColumnRenamed("nbr_label", "label"))
-                   .groupBy("node").agg(F.min("label").alias("label")))
-        stepped = stepped.persist()     # feeds both sides of the jump
-        # pointer jumping: follow each node's label to ITS label
-        # (labels are node ids, and by monotonicity label(label(x)) <=
-        # label(x)) — doubles the effective propagation distance per
-        # round, so convergence is O(log diameter) rounds instead of
-        # O(diameter). Without this a 2*max_iter-long near-dup CHAIN
-        # would exit the loop unconverged.
+                   .groupBy("node").agg(F.min("label").alias("label"))
+                   .persist())          # feeds both sides of the jump
+        # pointer jumping: also follow label ← label(label) (valid by
+        # monotonicity — label(label(x)) <= label(x)), doubling the
+        # effective propagation distance per round: convergence is
+        # O(log diameter) rounds instead of O(diameter), so a long
+        # near-dup CHAIN converges inside the round budget instead of
+        # silently returning SPLIT components at the loop exit.
         x, y = stepped.alias("x"), stepped.alias("y")
-        # eager localCheckpoint, not persist: the jump SELF-JOINS the
-        # round's labels, so a lazy plan would DOUBLE per round
-        # (2^rounds Catalyst analysis — measured minutes by round 8 on
-        # a 200-row graph); truncating lineage each round keeps every
-        # round O(1) plan size. Also what lets the caller reuse the
-        # final labels without dragging the whole loop's lineage.
         new_labels = (
             x.join(y, F.col("x.label") == F.col("y.node"), "left")
              .select(F.col("x.node").alias("node"),
                      F.coalesce(F.col("y.label"),
                                 F.col("x.label")).alias("label"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=True))      # O(1) plan per round
         new_sum = _label_sum(new_labels)
         stepped.unpersist()
         labels.unpersist()
