@@ -395,6 +395,39 @@ def bounded_sync_multi_fused(spark: SparkSession,
             "stopped_reasons": reasons, "out_dir": out_dir}
 
 
+def purge_fleet_keys(spark: SparkSession, out_dir: str,
+                     key_values: DataFrame) -> dict:
+    """Right-to-be-forgotten across a whole
+    :func:`bounded_sync_multi_fused` output: erase every row whose
+    primary-key columns match ``key_values`` from EVERY table of every
+    DEDUPE group (the reference's per-table erasure, fleet-wide in one
+    call). Each group's :meth:`MergeCompactor.purge` stays
+    bucket-pruned — the victim keys are crossed with the group's table
+    list so only the buckets those (table, key) pairs hash into are
+    opened. No-PK groups dedupe on full payloads and have no stable
+    erasure key — they are skipped and reported, not silently ignored.
+    Returns {group id: buckets rewritten} plus the skipped groups."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "fleet.json")) as fh:
+        manifest = json.load(fh)
+    rewritten: dict = {}
+    skipped: list[str] = []
+    for gid, m in manifest.items():
+        if m["mode"] != "DEDUPE" or not m["primary_keys"]:
+            skipped.append(gid)
+            continue
+        pks = m["primary_keys"]
+        tables = spark.createDataFrame([(t,) for t in m["tables"]],
+                                       "_table string")
+        keys = key_values.select(*pks).distinct().crossJoin(
+            F.broadcast(tables))
+        comp = MergeCompactor(m["path"], ["_table", *pks])
+        rewritten[gid] = comp.purge(spark, keys)
+    return {"rewritten_buckets": rewritten, "skipped_groups": skipped}
+
+
 def read_fleet_table(spark: SparkSession, out_dir: str,
                      table: str) -> DataFrame:
     """Read one table's compacted rows back out of a

@@ -176,3 +176,44 @@ def test_merge_state_survives_partial_bucket_batches_in_stream(
                   spark.read.parquet(str(tmp_path / "state"))
                   .select("k").collect())
     assert keys == [1, 2]
+
+
+def test_purge_fleet_keys_erases_across_tables(spark, sf_dir):
+    """GDPR forget-user across a fused fleet: every DEDUPE group's
+    state drops the user's rows; no-PK groups are reported skipped."""
+    from python_cdc_component_spark.streaming.bounded import (
+        purge_fleet_keys)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="fleet_r6_")
+    try:
+        dirs = {}
+        for i, t in enumerate(["a", "b"]):
+            d = os.path.join(work, "src", t)
+            raw.filter(F.col("event_id") % 2 == i).write.parquet(d)
+            dirs[t] = d
+        cfgs = {t: BoundedStreamConfig(mode="DEDUPE",
+                                       primary_keys=["user_id"],
+                                       max_wait_s=5) for t in dirs}
+        cfgs["c"] = BoundedStreamConfig(mode="DEDUPE", primary_keys=[],
+                                        max_wait_s=5)
+        d = os.path.join(work, "src", "c")
+        raw.limit(40).write.parquet(d)
+        dirs["c"] = d
+        out = os.path.join(work, "out")
+        bounded_sync_multi_fused(spark, dirs, out,
+                                 os.path.join(work, "ckpt"), cfgs)
+        victim = raw.select("user_id").first()[0]
+        before_a = read_fleet_table(spark, out, "a")
+        assert before_a.filter(F.col("user_id") == victim).count() == 1
+        res = purge_fleet_keys(
+            spark, out,
+            spark.createDataFrame([(int(victim),)], "user_id long"))
+        assert len(res["skipped_groups"]) == 1      # the no-PK group
+        assert sum(res["rewritten_buckets"].values()) > 0
+        for t in ["a", "b"]:
+            left = read_fleet_table(spark, out, t)
+            assert left.filter(F.col("user_id") == victim).count() == 0
+            # everyone else survives
+            assert left.count() > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
