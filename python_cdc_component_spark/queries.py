@@ -3436,6 +3436,77 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.array_min("w").alias("min_fp")))
 
 
+@query("containment_dup_pairs", """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 8 + 2, 1))) AS p
+  FROM documents
+), g AS (
+  SELECT doc_id, p, md5(substr(text, CAST(p AS INTEGER), 8)) AS h FROM pos
+), sel AS (
+  SELECT doc_id, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+  FROM g
+  QUALIFY p <= max(p) OVER (PARTITION BY doc_id) - 3
+), fp AS (SELECT DISTINCT doc_id, s FROM sel),
+keepfp AS (SELECT s FROM fp GROUP BY s HAVING COUNT(*) <= 50),
+f2 AS (SELECT fp.doc_id, fp.s FROM fp JOIN keepfp USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM f2 GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS contained, b.doc_id AS container,
+                 COUNT(*) AS i
+          FROM f2 a JOIN f2 b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT contained, container, round(i / (1.0 * sz.n), 6) AS containment
+FROM inter JOIN sz ON sz.doc_id = inter.contained
+WHERE round(i / (1.0 * sz.n), 6) >= 0.5
+""")
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup — doc-in-doc detection (Broder's containment
+    coefficient over winnowing fingerprints): ``containment(A ⊆ B) =
+    |fp(A) ∩ fp(B)| / |fp(A)|``. The ASYMMETRIC case symmetric Jaccard
+    misses: a short document quoted wholesale inside a long one has
+    tiny Jaccard but containment ≈ 1 — exactly the nested-boilerplate/
+    quotation duplication a curation pipeline wants to catch.
+
+    Scale shape: fingerprints are CONTENT-keyed (the winnowing window
+    mins), so the self-join's bucket sizes track shared content, not
+    corpus size; the stop-fingerprint filter (doc frequency ≤ 50, the
+    MOSS discipline) caps boilerplate fan-out, bounding candidate work
+    at 50 × |fp rows|. One fingerprint-keyed exchange + one pair-keyed
+    aggregation; denominators use the SAME filtered fingerprint sets
+    on both sides so the ratio is internally consistent."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    hs = F.expr(
+        "transform(sequence(1, length(text) - 7), "
+        "i -> md5(substring(text, i, 8)))")
+    wins = F.expr(
+        "transform(sequence(0, size(hs) - 4), "
+        "i -> array_min(slice(hs, i + 1, 4)))")
+    fp = (_spread(d.filter(F.length("text") >= 11)
+                   .select("doc_id", "text"), _spark(spark))
+          .select("doc_id", hs.alias("hs"))
+          .select("doc_id", wins.alias("w"))
+          .select("doc_id",
+                  F.explode(F.array_distinct("w")).alias("s")))
+    fp = persist_once(fp)
+    keep = (fp.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+              .filter(F.col("_df") <= 50).select("s"))
+    f2 = persist_once(fp.join(keep, "s", "left_semi"))
+    sz = f2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = f2.select(F.col("doc_id").alias("contained"), "s")
+    b = f2.select(F.col("doc_id").alias("container"), "s")
+    inter = (a.join(b, "s")
+              .filter(F.col("contained") != F.col("container"))
+              .groupBy("contained", "container")
+              .agg(F.count(F.lit(1)).alias("i")))
+    out = (inter.join(sz.withColumnRenamed("doc_id", "contained"),
+                      "contained")
+           .select("contained", "container",
+                   F.round(F.col("i") / (1.0 * F.col("n")), 6)
+                    .alias("containment")))
+    return out.filter(F.col("containment") >= 0.5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal feature extraction (deterministic fake encoder, end-to-end)
 
