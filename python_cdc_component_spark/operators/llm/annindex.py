@@ -181,6 +181,7 @@ class IvfVectorIndex:
 def knn_join(emb: DataFrame, k_neighbors: int = 3,
              k_cells: int | None = None, iters: int = 2,
              target_cell_size: int = 512,
+             max_cell_size: int | str | None = "auto",
              id_col: str = "vec_id", vec_col: str = "e") -> DataFrame:
     """k-NN JOIN at corpus scale: top-``k_neighbors`` neighbors for
     EVERY vector (qid, nid, sim), cell-blocked by a trained Lloyd
@@ -202,14 +203,41 @@ def knn_join(emb: DataFrame, k_neighbors: int = 3,
     (round(sim,6), nid) ranking happens Spark-side because kernel-side
     rounding could disagree with BigDecimal HALF_UP exactly at a grid
     boundary.
+
+    ``max_cell_size`` is the runaway-cell guard (the SemDeDup
+    ``max_cluster_size`` discipline): a degenerate corpus of
+    near-identical vectors defeats any geometric split, the hot cell's
+    m×m kernel matrix is O(m²) memory, and one executor OOMs. Cells
+    over the cap (default ``"auto"`` = 4 × target_cell_size) are
+    deterministically hash-split; neighbors across slices of a split
+    cell are sacrificed — the same graceful recall-for-bound trade the
+    cell blocking already makes at cell boundaries. Pass ``None`` only
+    where an oracle replays the exact cell membership.
     """
+    import math as _math
+
     import pandas as pd
 
     from .kmeans import kmeans_fit
 
+    if max_cell_size == "auto":
+        max_cell_size = 4 * target_cell_size
     assigned, _ = kmeans_fit(emb, k=k_cells, iters=iters, id_col=id_col,
                              vec_col=vec_col,
                              target_cluster_size=target_cell_size)
+    if max_cell_size is not None:
+        sizes = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("_n")).collect()
+        slices = {r["cid"]: _math.ceil(r["_n"] / max_cell_size)
+                  for r in sizes if r["_n"] > max_cell_size}
+        if slices:
+            m = F.create_map(*[F.lit(x) for kv in slices.items()
+                               for x in kv])
+            sub = F.coalesce(m[F.col("cid")], F.lit(1))
+            assigned = assigned.withColumn(
+                "cid",
+                F.col("cid") * (max(slices.values()) + 1)
+                + F.pmod(F.xxhash64("vec_id"), sub).cast("int"))
     kn = int(k_neighbors)
 
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -5353,7 +5353,10 @@ def knn_join_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.llm.annindex import knn_join
     emb = read_table(_spark(spark), sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    return knn_join(emb, k_neighbors=3, k_cells=4, iters=2)
+    # max_cell_size=None: the oracle replays the exact cell membership;
+    # direct users get the "auto" hot-cell hash-split guard
+    return knn_join(emb, k_neighbors=3, k_cells=4, iters=2,
+                    max_cell_size=None)
 
 
 @query("quality_classifier_score", f"""

@@ -161,3 +161,24 @@ def test_semantic_dedup_cap_defaults_on(spark):
                              target_cluster_size=128,
                              max_cluster_size=None)
     assert unc.select("cluster_id").distinct().count() == 1
+
+
+def test_knn_join_hot_cell_cap_defaults_on(spark):
+    """The runaway-cell guard is ON by default in knn_join: a
+    degenerate corpus (near-identical vectors, k_cells=1) gets
+    hash-split instead of building one m x m kernel matrix."""
+    from python_cdc_component_spark.operators.llm.annindex import knn_join
+    n = 700
+    emb = spark.createDataFrame(
+        [(i, [1.0 + i * 1e-9, 0.0]) for i in range(n)],
+        "vec_id int, e array<double>")
+    out = knn_join(emb, k_neighbors=2, k_cells=1, iters=1,
+                   target_cell_size=128)
+    # every vector still gets its neighbors (within its slice)
+    assert out.select("qid").distinct().count() == n
+    assert out.groupBy("qid").count().agg(
+        {"count": "max"}).first()[0] <= 2
+    # uncapped comparison: identical single-cell search
+    unc = knn_join(emb, k_neighbors=2, k_cells=1, iters=1,
+                   target_cell_size=128, max_cell_size=None)
+    assert unc.select("qid").distinct().count() == n
