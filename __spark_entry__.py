@@ -35,12 +35,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle (S2-S8, K1-K5, P3/P4/P7, F8/F10, T1/T3/T6/T8), the UDF
 # surface (§2.10), and one flagship per LLM-pipeline operator family.
 # Everything else still runs under scripts/check_oracle.py + pytest.
-# Round-6 rotation (VERDICT r5 #5): the 25 flagship slots stay pinned;
-# the other 25 rotate to queries that have NEVER earned a driver row in
-# any round (plus cdc_current_state/udtf_json_kv back through per the
-# verdict). The rotated-out r05 batch (embedding_kmeans,
-# semantic_dedup_pairs, streaming_lsh_dedup_pairs, TPC-H tail, ...) all
-# earned green r05 rows and stay covered by the 192-query self gate.
+# Round-7 rotation (VERDICT r6 #1): the 25 flagship slots stay pinned;
+# the other 25 rotate — exclusively queries that have NEVER earned a
+# driver row in any round (computed from CORRECTNESS_r01..r06 ∪ vs
+# queries(); contract-tested in tests/test_r7_window.py against
+# ROTATION_BASE_ROUND below). The rotated-out r06 batch (event
+# analytics, quality family, mixtures, ...) all earned green r06 rows
+# and stay covered by the 194-query self gate + pytest.
+ROTATION_BASE_ROUND = 7     # rotation slots never rowed in rounds < 7
 DRIVER_WINDOW = [
     # pinned flagships: CDC core + lifecycle essentials
     "cdc_dedup_latest", "cdc_append", "cdc_chunked_dedup",
@@ -54,25 +56,27 @@ DRIVER_WINDOW = [
     # pinned flagships: LLM pipeline
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
-    # rotated in (first-ever driver rows): event analytics
-    "event_funnel_stages", "cohort_retention", "event_transition_matrix",
-    # rotated in: dup-graph + erasure + split lifecycle
-    "khop_dup_neighbors", "gdpr_forget_keys", "leakage_safe_split",
-    "cdc_time_travel",
-    # rotated in: LM-scoring / mixture family
-    "ccnet_ppl_buckets", "temperature_mix_weights", "doremi_mix_weights",
-    # rotated in: quality family
-    "quality_classifier_score", "quality_keep_calibrated",
-    "gopher_quality_filter",
-    # rotated in: curation / serving order / stats
-    "pmi_collocations", "winsorize_values", "train_shuffle_order",
-    "kcenter_diverse_select", "tfidf_top_terms",
-    # rotated in: ANN index probe + sketch + BPE
-    "ann_index_probe", "hll_distinct_contract", "bpe_merges",
+    # rotated in (first-ever driver rows): dedup / fingerprint family
+    "containment_dup_pairs", "winnowing_fingerprints",
+    "lsh_incremental_pairs", "minhash_jaccard_accuracy",
+    "embedding_hyperplane_lsh_pairs",
+    # rotated in: ANN / multimodal / tokenize
+    "knn_join_kmeans", "multimodal_features", "bpe_encode_tokens",
+    # rotated in: sketches
+    "countmin_heavy_hitters", "approx_quantile_contract",
+    # rotated in: CDC lifecycle tail
+    "scd2_intervals", "snapshot_diff_events",
     # rotated in: format surface
-    "xml_roundtrip_events",
-    # back through per the verdict: T7 soft delete + UDF surface
-    "cdc_current_state", "udtf_json_kv", "grouped_centroids_pandas",
+    "jsonl_roundtrip_events", "orc_roundtrip_events",
+    # rotated in: event analytics tail
+    "funnel_time_to_convert", "session_window_agg",
+    "interval_join_clicks_buys",
+    # rotated in: curation / sampling / text
+    "corpus_audit_by_source", "stratified_sample_docs",
+    "text_normalize", "doc_chunk_split",
+    # rotated in: relational tail
+    "lateral_topk_per_customer", "q7_nation_volume",
+    "q8_market_share", "q22_dormant_customers",
 ]
 
 

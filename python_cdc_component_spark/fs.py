@@ -53,6 +53,35 @@ def fs_delete(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(jpath, True))
 
 
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file (meta/marker payloads) through the Hadoop
+    FS API — ``None`` if absent. Local ``open()`` would silently miss
+    the file on a non-local store (hdfs://, s3a://) and the guard the
+    meta exists for would do nothing."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file (parents created) through the Hadoop FS
+    API — the meta/marker twin of :func:`fs_read_text`."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def fs_list_names(spark: SparkSession, path: str) -> list[str]:
     """Names of immediate children of ``path`` ([] if absent)."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)

@@ -200,7 +200,11 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
         n_rows = emb.count()
         bits_per_band = max(1, min(24, math.ceil(math.log2(
             max(2.0, n_rows / target_bucket_size)))))
-    dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None:        # empty corpus: no pairs, not a TypeError
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, sim double")
+    dim = len(head[0])
     total_bits = n_bands * bits_per_band
     coef = _HP_COEF.format(dim=dim)
     v = emb.select(F.col(id_col).alias("vec_id"),

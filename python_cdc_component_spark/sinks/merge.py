@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fs import fs_exists as _fs_exists
+from ..fs import fs_read_text as _fs_read_text
+from ..fs import fs_write_text as _fs_write_text
 from ..operators.dedup import dedup_latest
 from ..operators.schema_align import union_epochs
 
@@ -70,26 +72,22 @@ class MergeCompactor:
     def _resolve_buckets(self, spark: SparkSession) -> int:
         """Layout-resolved bucket count: the stored N wins over the
         constructor arg; a legacy store (no meta) gets the current N
-        persisted on first contact."""
+        persisted on first contact. Meta I/O goes through the Hadoop
+        FS API like every data path — on hdfs://\u2009/\u2009s3a:// a local
+        ``open()`` would never find the file and the layout-pinning
+        guard would silently do nothing."""
         import json
-        import os
-        if os.path.exists(self._meta_path()):
-            with open(self._meta_path()) as fh:
-                stored = int(json.load(fh)["num_buckets"])
-            self.num_buckets = stored
-            return stored
-        if _fs_exists(spark, self.state_path):
-            os.makedirs(self.state_path, exist_ok=True)
-            with open(self._meta_path(), "w") as fh:
-                json.dump({"num_buckets": self.num_buckets}, fh)
+        raw = _fs_read_text(spark, self._meta_path())
+        if raw is not None:
+            self.num_buckets = int(json.loads(raw)["num_buckets"])
+        elif _fs_exists(spark, self.state_path):
+            self._write_meta(spark)
         return self.num_buckets
 
-    def _write_meta(self) -> None:
+    def _write_meta(self, spark: SparkSession) -> None:
         import json
-        import os
-        os.makedirs(self.state_path, exist_ok=True)
-        with open(self._meta_path(), "w") as fh:
-            json.dump({"num_buckets": self.num_buckets}, fh)
+        _fs_write_text(spark, self._meta_path(),
+                       json.dumps({"num_buckets": self.num_buckets}))
 
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
@@ -114,7 +112,7 @@ class MergeCompactor:
                   .localCheckpoint(eager=True))
         (out.write.partitionBy(BUCKET_COL)
             .mode("overwrite").parquet(self.state_path))
-        self._write_meta()
+        self._write_meta(spark)
         return self.num_buckets
 
     def merge(self, spark: SparkSession, batch_df: DataFrame) -> int:
@@ -173,8 +171,8 @@ class MergeCompactor:
              .option(_OVERWRITE_MODE_KEY.rsplit(".", 1)[-1], "dynamic")
              .mode("overwrite").parquet(self.state_path))
             import os
-            if not os.path.exists(self._meta_path()):
-                self._write_meta()      # pin the layout at first write
+            if _fs_read_text(spark, self._meta_path()) is None:
+                self._write_meta(spark)  # pin the layout at first write
             return len(touched)
         finally:
             batch.unpersist()

@@ -112,12 +112,27 @@ class _IdleStopListener(StreamingQueryListener):
         self.last_data_ts = time.time()
         self.busy = False
         self.phase = phase      # shared snapshot-phase gate (T3)
+        self.query_id = None    # bound per-query for fleet runs
+
+    def bind(self, query_id) -> None:
+        """Restrict this listener to ONE query's events. Listeners are
+        session-global in Structured Streaming — a fused fleet runs
+        several concurrent queries, and an unbound listener would reset
+        its idle clock on ANY group's progress, deferring every
+        group's idle stop to the busiest group's."""
+        self.query_id = str(query_id)
+
+    def _mine(self, event_id) -> bool:
+        return self.query_id is None or str(event_id) == self.query_id
 
     def onQueryStarted(self, event):
-        self.last_data_ts = time.time()
+        if self._mine(event.id):
+            self.last_data_ts = time.time()
 
     def onQueryProgress(self, event):
         progress = event.progress
+        if not self._mine(progress.id):
+            return
         if progress.numInputRows > 0:
             self.last_data_ts = time.time()
             self.busy = True
@@ -130,6 +145,8 @@ class _IdleStopListener(StreamingQueryListener):
                 self.phase["snapshot_active"] = False
 
     def onQueryIdle(self, event):
+        if not self._mine(event.id):
+            return
         self.busy = False
         if self.phase is not None:
             self.phase["snapshot_active"] = False
@@ -270,12 +287,24 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
 
 def _fleet_group_key(spark: SparkSession, events_dir: str,
                      cfg: BoundedStreamConfig) -> tuple:
-    """Fusion grouping key: (payload schema fingerprint, mode, keys).
-    Tables sharing all three can share ONE streaming query."""
+    """Fusion grouping key: (payload schema fingerprint, mode, keys)
+    plus EVERY behavior-relevant cfg field — tables may only share one
+    streaming query when the query would treat them identically.
+    Grouping on (schema, mode, keys) alone and then reading the rest
+    of the config from the group's first table silently dropped
+    per-table differences in snapshot_mode / num_state_buckets /
+    max_files_per_trigger / live-poll settings, breaking the
+    documented bit-identical parity with per-table ``bounded_sync``
+    (e.g. one table ``snapshot_mode='never'``, another ``'initial'``
+    in the same group). ``max_duration_s`` stays fleet-shared by
+    design (the documented fleet-max wall-clock guard)."""
     st = spark.read.parquet(events_dir).schema
     fp = tuple(sorted((f.name, f.dataType.simpleString())
                       for f in st.fields))
-    return (fp, cfg.mode.upper(), tuple(cfg.primary_keys or ()))
+    return (fp, cfg.mode.upper(), tuple(cfg.primary_keys or ()),
+            cfg.snapshot_mode, cfg.num_state_buckets,
+            cfg.max_files_per_trigger, cfg.live, cfg.poll_interval_ms,
+            cfg.max_wait_s)
 
 
 def bounded_sync_multi_fused(spark: SparkSession,
@@ -296,8 +325,18 @@ def bounded_sync_multi_fused(spark: SparkSession,
     checkpointing, and job launch overhead. No-PK groups dedupe on all
     non-system columns, same as the single-table path.
 
-    All group queries run CONCURRENTLY under ``Trigger.AvailableNow``
-    with a shared ``max_duration_s`` guard (the max across the fleet).
+    All group queries run CONCURRENTLY with a shared ``max_duration_s``
+    guard (the max across the fleet). A group whose cfgs say
+    ``live=False`` drains under ``Trigger.AvailableNow``; ``live=True``
+    groups poll for NEW files on ``poll_interval_ms`` and stop on their
+    own idle timeout (``max_wait_s``) exactly like per-table
+    :func:`bounded_sync` live mode — each live group gets its OWN
+    bound :class:`_IdleStopListener` (listeners are session-global, so
+    an unbound one would reset its idle clock on any group's progress)
+    and its own snapshot-phase gate. Because ``live``, ``snapshot_mode``,
+    ``num_state_buckets``, ``max_files_per_trigger`` and the poll/idle
+    settings are all part of the fusion group key, a group's behavior
+    is exactly its members' shared config — never the first table's.
     Group state lands at ``{out_dir}/group=<gid>`` partitioned the
     same way as any MergeCompactor state, where ``gid`` is a stable
     hash of (group key, member tables) — NOT an enumeration index, so
@@ -314,6 +353,13 @@ def bounded_sync_multi_fused(spark: SparkSession,
     import json
     import os
 
+    for t, c in cfgs.items():
+        if c.view_path or c.view_group_keys:
+            raise ValueError(
+                f"table {t!r}: maintained views are per-table state and "
+                "are not supported on the fused fleet path — run that "
+                "table through bounded_sync, or fuse without the view")
+
     groups: dict[tuple, list[str]] = {}
     for t in sorted(cfgs):
         groups.setdefault(
@@ -321,10 +367,14 @@ def bounded_sync_multi_fused(spark: SparkSession,
 
     os.makedirs(out_dir, exist_ok=True)
     manifest: dict[str, dict] = {}
-    queries, reasons = [], {}
+    runs, reasons = [], {}
     max_duration = max(c.max_duration_s for c in cfgs.values())
-    for key, tables in sorted(groups.items()):
-        _, mode, pks = key
+    # group keys can mix None/int fields (max_files_per_trigger):
+    # deterministic order via repr, not tuple comparison
+    for key, tables in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        _, mode, pks = key[0], key[1], key[2]
+        # every behavior-relevant field is IN the group key, so the
+        # first member's cfg is the group's cfg by construction
         cfg0 = cfgs[tables[0]]
         gi = hashlib.md5(repr((key, tuple(tables)))
                          .encode()).hexdigest()[:12]
@@ -348,6 +398,7 @@ def bounded_sync_multi_fused(spark: SparkSession,
         if is_initial and effective in ("schema_only",
                                         "schema_only_recovery"):
             stream = stream.filter(F.lit(False))
+        phase = {"snapshot_active": False}
         if mode == "DEDUPE":
             keys = ["_table", *pks]
             if not pks:
@@ -359,7 +410,15 @@ def bounded_sync_multi_fused(spark: SparkSession,
                                        cfg0.num_state_buckets)
 
             def sink(batch_df: DataFrame, batch_id: int,
-                     _c=compactor) -> None:
+                     _c=compactor, _live=cfg0.live,
+                     _phase=phase) -> None:
+                if _live:
+                    # T3 gate, per group: idle stop must not fire while
+                    # this group's latest batch still carried snapshot
+                    # rows (same probe as bounded_sync's live sink)
+                    _phase["snapshot_active"] = not (
+                        batch_df.filter(
+                            F.col("_snapshot_phase")).isEmpty())
                 _c.merge(spark, batch_df.drop("_snapshot_phase"))
 
             writer = stream.writeStream.foreachBatch(sink)
@@ -368,25 +427,61 @@ def bounded_sync_multi_fused(spark: SparkSession,
                       .writeStream.format("parquet")
                       .partitionBy("_table")
                       .option("path", gpath))
-        writer = (writer.option("checkpointLocation", ckpt)
-                  .trigger(availableNow=True))
-        queries.append((gi, writer.start()))
+        writer = writer.option("checkpointLocation", ckpt)
+        listener = None
+        if cfg0.live:
+            writer = writer.trigger(
+                processingTime=f"{cfg0.poll_interval_ms} milliseconds")
+            listener = _IdleStopListener(phase)
+            spark.streams.addListener(listener)
+        else:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        if listener is not None:
+            listener.bind(q.id)     # ignore the other groups' events
+        runs.append((gi, q, cfg0, listener))
         manifest[gi] = {"tables": tables, "mode": mode,
                         "primary_keys": list(pks), "path": gpath,
+                        "live": cfg0.live,
                         "snapshot_mode_effective": effective}
 
+    # one shared poll loop driving every group concurrently:
+    # AvailableNow groups terminate on their own; live groups stop on
+    # their own idle timeout; the fleet-max wall clock guards both
     start = time.time()
-    for gi, q in queries:
-        reasons[gi] = "drained"
-        while q.isActive:
-            remaining = max_duration - (time.time() - start)
-            if remaining <= 0:
-                reasons[gi] = "max_duration"
-                q.stop()
-                break
-            if q.awaitTermination(min(1.0, remaining)):
-                break
-        q.awaitTermination()
+    try:
+        reasons = {gi: "drained" for gi, *_ in runs}
+        pending = list(runs)
+        while pending:
+            still = []
+            for gi, q, cfg0, listener in pending:
+                if not q.isActive or q.awaitTermination(0.05):
+                    continue
+                if time.time() - start > max_duration:
+                    reasons[gi] = "max_duration"
+                    q.stop()
+                    continue
+                if listener is not None:
+                    try:
+                        trigger_active = bool(
+                            q.status.get("isTriggerActive"))
+                    except Exception:
+                        trigger_active = False
+                    if (not listener.busy and not trigger_active
+                            and not listener.phase["snapshot_active"]
+                            and time.time() - listener.last_data_ts
+                            > cfg0.max_wait_s):
+                        reasons[gi] = "idle_timeout"
+                        q.stop()
+                        continue
+                still.append((gi, q, cfg0, listener))
+            pending = still
+        for _, q, *_ in runs:
+            q.awaitTermination()
+    finally:
+        for _, _, _, listener in runs:
+            if listener is not None:
+                spark.streams.removeListener(listener)
 
     with open(os.path.join(out_dir, "fleet.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)
@@ -433,16 +528,23 @@ def read_fleet_table(spark: SparkSession, out_dir: str,
     """Read one table's compacted rows back out of a
     :func:`bounded_sync_multi_fused` output directory (drops the fleet
     plumbing columns — same shape as a per-table ``bounded_sync``
-    state read)."""
+    state read). A group that legitimately drained with zero rows —
+    e.g. snapshot_mode='never' on first contact — has no state
+    directory yet; that reads as an empty (schema-less) frame, not a
+    scan error."""
     import json
     import os
 
+    from ..fs import fs_exists
     from ..sinks.merge import BUCKET_COL as _MERGE_BUCKET
 
     with open(os.path.join(out_dir, "fleet.json")) as fh:
         manifest = json.load(fh)
     for m in manifest.values():
         if table in m["tables"]:
+            if not fs_exists(spark, m["path"]):
+                from pyspark.sql.types import StructType
+                return spark.createDataFrame([], StructType([]))
             df = (spark.read.option("mergeSchema", "true")
                   .option("basePath", m["path"]).parquet(m["path"])
                   .filter(F.col("_table") == table).drop("_table"))

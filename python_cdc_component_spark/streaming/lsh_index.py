@@ -72,7 +72,9 @@ from ..fs import fs_delete as _fs_delete
 from ..fs import fs_exists as _fs_exists
 from ..fs import fs_file_count as _fs_file_count
 from ..fs import fs_list_names as _fs_list_names
+from ..fs import fs_read_text as _fs_read_text
 from ..fs import fs_touch as _fs_touch
+from ..fs import fs_write_text as _fs_write_text
 from ..operators.llm.minhash import band_table, minhash_signatures
 from ..operators.schema_align import union_epochs
 
@@ -111,25 +113,35 @@ class StreamingLshIndex:
     def _meta_path(self) -> str:
         return os.path.join(self.index_path, "_meta.json")
 
-    def _resolve_buckets(self, spark: SparkSession) -> int:
+    def _resolve_buckets(self, spark: SparkSession) -> bool:
         """The bucket count is physical layout (band values hash to
         ``pmod(xxhash64(bv), N)`` directories for the N the index was
         BUILT with): the stored N wins over the constructor arg, so a
         mismatched caller cannot silently probe the wrong bucket and
-        MISS pairs. Legacy index (no meta): current N is persisted."""
+        MISS pairs. Legacy index (no meta): current N is persisted,
+        stamped ``docmap_complete=False`` — docs ingested before the
+        sidecar existed are not in it, so bucket resolution from a
+        PARTIAL sidecar would silently skip their rows during erasure.
+        Returns the docmap-complete flag (missing key == False: only a
+        meta written at FIRST build can vouch for completeness). Meta
+        I/O goes through the Hadoop FS API like every data path."""
         import json
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as fh:
-                self.num_buckets = int(json.load(fh)["num_buckets"])
-        elif _fs_exists(spark, self.index_path):
-            self._write_meta()
-        return self.num_buckets
+        raw = _fs_read_text(spark, self._meta_path)
+        if raw is not None:
+            meta = json.loads(raw)
+            self.num_buckets = int(meta["num_buckets"])
+            return bool(meta.get("docmap_complete", False))
+        if _fs_exists(spark, self.index_path):
+            self._write_meta(spark, docmap_complete=False)
+            return False
+        return True     # fresh build: the sidecar grows with the index
 
-    def _write_meta(self) -> None:
+    def _write_meta(self, spark: SparkSession, *,
+                    docmap_complete: bool) -> None:
         import json
-        os.makedirs(self.index_path, exist_ok=True)
-        with open(self._meta_path, "w") as fh:
-            json.dump({"num_buckets": self.num_buckets}, fh)
+        _fs_write_text(spark, self._meta_path,
+                       json.dumps({"num_buckets": self.num_buckets,
+                                   "docmap_complete": docmap_complete}))
 
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("bv")),
@@ -218,8 +230,12 @@ class StreamingLshIndex:
                                   .cast("int")))
             (docmap.write.partitionBy(DOC_PART_COL)
                    .mode("append").parquet(self._docmap_path))
-            if not os.path.exists(self._meta_path):
-                self._write_meta()      # pin the layout at first append
+            if _fs_read_text(spark, self._meta_path) is None:
+                # pin the layout at first append; only a fresh build
+                # reaches here (a legacy index got its meta — stamped
+                # incomplete — in _resolve_buckets), so the sidecar has
+                # covered every doc since row one
+                self._write_meta(spark, docmap_complete=True)
             if batch_id is not None:
                 _fs_touch(spark, os.path.join(self._manifest_path,
                                               str(batch_id)))
@@ -237,16 +253,23 @@ class StreamingLshIndex:
         victim partitions (``doc_id mod N`` is computable driver-side)
         — the index itself is only opened at the buckets being
         rewritten, so erasure I/O is proportional to the victims'
-        footprint. Surviving rows are folded into the ``_batch=-1``
-        tier; fully-emptied buckets are removed. Returns the number of
-        buckets rewritten."""
+        footprint. The sidecar is trusted ONLY when the meta vouches
+        ``docmap_complete`` (stamped at first build): a mixed-era index
+        — built pre-sidecar, continued with sidecar-writing code — has
+        a PARTIAL docmap whose misses would be silent incomplete
+        erasure. Such an index takes the full anti-join scan instead,
+        and that one full read doubles as the migration: the sidecar is
+        rebuilt from it and the meta stamped complete, so the NEXT
+        purge is pruned. Surviving rows are folded into the
+        ``_batch=-1`` tier; fully-emptied buckets are removed. Returns
+        the number of buckets rewritten."""
         if not doc_ids or not _fs_exists(spark, self.index_path):
             return 0
-        self._resolve_buckets(spark)
+        docmap_complete = self._resolve_buckets(spark)
         ids_df = spark.createDataFrame([(int(i),) for i in doc_ids],
                                        "doc_id long")
         map_paths = []
-        if _fs_exists(spark, self._docmap_path):
+        if docmap_complete and _fs_exists(spark, self._docmap_path):
             map_paths = [
                 p for p in
                 (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
@@ -257,13 +280,18 @@ class StreamingLshIndex:
             victims = (spark.read.option("basePath", self._docmap_path)
                        .parquet(*map_paths)
                        .join(F.broadcast(ids_df), "doc_id", "left_semi"))
+        elif docmap_complete and _fs_exists(spark, self._docmap_path):
+            # a COMPLETE sidecar with no victim partitions proves no
+            # victim was ever indexed — nothing to erase, no scan
+            return 0
         else:
-            # pre-sidecar index: erasure must still happen — fall back
-            # to the one-time full scan (the pre-r6 path); the next
-            # process_batch starts building the sidecar
-            victims = (spark.read.option("basePath", self.index_path)
-                       .parquet(self.index_path)
-                       .join(F.broadcast(ids_df), "doc_id", "left_semi"))
+            # pre-/mixed-sidecar index: erasure must never miss rows —
+            # full scan, then turn the read into the sidecar migration
+            full = (spark.read.option("basePath", self.index_path)
+                    .parquet(self.index_path))
+            victims = full.join(F.broadcast(ids_df), "doc_id",
+                                "left_semi")
+            self._rebuild_docmap(spark, full, ids_df)
         touched = [r[0] for r in
                    victims.select(BUCKET_COL).distinct().collect()]
         if not touched:
@@ -316,6 +344,26 @@ class StreamingLshIndex:
                 if v not in kept_parts:
                     _fs_delete(spark, p)
         return len(touched)
+
+    def _rebuild_docmap(self, spark: SparkSession, full_index: DataFrame,
+                        purged_ids: DataFrame) -> None:
+        """One-time sidecar migration for a pre-/mixed-sidecar index:
+        the erasure full scan is already paying for a complete index
+        read, so derive the FULL (doc_id, bucket) map from it (minus
+        the docs being purged — the purge rewrite below removes their
+        rows, and this branch skips the sidecar victim rewrite),
+        overwrite the sidecar wholesale, and stamp the meta complete —
+        every later purge is partition-pruned."""
+        docmap = (full_index.select("doc_id", BUCKET_COL).distinct()
+                  .join(F.broadcast(purged_ids), "doc_id", "left_anti")
+                  .withColumn(DOC_PART_COL,
+                              F.pmod("doc_id", F.lit(self.num_buckets))
+                              .cast("int"))
+                  .repartition(F.col(DOC_PART_COL))
+                  .localCheckpoint(eager=True))
+        (docmap.write.partitionBy(DOC_PART_COL)
+               .mode("overwrite").parquet(self._docmap_path))
+        self._write_meta(spark, docmap_complete=True)
 
     def _compact(self, spark: SparkSession, touched: list[int]) -> int:
         """Rewrite every touched bucket whose (recursive) file count

@@ -1,0 +1,150 @@
+"""Round-7 erasure-completeness contracts (ADVICE r6, medium): a
+mixed-era LSH index — built before the _docmap sidecar existed, then
+continued with sidecar-writing code — has a PARTIAL sidecar; trusting
+it for purge bucket-resolution silently leaves pre-sidecar rows alive.
+The meta's docmap_complete flag gates the pruned path; incomplete
+indexes take the full anti-join scan, which doubles as the one-time
+sidecar migration."""
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from python_cdc_component_spark.streaming.lsh_index import (
+    DOC_PART_COL, StreamingLshIndex)
+
+
+def _docs(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+
+
+def _index_doc_ids(spark, idx):
+    from python_cdc_component_spark.streaming.lsh_index import BUCKET_COL
+    bucket_paths = [os.path.join(idx.index_path, d)
+                    for d in os.listdir(idx.index_path)
+                    if d.startswith(f"{BUCKET_COL}=")]
+    return {r[0] for r in
+            (spark.read.option("basePath", idx.index_path)
+             .parquet(*bucket_paths).select("doc_id")
+             .distinct().collect())}
+
+
+def _make_mixed_era_index(spark, docs, work):
+    """Index whose first half predates the sidecar: ingest half,
+    strip the sidecar and rewrite the meta in its r6 (flag-less)
+    form, then ingest the second half with current code — the
+    sidecar now covers only the second half."""
+    path = os.path.join(work, "idx")
+    idx = StreamingLshIndex(path, num_buckets=16)
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    idx.process_batch(spark, docs.filter(F.col("doc_id") < cut))
+    shutil.rmtree(idx._docmap_path)
+    with open(idx._meta_path, "w") as fh:
+        json.dump({"num_buckets": 16}, fh)       # r6 meta: no flag
+    crc = os.path.join(path, "._meta.json.crc")  # r6 wrote meta with
+    if os.path.exists(crc):                      # plain open(): no crc
+        os.remove(crc)
+    idx.process_batch(spark, docs.filter(F.col("doc_id") >= cut))
+    # the meta write in process_batch only fires when absent, so the
+    # flag-less form survives — the mixed-era state under test
+    with open(idx._meta_path) as fh:
+        assert "docmap_complete" not in json.load(fh)
+    return idx, cut
+
+
+def test_mixed_era_purge_erases_pre_sidecar_docs(spark, sf_dir):
+    """Victims ingested BEFORE the sidecar existed must still be
+    erased: the partial sidecar has no row for them, so only the
+    docmap_complete gate (falling back to the full scan) makes the
+    purge complete."""
+    docs = _docs(spark, sf_dir).limit(120)
+    work = tempfile.mkdtemp(prefix="lsh_r7_")
+    try:
+        idx, cut = _make_mixed_era_index(spark, docs, work)
+        pre = _index_doc_ids(spark, idx)
+        # victims from the PRE-sidecar era (absent from the sidecar)
+        victims = sorted(i for i in pre if i < cut)[:5]
+        assert victims
+        idx.purge_docs(spark, victims)
+        post = _index_doc_ids(spark, idx)
+        assert post == pre - set(victims), \
+            "pre-sidecar rows survived the purge (silent partial erasure)"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_mixed_era_purge_migrates_sidecar(spark, sf_dir):
+    """The full-scan fallback rebuilds the sidecar from the index and
+    stamps docmap_complete — the NEXT purge resolves buckets from the
+    sidecar alone (proven by corrupting the docmap partitions of
+    non-victim docs: a full scan would die on them)."""
+    docs = _docs(spark, sf_dir).limit(120)
+    work = tempfile.mkdtemp(prefix="lsh_r7_")
+    try:
+        idx, cut = _make_mixed_era_index(spark, docs, work)
+        all_ids = _index_doc_ids(spark, idx)
+        first_victims = sorted(i for i in all_ids if i < cut)[:3]
+        idx.purge_docs(spark, first_victims)
+        with open(idx._meta_path) as fh:
+            meta = json.load(fh)
+        assert meta["docmap_complete"] is True
+        # sidecar now covers BOTH eras
+        sidecar_ids = {r[0] for r in
+                       (spark.read.parquet(idx._docmap_path)
+                        .select("doc_id").distinct().collect())}
+        assert sidecar_ids == all_ids - set(first_victims)
+        # second purge: pick a victim, corrupt every OTHER docmap
+        # partition — pruned resolution never opens them
+        survivors = sorted(all_ids - set(first_victims))
+        victim = survivors[0]
+        vpart = victim % idx.num_buckets
+        for d in os.listdir(idx._docmap_path):
+            if (d.startswith(f"{DOC_PART_COL}=")
+                    and d != f"{DOC_PART_COL}={vpart}"):
+                pdir = os.path.join(idx._docmap_path, d)
+                for f in os.listdir(pdir):
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(pdir, f), "wb") as fh:
+                            fh.write(b"garbage")
+        idx.purge_docs(spark, [victim])
+        assert victim not in _index_doc_ids(spark, idx)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_complete_sidecar_absent_victims_purge_is_noop(spark, sf_dir):
+    """A COMPLETE sidecar with no victim partitions proves the victims
+    were never indexed: purge returns 0 without scanning the index."""
+    docs = _docs(spark, sf_dir).limit(60)
+    work = tempfile.mkdtemp(prefix="lsh_r7_")
+    try:
+        idx = StreamingLshIndex(os.path.join(work, "idx"),
+                                num_buckets=16)
+        idx.process_batch(spark, docs)
+        top = max(_index_doc_ids(spark, idx))
+        # never-indexed ids hashing to partitions with no files
+        ghosts = [top + 10_000_000 + k * 16 + 7 for k in range(3)
+                  if not os.path.exists(os.path.join(
+                      idx._docmap_path, f"{DOC_PART_COL}={7}"))]
+        # fall back to any id whose partition dir is absent; if every
+        # partition exists the pruned read must still find nothing
+        missing = [top + 999_999_937]
+        assert idx.purge_docs(spark, missing) == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_hyperplane_lsh_empty_corpus_returns_empty(spark):
+    """ADVICE r6: an empty corpus returns an empty pair set, not a
+    TypeError from first()[0]."""
+    from python_cdc_component_spark.operators.llm.simjoin import (
+        hyperplane_lsh_pairs)
+    empty = spark.createDataFrame([], "vec_id long, e array<double>")
+    out = hyperplane_lsh_pairs(empty, bits_per_band=4)
+    assert out.columns == ["vec_a", "vec_b", "sim"]
+    assert out.count() == 0

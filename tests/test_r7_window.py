@@ -1,0 +1,73 @@
+"""Driver-window fidelity contracts (VERDICT r6 #7): the rotation
+discipline — 25 pinned flagships + 25 slots that must be filled
+exclusively with queries that never earned a driver row in any round
+before the rotation was set — is enforceable from the repo's own
+CORRECTNESS_r0*.json artifacts, so a future rotation cannot silently
+re-run already-rowed queries and waste driver evidence slots."""
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PINNED = [
+    "cdc_dedup_latest", "cdc_append", "cdc_chunked_dedup",
+    "cdc_no_pkey_dedup", "cdc_schema_align_union",
+    "jdbc_snapshot_override", "incremental_snapshot_users",
+    "csv_roundtrip_nation", "sync_actions_contract", "merge_upsert_dedup",
+    "manifest_contract", "state_offsets_roundtrip", "column_filter_outputs",
+    "schema_changes_route", "envelope_roundtrip",
+    "streaming_bounded_dedup", "multi_table_sync_dedup",
+    "binary_encode_modes", "snapshot_mode_never_chain",
+    "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
+    "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
+]
+
+
+def _window():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(REPO, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.DRIVER_WINDOW, mod.ROTATION_BASE_ROUND
+
+
+def _rowed_before(round_no):
+    rowed = set()
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
+        rnd = int(os.path.basename(f)[len("CORRECTNESS_r"):-len(".json")])
+        if rnd < round_no:
+            rowed |= set(json.load(open(f)).keys())
+    return rowed
+
+
+def test_window_is_50_pinned_plus_rotation():
+    window, _ = _window()
+    assert len(window) == 50
+    assert len(set(window)) == 50, "duplicate slots waste driver evidence"
+    assert window[:25] == PINNED, \
+        "the 25 flagship slots are pinned across rounds"
+
+
+def test_rotation_slots_are_never_rowed():
+    """Every rotation slot must be a first-ever driver row as of the
+    round the rotation was set (ROTATION_BASE_ROUND) — re-running an
+    already-rowed query converts zero self-gate claims into driver
+    evidence."""
+    window, base_round = _window()
+    rotation = set(window[25:])
+    already = rotation & _rowed_before(base_round)
+    assert not already, (
+        f"rotation slots already driver-rowed before r{base_round}: "
+        f"{sorted(already)}")
+
+
+def test_window_queries_all_registered_with_oracles():
+    from python_cdc_component_spark.queries import ORACLES, QUERIES
+    window, _ = _window()
+    missing_q = [n for n in window if n not in QUERIES]
+    missing_o = [n for n in window if n not in ORACLES]
+    assert not missing_q, f"window names without queries: {missing_q}"
+    assert not missing_o, f"window names without oracles: {missing_o}"
