@@ -62,6 +62,8 @@ HEADLINE = [
     "lsh_incremental_pairs",         # new-batch-only LSH index probe
     "embedding_pq_ann_recall",       # PQ codes + ADC, one-pass recall
     "resample_interpolate",          # daily gap-fill + interpolation
+    # round-7 additions
+    "hybrid_dedup_keep",             # LSH → verify → components → keep
 ]
 
 
@@ -323,6 +325,15 @@ def main() -> None:
         doc["streaming_fleet"] = bench_streaming_fleet(spark, sf_dir)
         doc["skew_join"] = bench_skew(spark)
         doc["q1_decimal_probe"] = bench_q1_decimal_probe(spark, sf_dir)
+        # round-over-round scale-ratio tracking (VERDICT r6 #5): the
+        # 10×/30× adaptive-geometry claims (SCALING.md audit index) as
+        # regression-tracked numbers at a bench-affordable 3×
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from bench_scale_queries import TARGETS, scale_ratio_rows
+        doc["scale_ratios"] = scale_ratio_rows(
+            spark, 3, sf_dir, targets=TARGETS + ["hybrid_dedup_keep"],
+            reps=reps)
     print(json.dumps(doc))
 
 

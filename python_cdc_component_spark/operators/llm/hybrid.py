@@ -1,0 +1,110 @@
+"""Hybrid near-duplicate dedup — the single entry point for the
+scale-safe text-dedup pipeline (VERDICT r6 #4):
+
+    LSH candidates → exact-Jaccard verify → connected components
+    → quality-aware canonical keep
+
+The pieces exist as independently-oracled operators (``minhash_lsh_pairs``
+candidates, ``containment_dup_pairs``-style verification,
+``dup_components`` closure, ``dup_canonical_best`` keep rule); this
+module fuses them into one call so the default path a user reaches for
+is the one with NO exact join on the full corpus:
+
+* the only full-corpus work is the linear shingle scan and the banded
+  self-join on uniformly-distributed band hashes (skew-free, output ∝
+  true collisions);
+* exact verification touches ONLY the candidate pairs' shingle sets —
+  Jaccard is computed by joining the candidate edge list back to the
+  deduplicated shingle table, so verify cost ∝ candidate footprint,
+  never corpus²;
+* the verdict is exact INTEGER arithmetic (``den·|A∩B| ≥
+  num·|A∪B|``) — no float thresholds to diverge between engines;
+* components run on the verified edge list (min-label propagation,
+  O(log diameter) rounds, operators/llm/components.py), and the keep
+  rule is one component-keyed window.
+
+False positives the LSH bands surface (docs sharing a rare band by
+hash luck or boilerplate shingles) are killed by the verify stage —
+the property the piecewise composition (``dup_canonical_best``) lacks,
+since it trusts every band collision as an edge.
+
+Reference parity note: the reference engine has no near-dup operator
+(its dedup is exact-PK, db_components/db_common/src/db_common/
+staging.py window dedup); this is a beyond-reference LLM-pipeline
+operator family member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ...caching import persist_once
+from .components import connected_components
+from .minhash import band_table, shingle_hashes, signatures_from_hashes
+
+
+def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
+                      threshold_den: int = 5) -> DataFrame:
+    """(doc_id, text) → one keeper row per verified near-dup component:
+    (component, keep_doc_id, keep_n_tokens, cluster_size).
+
+    Every document appears in exactly one component (singletons keep
+    themselves), so the output IS the deduplicated corpus keep-list.
+    A candidate pair becomes an edge iff its exact shingle-set Jaccard
+    ≥ threshold_num/threshold_den (default 3/5 = 0.6), decided in
+    exact integer math: ``den·|A∩B| ≥ num·(|A|+|B|−|A∩B|)``.
+
+    One shingle pass serves everything: MIN over duplicates equals MIN
+    over distincts, so the DISTINCT (doc_id, v) table feeds the minhash
+    signatures, the per-doc set sizes, and the intersection counts."""
+    # distinct shingle table: one (doc_id, v) shuffle, reused 3×
+    sh = persist_once(shingle_hashes(docs).distinct())
+    bands = band_table(signatures_from_hashes(sh))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("da"),
+                     F.col("b.doc_id").alias("db"))
+             .distinct())
+    # exact verify: |A∩B| by joining the edge list back to the shingle
+    # table on each endpoint — shuffles ∝ candidate docs' shingle
+    # footprint, never the corpus
+    inter = (cand
+             .join(sh.select(F.col("doc_id").alias("da"), "v"), "da")
+             .join(sh.select(F.col("doc_id").alias("db"), "v"),
+                   ["db", "v"])
+             .groupBy("da", "db")
+             .agg(F.count(F.lit(1)).alias("ni")))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    edges = (inter
+             .join(cnt.select(F.col("doc_id").alias("da"),
+                              F.col("n").alias("na")), "da")
+             .join(cnt.select(F.col("doc_id").alias("db"),
+                              F.col("n").alias("nb")), "db")
+             .filter(F.lit(int(threshold_den)) * F.col("ni")
+                     >= F.lit(int(threshold_num))
+                     * (F.col("na") + F.col("nb") - F.col("ni")))
+             .select(F.col("da").alias("src"), F.col("db").alias("dst")))
+    comp = connected_components(edges)
+    docs_n = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long")
+        .alias("n_tokens"))
+    # every doc is a node: verified-component members take their label,
+    # everyone else (incl. <3-token docs with no shingles) self-labels
+    labeled = (docs_n
+               .join(comp.withColumnRenamed("node", "doc_id"),
+                     "doc_id", "left")
+               .select("doc_id", "n_tokens",
+                       F.coalesce("component", "doc_id")
+                        .alias("component")))
+    w = Window.partitionBy("component")
+    picked = (labeled
+              .withColumn("csize", F.count(F.lit(1)).over(w))
+              .withColumn("rn", F.row_number().over(
+                  w.orderBy(F.col("n_tokens").desc(), F.col("doc_id")))))
+    return (picked.filter(F.col("rn") == 1)
+            .select("component", F.col("doc_id").alias("keep_doc_id"),
+                    F.col("n_tokens").alias("keep_n_tokens"),
+                    F.col("csize").cast("long").alias("cluster_size")))

@@ -25,11 +25,13 @@ MINHASH_AB = [
 LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, h0..h15). Explode-then-agg: the
-    shuffle carries only (doc_id, 16×8 B) after map-side partial min.
-    The caller is responsible for input-split spreading (_spread) —
-    shingling + md5 is compute-bound."""
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, v): one row per word-3-gram shingle
+    occurrence, v the 28-bit md5-prefix shingle hash — the raw material
+    of both the minhash signatures below and exact-Jaccard
+    verification (operators/llm/hybrid.py). Docs with < 3 tokens emit
+    no rows. The caller is responsible for input-split spreading
+    (_spread) — shingling + md5 is compute-bound."""
     t = docs.select("doc_id", F.split("text", " ").alias("t"))
     # split once into a named column: referencing split(text) inside
     # the transform lambda would re-evaluate it per element
@@ -39,11 +41,24 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
                  .select("doc_id", F.explode(sh).alias("sh")))
     v = F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 7),
                16, 10).cast("long")
-    hashed = exploded.select("doc_id", v.alias("v"))
+    return exploded.select("doc_id", v.alias("v"))
+
+
+def signatures_from_hashes(hashed: DataFrame) -> DataFrame:
+    """(doc_id, v) → (doc_id, h0..h15). MIN is duplicate-insensitive,
+    so feeding DISTINCT (doc_id, v) rows yields the identical
+    signature — the hybrid operator exploits that to serve signatures
+    AND exact-Jaccard set sizes from ONE deduplicated shingle table."""
     aggs = [F.min((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(MINHASH_P))
              .alias(f"h{j}")
             for j, (a, b) in enumerate(MINHASH_AB)]
     return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, h0..h15). Explode-then-agg: the
+    shuffle carries only (doc_id, 16×8 B) after map-side partial min."""
+    return signatures_from_hashes(shingle_hashes(docs))
 
 
 def band_table(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:

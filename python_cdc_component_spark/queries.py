@@ -5711,10 +5711,15 @@ def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only its own band rows against it; here old signatures are rebuilt
     inline because the driver contract is a single stateless query (the
     stored-index flavor is exercised by `bloom_dedup_incremental`).
-    The n < a orientation guard below makes every (pair, band) row
-    unique — new×new pairs would otherwise collide from both sides —
-    so the band multiplicity is a plain COUNT, no distinct-aggregate
-    expand/exchange."""
+    new×new pairs collide from both sides, so the band multiplicity is
+    COUNT(DISTINCT band), not COUNT(*) — the r6 attempt to trade the
+    distinct-aggregate for an n < a orientation guard in the join
+    condition was measured ~20 % SLOWER at sf0.1 (the OR-disjunct
+    residual costs more per matched row than the distinct pass over
+    ≤4-band groups; scripts/bench_lsh_ab.py, best-of-4: 1.27 s
+    unguarded+distinct vs 1.54 s guarded+count), so this is the r5
+    form restored. The SQL oracle keeps the guard+COUNT(*) shape —
+    equivalent multiplicities, engine-appropriate plans each."""
     sig = persist_once(_minhash_sig_df(_spark(spark), sf_dir))
     bands = union_epochs([
         sig.select("doc_id", F.lit(b).alias("band"),
@@ -5723,20 +5728,15 @@ def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(_LSH_BANDS)])
     new = bands.filter(F.col("doc_id") % 5 == 0)
     n, a = new.alias("n"), bands.alias("a")
-    # orientation guard: a new×new pair would otherwise collide from
-    # both sides per band — restricting the new-vs-new case to
-    # n < a makes every (pair, band) row unique, so the multiplicity
-    # is a plain COUNT (no distinct-aggregate expand/exchange)
     cand = n.join(a, (F.col("n.band") == F.col("a.band"))
                   & (F.col("n.bv") == F.col("a.bv"))
-                  & (F.col("n.doc_id") != F.col("a.doc_id"))
-                  & ((F.col("a.doc_id") % 5 != 0)
-                     | (F.col("n.doc_id") < F.col("a.doc_id"))))
+                  & (F.col("n.doc_id") != F.col("a.doc_id")))
     pairs = cand.select(
         F.least("n.doc_id", "a.doc_id").alias("doc_a"),
-        F.greatest("n.doc_id", "a.doc_id").alias("doc_b"))
+        F.greatest("n.doc_id", "a.doc_id").alias("doc_b"),
+        F.col("n.band").alias("band"))
     return (pairs.groupBy("doc_a", "doc_b")
-                 .agg(F.count(F.lit(1)).alias("n_bands")))
+                 .agg(F.countDistinct("band").alias("n_bands")))
 
 
 @query("resample_interpolate", """
@@ -6651,3 +6651,87 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n"),
                   F.min("x").alias("x_min"), F.max("x").alias("x_max"),
                   F.min("y").alias("y_min"), F.max("y").alias("y_max")))
+
+
+# ---------------------------------------------------------------------------
+# round 7: single-entry hybrid dedup (VERDICT r6 #4)
+
+_HYBRID_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+hv AS (SELECT doc_id,
+              ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 7))
+                ::BIGINT AS v
+       FROM idx),
+sh AS (SELECT DISTINCT doc_id, v FROM hv),
+sig AS (SELECT doc_id,
+  {mins}
+FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, CONCAT_WS('|', h0, h1, h2, h3) AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, CONCAT_WS('|', h4, h5, h6, h7) FROM sig
+  UNION ALL SELECT doc_id, 2, CONCAT_WS('|', h8, h9, h10, h11) FROM sig
+  UNION ALL SELECT doc_id, 3, CONCAT_WS('|', h12, h13, h14, h15) FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.v = x.v
+  GROUP BY c.da, c.db),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+edges AS (
+  SELECT i.da AS s, i.db AS d
+  FROM inter i
+  JOIN cnt a ON a.doc_id = i.da
+  JOIN cnt b ON b.doc_id = i.db
+  WHERE 5 * i.ni >= 3 * (a.n + b.n - i.ni)),
+sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+reach AS (
+  SELECT s AS n, d AS m FROM sym
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN sym e ON r.m = e.s),
+lbl AS (
+  SELECT n, m FROM reach
+  UNION ALL SELECT doc_id, doc_id FROM documents),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM lbl GROUP BY n),
+tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens
+        FROM documents)
+SELECT component, doc_id AS keep_doc_id, n_tokens AS keep_n_tokens,
+       CAST(csize AS BIGINT) AS cluster_size
+FROM (SELECT component, doc_id, n_tokens,
+             COUNT(*) OVER (PARTITION BY component) AS csize,
+             ROW_NUMBER() OVER (PARTITION BY component
+                 ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM comp JOIN tok USING (doc_id))
+WHERE rn = 1
+""".format(mins=_MINHASH_MINS)
+
+
+@query("hybrid_dedup_keep", _HYBRID_ORACLE)
+def hybrid_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE default text-dedup entry point (operators/llm/hybrid.py):
+    LSH candidates → exact-Jaccard verify (integer-arithmetic verdict,
+    5·|A∩B| ≥ 3·|A∪B|) → connected components → quality-aware keep
+    (longest doc per component, min-id tie-break). One keeper row per
+    component; every document belongs to exactly one component, so the
+    result IS the deduplicated corpus keep-list.
+
+    Differs from `dup_canonical_best` (which trusts every band
+    collision as an edge) by killing LSH false positives before the
+    closure — and from a naive exact path by never joining the full
+    corpus against itself: the only corpus-wide work is the linear
+    shingle scan and the uniform-key band self-join; verification cost
+    is proportional to the CANDIDATE footprint. The oracle replays the
+    full pipeline (distinct shingles → signatures → bands → integer
+    Jaccard verdict → recursive-CTE closure → keep window) end-to-end."""
+    from .operators.llm.hybrid import hybrid_dedup_keep as _hybrid
+    s = _spark(spark)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
+    return _hybrid(d)

@@ -46,13 +46,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def build_blowup(spark, factor: int, out: str) -> None:
+def build_blowup(spark, factor: int, out: str,
+                 base: str = BASE) -> None:
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         if t not in ("documents", "embeddings", "lineitem"):
-            os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+            os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
 
-    d = spark.read.parquet(f"{BASE}/documents.parquet")
+    d = spark.read.parquet(f"{base}/documents.parquet")
     n_doc = d.agg(F.max("doc_id")).first()[0] + 1
     copies = []
     for i in range(factor):
@@ -69,7 +70,7 @@ def build_blowup(spark, factor: int, out: str) -> None:
         u = u.unionByName(c)
     u.repartition(32).write.parquet(f"{out}/documents.parquet")
 
-    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    e = spark.read.parquet(f"{base}/embeddings.parquet")
     n_vec = e.agg(F.max("vec_id")).first()[0] + 1
     copies = []
     for i in range(factor):
@@ -87,7 +88,7 @@ def build_blowup(spark, factor: int, out: str) -> None:
         u = u.unionByName(c)
     u.repartition(32).write.parquet(f"{out}/embeddings.parquet")
 
-    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
     n_ord = li.agg(F.max("l_orderkey")).first()[0] + 1
     u = li
     for i in range(1, factor):
@@ -105,6 +106,41 @@ def run(spark, name: str, sf_dir: str, reps: int = 2) -> float:
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 3)
+
+
+def scale_ratio_rows(spark, factor: int, base: str,
+                     targets: list[str] = TARGETS,
+                     reps: int = 2) -> dict:
+    """One measured scale-curve pass, importable by bench.py (VERDICT
+    r6 #5): each target runs at ``base`` and at a deterministic
+    ``factor``× blow-up; a row is within bound when its time ratio is
+    ≤ 1.3× the data ratio (SCALING.md's linear-ish criterion — at
+    small factors fixed costs make ratios run BELOW the data ratio, so
+    the bound only trips on super-linear terms). Returns the block to
+    embed in the bench JSON; ``violations`` lists offenders so a
+    regression is machine-detectable round-over-round."""
+    blow = tempfile.mkdtemp(prefix=f"blowup_x{factor}_")
+    try:
+        t0 = time.time()
+        build_blowup(spark, factor, blow, base=base)
+        build_sec = round(time.time() - t0, 3)
+        rows = []
+        for name in targets:
+            base_s = run(spark, name, base, reps=reps)
+            big_s = run(spark, name, blow, reps=reps)
+            rows.append({
+                "query": name, "base_sec": base_s,
+                f"x{factor}_sec": big_s,
+                "time_ratio": round(big_s / base_s, 2),
+                "data_ratio": factor,
+                "within_bound": bool(big_s / base_s <= 1.3 * factor),
+            })
+        return {"factor": factor, "build_sec": build_sec, "base": base,
+                "rows": rows,
+                "violations": [r["query"] for r in rows
+                               if not r["within_bound"]]}
+    finally:
+        shutil.rmtree(blow, ignore_errors=True)
 
 
 def main() -> None:
