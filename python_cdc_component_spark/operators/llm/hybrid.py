@@ -57,27 +57,50 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
 
     One shingle pass serves everything: MIN over duplicates equals MIN
     over distincts, so the DISTINCT (doc_id, v) table feeds the minhash
-    signatures, the per-doc set sizes, and the intersection counts."""
-    # distinct shingle table: one (doc_id, v) shuffle, reused 3×
+    signatures, the per-doc set sizes, and the intersection counts —
+    and the set size rides the SAME aggregation as the signatures
+    (``with_count``), so the corpus-wide passes over the shingle table
+    are exactly two: the distinct build and the sig+size agg. Every
+    verify join runs on the candidate-pruned slice."""
+    # distinct shingle table: one (doc_id, v) shuffle, cached — feeds
+    # the sig+size agg and the candidate-slice semi-join
     sh = persist_once(shingle_hashes(docs).distinct())
-    bands = band_table(signatures_from_hashes(sh))
+    # h0..h15 AND the Jaccard set size in one aggregation pass
+    stats = persist_once(signatures_from_hashes(sh, with_count=True))
+    bands = band_table(stats.drop("n"))
     a, b = bands.alias("a"), bands.alias("b")
+    # eager pin, not persist: the candidate list is tiny (true LSH
+    # collisions only) but feeds THREE consumers (the id slice, the
+    # verify join, and — through edges — both orientations of the
+    # components closure); an unfilled lazy cache referenced several
+    # times inside one downstream job re-computes the band self-join
+    # per reference (measured 2.5× whole-operator cost), an eager
+    # checkpoint makes it a flat scan everywhere
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bv") == F.col("b.bv"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("da"),
-                     F.col("b.doc_id").alias("db"))
-             .distinct())
-    # exact verify: |A∩B| by joining the edge list back to the shingle
-    # table on each endpoint — shuffles ∝ candidate docs' shingle
-    # footprint, never the corpus
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"))
+            .distinct()
+            .localCheckpoint(eager=True))
+    # one pass over the cached shingle table prunes it to the docs any
+    # candidate pair touches — the verify joins below then run on the
+    # candidate footprint only, never the corpus
+    cand_ids = (cand.select(F.col("da").alias("doc_id"))
+                .unionByName(cand.select(F.col("db").alias("doc_id")))
+                .distinct())
+    sh_cand = persist_once(
+        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi"))
+    # exact verify: |A∩B| by joining the edge list to each endpoint's
+    # shingle slice
     inter = (cand
-             .join(sh.select(F.col("doc_id").alias("da"), "v"), "da")
-             .join(sh.select(F.col("doc_id").alias("db"), "v"),
+             .join(sh_cand.select(F.col("doc_id").alias("da"), "v"),
+                   "da")
+             .join(sh_cand.select(F.col("doc_id").alias("db"), "v"),
                    ["db", "v"])
              .groupBy("da", "db")
              .agg(F.count(F.lit(1)).alias("ni")))
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cnt = stats.select("doc_id", "n")
     edges = (inter
              .join(cnt.select(F.col("doc_id").alias("da"),
                               F.col("n").alias("na")), "da")
@@ -86,7 +109,10 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
              .filter(F.lit(int(threshold_den)) * F.col("ni")
                      >= F.lit(int(threshold_num))
                      * (F.col("na") + F.col("nb") - F.col("ni")))
-             .select(F.col("da").alias("src"), F.col("db").alias("dst")))
+             .select(F.col("da").alias("src"), F.col("db").alias("dst"))
+             # same eager pin: components traverses the edge list from
+             # both orientations across O(log diameter) round jobs
+             .localCheckpoint(eager=True))
     comp = connected_components(edges)
     docs_n = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long")

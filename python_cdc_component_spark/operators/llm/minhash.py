@@ -44,14 +44,20 @@ def shingle_hashes(docs: DataFrame) -> DataFrame:
     return exploded.select("doc_id", v.alias("v"))
 
 
-def signatures_from_hashes(hashed: DataFrame) -> DataFrame:
+def signatures_from_hashes(hashed: DataFrame,
+                           with_count: bool = False) -> DataFrame:
     """(doc_id, v) → (doc_id, h0..h15). MIN is duplicate-insensitive,
     so feeding DISTINCT (doc_id, v) rows yields the identical
     signature — the hybrid operator exploits that to serve signatures
-    AND exact-Jaccard set sizes from ONE deduplicated shingle table."""
+    AND exact-Jaccard set sizes from ONE deduplicated shingle table.
+    ``with_count`` appends ``n`` = COUNT(*) in the SAME aggregation
+    (meaningful as the set size only over distinct input) so callers
+    needing both never pay a second pass over the shingle table."""
     aggs = [F.min((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(MINHASH_P))
              .alias(f"h{j}")
             for j, (a, b) in enumerate(MINHASH_AB)]
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("n"))
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
