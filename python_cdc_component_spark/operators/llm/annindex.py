@@ -240,6 +240,8 @@ def knn_join(emb: DataFrame, k_neighbors: int = 3,
                 + F.pmod(F.xxhash64("vec_id"), sub).cast("int"))
     kn = int(k_neighbors)
 
+    from .simkernel import seq_gram
+
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         m = len(pdf)
@@ -247,12 +249,9 @@ def knn_join(emb: DataFrame, k_neighbors: int = 3,
             return pd.DataFrame({"qid": [], "nid": [], "sim": []})
         E = np.array(pdf["e"].tolist(), dtype=np.float64)
         ids = pdf["vec_id"].to_numpy()
-        S = np.zeros((m, m))
-        n2 = np.zeros(m)
-        for d in range(E.shape[1]):
-            col = E[:, d]
-            S += col[:, None] * col[None, :]
-            n2 += col * col
+        # shared sequential-dim kernel: the gram accumulation order is
+        # the bit-exactness contract (simkernel.py docstring)
+        S, n2 = seq_gram(E)
         nrm = np.sqrt(n2)
         sim = S / (nrm[:, None] * nrm[None, :])
         np.fill_diagonal(sim, -np.inf)

@@ -181,15 +181,18 @@ def _pair_kernel(threshold: float):
     """Per-cluster near-dup search kernel for ``applyInPandas``.
 
     Enumerates i<j pairs (by ascending vec_id) in bounded chunks and
-    computes cosine with numpy — accumulating over DIMENSIONS in a
-    Python loop (vectorized across pairs), so every +/*/sqrt/÷ happens
-    in the same IEEE order as the sequential HOF fold the oracle
-    replays; the emitted raw sims are bit-identical to the JVM
-    formulation they replace.  The final round+threshold decision is
-    made Spark-side; the kernel pre-filters with a 1e-6 margin only to
-    keep the Arrow return set small."""
+    computes cosine with the shared sequential-dim kernel
+    (operators/llm/simkernel.py, where the bit-exactness contract
+    lives): every +/*/sqrt/÷ happens in the same IEEE order as the
+    sequential HOF fold the oracle replays; the emitted raw sims are
+    bit-identical to the JVM formulation they replace.  The final
+    round+threshold decision is made Spark-side; the kernel
+    pre-filters with a 1e-6 margin only to keep the Arrow return set
+    small."""
     import numpy as np
     import pandas as pd
+
+    from .simkernel import seq_dot_pairs, seq_sq_norms
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
@@ -199,12 +202,7 @@ def _pair_kernel(threshold: float):
             E = np.array(pdf["e"].tolist(), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
             cid = int(pdf["cid"].iloc[0])
-            d = E.shape[1]
-            # norms: 0.0 + x0² + x1² + ... (dim-sequential fold)
-            na = np.zeros(s)
-            for i in range(d):
-                na += E[:, i] * E[:, i]
-            nr = np.sqrt(na)
+            nr = np.sqrt(seq_sq_norms(E))
             block = max(1, _PAIR_CHUNK // s)
             for a0 in range(0, s - 1, block):
                 a1 = min(a0 + block, s)
@@ -213,11 +211,7 @@ def _pair_kernel(threshold: float):
                                      np.repeat(np.arange(a0, a1), s - a1)])
                 ib = np.concatenate([ib_t + a0,
                                      np.tile(np.arange(a1, s), a1 - a0)])
-                acc = np.zeros(len(ia))
-                for i in range(d):
-                    col = E[:, i]
-                    acc += col[ia] * col[ib]
-                sim = acc / (nr[ia] * nr[ib])
+                sim = seq_dot_pairs(E, ia, ib) / (nr[ia] * nr[ib])
                 keep = sim >= threshold - 1e-6
                 out["vec_a"].append(ids[ia[keep]])
                 out["vec_b"].append(ids[ib[keep]])
