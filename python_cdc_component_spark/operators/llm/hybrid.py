@@ -44,6 +44,54 @@ from .components import connected_components
 from .minhash import band_table, shingle_hashes, signatures_from_hashes
 
 
+def verify_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
+                         threshold_num: int = 3,
+                         threshold_den: int = 5,
+                         id_a: str = "doc_a",
+                         id_b: str = "doc_b") -> DataFrame:
+    """Exact-Jaccard verdict for an ARBITRARY candidate pair list —
+    the verification stage as a standalone operator, so candidates
+    from any source (a StreamingLshIndex ``process_batch``, a SimHash
+    band join, an external suspect list) get the same exact check the
+    batch hybrid applies.
+
+    Returns (id_a, id_b, ni, na, nb, verified): intersection size, the
+    two set sizes, and the integer-arithmetic verdict
+    ``den·ni ≥ num·(na+nb−ni)``. Pairs whose docs have no shingles
+    (< 3 tokens) verify False (their Jaccard is undefined-empty).
+
+    Cost ∝ the pair-involved docs' text, never the corpus: the corpus
+    scan is pruned with a left-semi join against the broadcast
+    pair-id list BEFORE any shingling happens — at 100 TB with a
+    day's candidates this reads only the candidate docs' rows (and
+    under a parquet/bucketed store, only their row groups)."""
+    pair_ids = (pairs.select(F.col(id_a).alias("doc_id"))
+                .unionByName(pairs.select(F.col(id_b).alias("doc_id")))
+                .distinct())
+    cand_docs = docs.join(F.broadcast(pair_ids), "doc_id", "left_semi")
+    sh = persist_once(shingle_hashes(cand_docs).distinct())
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (pairs.select(id_a, id_b)
+             .join(sh.select(F.col("doc_id").alias(id_a), "v"), id_a)
+             .join(sh.select(F.col("doc_id").alias(id_b), "v"),
+                   [id_b, "v"])
+             .groupBy(id_a, id_b)
+             .agg(F.count(F.lit(1)).alias("ni")))
+    out = (pairs.select(id_a, id_b)
+           .join(inter, [id_a, id_b], "left")
+           .join(cnt.select(F.col("doc_id").alias(id_a),
+                            F.col("n").alias("na")), id_a, "left")
+           .join(cnt.select(F.col("doc_id").alias(id_b),
+                            F.col("n").alias("nb")), id_b, "left")
+           .na.fill({"ni": 0, "na": 0, "nb": 0}))
+    verdict = ((F.col("na") + F.col("nb") > 0)
+               & (F.lit(int(threshold_den)) * F.col("ni")
+                  >= F.lit(int(threshold_num))
+                  * (F.col("na") + F.col("nb") - F.col("ni"))))
+    return out.select(id_a, id_b, "ni", "na", "nb",
+                      verdict.alias("verified"))
+
+
 def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
                       threshold_den: int = 5) -> DataFrame:
     """(doc_id, text) → one keeper row per verified near-dup component:

@@ -6735,3 +6735,80 @@ def hybrid_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(read_table(s, sf_dir, "documents")
                 .select("doc_id", "text"), s)
     return _hybrid(d)
+
+
+_VERIFIED_INCR_ORACLE = """
+WITH sig AS ({sig}),
+bands AS (
+  SELECT doc_id, 0 AS band, CONCAT_WS('|', h0, h1, h2, h3) AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, CONCAT_WS('|', h4, h5, h6, h7) FROM sig
+  UNION ALL SELECT doc_id, 2, CONCAT_WS('|', h8, h9, h10, h11) FROM sig
+  UNION ALL SELECT doc_id, 3, CONCAT_WS('|', h12, h13, h14, h15) FROM sig),
+cand AS (
+  SELECT DISTINCT LEAST(n.doc_id, a.doc_id) AS doc_a,
+                  GREATEST(n.doc_id, a.doc_id) AS doc_b
+  FROM bands n JOIN bands a
+    ON n.band = a.band AND n.bv = a.bv AND n.doc_id <> a.doc_id
+  WHERE n.doc_id % 5 = 0),
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx2 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks2),
+sh AS (SELECT DISTINCT doc_id,
+              ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 7))
+                ::BIGINT AS v
+       FROM idx2),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.v = x.v
+  GROUP BY c.doc_a, c.doc_b)
+SELECT c.doc_a, c.doc_b,
+       COALESCE(i.ni, 0) AS ni,
+       COALESCE(a.n, 0) AS na,
+       COALESCE(b.n, 0) AS nb,
+       (COALESCE(a.n, 0) + COALESCE(b.n, 0) > 0
+        AND 5 * COALESCE(i.ni, 0)
+            >= 3 * (COALESCE(a.n, 0) + COALESCE(b.n, 0)
+                    - COALESCE(i.ni, 0))) AS verified
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+LEFT JOIN cnt a ON a.doc_id = c.doc_a
+LEFT JOIN cnt b ON b.doc_id = c.doc_b
+""".format(sig=_MINHASH_SIG_SQL.format(mins=_MINHASH_MINS))
+
+
+@query("lsh_incremental_verified_pairs", _VERIFIED_INCR_ORACLE)
+def lsh_incremental_verified_pairs(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The streaming-shaped hybrid: the day's ingest batch (doc_id %
+    5 = 0) probes the LSH band index for candidates — indexed×indexed
+    never joins — and each candidate pair gets the exact-Jaccard
+    verdict from `verify_jaccard_pairs` (operators/llm/hybrid.py):
+    corpus pruned to pair-involved docs BEFORE shingling, intersection
+    by pair-list join, integer-arithmetic verdict. This is the query
+    form of `StreamingLshIndex.process_batch` + verification: the
+    continuous-dedup pipeline where every emitted pair is exact-checked
+    before it drives a merge/suppress decision."""
+    from .operators.llm.hybrid import verify_jaccard_pairs
+    s = _spark(spark)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
+    sig = persist_once(_minhash_sig_df(s, sf_dir))
+    bands = union_epochs([
+        sig.select("doc_id", F.lit(b).alias("band"),
+                   F.concat_ws("|", *[F.col(f"h{b * 4 + i}")
+                                      for i in range(4)]).alias("bv"))
+        for b in range(_LSH_BANDS)])
+    new = bands.filter(F.col("doc_id") % 5 == 0)
+    n, a = new.alias("n"), bands.alias("a")
+    cand = (n.join(a, (F.col("n.band") == F.col("a.band"))
+                   & (F.col("n.bv") == F.col("a.bv"))
+                   & (F.col("n.doc_id") != F.col("a.doc_id")))
+             .select(F.least("n.doc_id", "a.doc_id").alias("doc_a"),
+                     F.greatest("n.doc_id", "a.doc_id").alias("doc_b"))
+             .distinct()
+             # tiny true-collision list; eager pin so the verify joins
+             # and the final left-joins never recompute the band join
+             .localCheckpoint(eager=True))
+    return verify_jaccard_pairs(d, cand)

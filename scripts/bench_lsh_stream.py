@@ -51,11 +51,35 @@ def main() -> None:
             pair_counts.append(n_pairs)
         first3 = sum(times[:3]) / 3
         last3 = sum(times[-3:]) / 3
+
+        # exactly-once premium A/B (VERDICT r6 #3): the same batch
+        # sequence with batch_id (dynamic-overwrite commit tiers +
+        # manifest markers + replay check) vs without (plain
+        # at-least-once append) — the durability cost as a measured
+        # number, not an attribution guess
+        def run_all(with_ids: bool) -> float:
+            p = tempfile.mkdtemp(prefix="lsh_ab_", dir=work)
+            ab = StreamingLshIndex(index_path=f"{p}/index")
+            t0 = time.time()
+            for b in range(k):
+                ab.process_batch(spark,
+                                 docs.filter(F.col("doc_id") % k == b),
+                                 batch_id=b if with_ids else None).count()
+            return round(time.time() - t0, 3)
+
+        exactly_once_sec = run_all(True)
+        at_least_once_sec = run_all(False)
+
         print(json.dumps({
             "metric": "lsh_stream_per_batch_sec", "n_docs": n_docs,
             "n_batches": k, "batch_sec": times, "pairs": pair_counts,
             "first3_avg": round(first3, 3), "last3_avg": round(last3, 3),
             "growth_ratio": round(last3 / first3, 2) if first3 else None,
+            "exactly_once_total_sec": exactly_once_sec,
+            "at_least_once_total_sec": at_least_once_sec,
+            "exactly_once_premium_pct": round(
+                100 * (exactly_once_sec - at_least_once_sec)
+                / at_least_once_sec, 1) if at_least_once_sec else None,
         }))
     finally:
         shutil.rmtree(work, ignore_errors=True)

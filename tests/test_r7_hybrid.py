@@ -91,3 +91,54 @@ def test_short_docs_are_singletons(spark):
     out = hybrid_dedup_keep(d).collect()
     assert {r["keep_doc_id"] for r in out} == {1, 2, 3}
     assert all(r["cluster_size"] == 1 for r in out)
+
+
+def test_streaming_verified_pairs_split_invariant(spark, sf_dir, tmp_path):
+    """Feeding the corpus through the streaming LSH index in 3 batches
+    and exact-verifying each batch's emitted pairs must yield EXACTLY
+    the verified pair set of the one-shot banded self-join — the
+    hybrid pipeline is batch-split invariant, so continuous ingest and
+    batch reprocessing agree pair-for-pair."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_component_spark.operators.llm.hybrid import (
+        verify_jaccard_pairs)
+    from python_cdc_component_spark.operators.llm.minhash import (
+        band_table, minhash_signatures)
+    from python_cdc_component_spark.streaming.lsh_index import (
+        StreamingLshIndex)
+
+    d = _docs(spark, sf_dir, n=150)
+    idx = StreamingLshIndex(str(tmp_path / "idx"), num_buckets=16)
+    streamed = set()
+    for b in range(3):
+        pairs = idx.process_batch(
+            spark, d.filter(F.col("doc_id") % 3 == b), batch_id=b)
+        ver = verify_jaccard_pairs(d, pairs.select("doc_a", "doc_b"))
+        streamed |= {(r["doc_a"], r["doc_b"]) for r in
+                     ver.filter("verified").collect()}
+
+    bands = band_table(minhash_signatures(d))
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b2, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")).distinct())
+    oneshot = {(r["doc_a"], r["doc_b"]) for r in
+               verify_jaccard_pairs(d, cand).filter("verified")
+               .collect()}
+    assert streamed == oneshot
+
+
+def test_verify_pairs_handles_shingleless_docs(spark):
+    from python_cdc_component_spark.operators.llm.hybrid import (
+        verify_jaccard_pairs)
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e f"), (3, "a b c d e f")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "doc_a long, doc_b long")
+    out = {(r["doc_a"], r["doc_b"]): r["verified"]
+           for r in verify_jaccard_pairs(docs, pairs).collect()}
+    assert out == {(1, 2): False, (2, 3): True}
