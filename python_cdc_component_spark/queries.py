@@ -6812,3 +6812,173 @@ def lsh_incremental_verified_pairs(spark: SparkSession,
              # and the final left-joins never recompute the band join
              .localCheckpoint(eager=True))
     return verify_jaccard_pairs(d, cand)
+
+
+_CURATION_ORACLE = """
+WITH RECURSIVE m AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+           % 100 AS bucket,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mwl,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN {stop})) AS n_stop,
+         CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+              AS DOUBLE) / length(text) AS vr
+  FROM documents),
+stage AS (
+  SELECT doc_id, bucket, vr >= 0.30 AS lang_ok,
+         (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+          AND n_stop >= 2) AS gopher_ok
+  FROM m),
+surv AS (SELECT doc_id FROM stage
+         WHERE bucket < 90 AND lang_ok AND gopher_ok),
+toks AS (SELECT d.doc_id, string_split(d.text, ' ') AS t
+         FROM documents d JOIN surv s ON s.doc_id = d.doc_id),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+hv AS (SELECT doc_id,
+              ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 7))
+                ::BIGINT AS v
+       FROM idx),
+sh AS (SELECT DISTINCT doc_id, v FROM hv),
+sig AS (SELECT doc_id,
+  {mins}
+FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, CONCAT_WS('|', h0, h1, h2, h3) AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, CONCAT_WS('|', h4, h5, h6, h7) FROM sig
+  UNION ALL SELECT doc_id, 2, CONCAT_WS('|', h8, h9, h10, h11) FROM sig
+  UNION ALL SELECT doc_id, 3, CONCAT_WS('|', h12, h13, h14, h15) FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.v = x.v
+  GROUP BY c.da, c.db),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+edges AS (
+  SELECT i.da AS s, i.db AS d
+  FROM inter i
+  JOIN cnt a ON a.doc_id = i.da
+  JOIN cnt b ON b.doc_id = i.db
+  WHERE 5 * i.ni >= 3 * (a.n + b.n - i.ni)),
+sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+reach AS (
+  SELECT s AS n, d AS m FROM sym
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN sym e ON r.m = e.s),
+lbl AS (
+  SELECT n, m FROM reach
+  UNION ALL SELECT doc_id, doc_id FROM surv),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM lbl GROUP BY n),
+ntok AS (SELECT d.doc_id,
+                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents d JOIN surv s ON s.doc_id = d.doc_id),
+keepers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY component
+               ORDER BY n_tokens DESC, doc_id) AS rn
+    FROM comp JOIN ntok USING (doc_id))
+  WHERE rn = 1),
+hold_toks AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+              FROM documents d JOIN stage s ON s.doc_id = d.doc_id
+              WHERE s.bucket >= 90),
+g_eval AS (SELECT DISTINCT md5(array_to_string(w[i:i+7], ' ')) AS gh
+           FROM hold_toks, unnest(range(1, len(w) - 6)) u(i)),
+keep_toks AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+              FROM documents d JOIN keepers k ON k.doc_id = d.doc_id),
+contam AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gh
+        FROM keep_toks, unnest(range(1, len(w) - 6)) u(i)) t
+  JOIN g_eval e ON e.gh = t.gh)
+SELECT s.doc_id,
+       CASE WHEN s.bucket >= 90 THEN 'eval_holdout'
+            WHEN NOT s.lang_ok THEN 'lang'
+            WHEN NOT s.gopher_ok THEN 'gopher'
+            WHEN k.doc_id IS NULL THEN 'near_dup'
+            WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'kept' END AS drop_reason,
+       (s.bucket < 90 AND s.lang_ok AND s.gopher_ok
+        AND k.doc_id IS NOT NULL AND c.doc_id IS NULL) AS keep
+FROM stage s
+LEFT JOIN keepers k ON k.doc_id = s.doc_id
+LEFT JOIN contam c ON c.doc_id = s.doc_id
+""".format(stop=_STOP_SQL, mins=_MINHASH_MINS)
+
+
+@query("curation_pipeline_keep", _CURATION_ORACLE)
+def curation_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data curation pipeline as one entry point —
+    the cheapest-first cascade the big corpus efforts run, each stage
+    reusing the exact expression its standalone oracled query pins:
+
+      eval holdout (md5 bucket ≥ 90, `ngram_decontaminate`'s split)
+      → language ID (`text_langid`) → Gopher rules
+      (`gopher_quality_filter`) → VERIFIED near-dup dedup
+      (`hybrid_dedup_keep`: LSH → exact-Jaccard → components →
+      keep-longest) → eval 8-gram decontamination
+      (`ngram_decontaminate`) → kept.
+
+    One verdict row per document with the FIRST failing stage as the
+    drop reason. Scale shape: the filter stages are one shuffle-free
+    scan; dedup runs only on filter survivors (the hybrid's
+    no-full-corpus-join property); decontamination explodes grams only
+    for keepers and the holdout slice, eval grams broadcast."""
+    from .operators.llm.hybrid import hybrid_dedup_keep as _hybrid
+    s = _spark(spark)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    mwl = (F.length("text") - (n - 1)).cast("double") / n
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    vr = (F.length(F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", ""))
+          .cast("double") / F.length("text"))
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                       .cast("binary")), 1, 7), 16, 10)
+              .cast("long") % 100)
+    stage = persist_once(d.select(
+        "doc_id", "text", bucket.alias("bucket"),
+        (vr >= 0.30).alias("lang_ok"),
+        ((n >= 50) & (n <= 100000) & (mwl >= 3) & (mwl <= 10)
+         & (n_stop >= 2)).alias("gopher_ok")))
+    surv = (stage.filter((F.col("bucket") < 90) & F.col("lang_ok")
+                         & F.col("gopher_ok"))
+            .select("doc_id", "text"))
+    keepers = (_hybrid(surv)
+               .select(F.col("keep_doc_id").alias("doc_id"),
+                       F.lit(True).alias("_keeper")))
+    # 8-gram decontamination: eval grams from the holdout slice,
+    # keeper grams checked against the broadcast eval set
+    gram_col = F.explode(F.expr(
+        "CASE WHEN size(_w) >= 8 THEN "
+        "transform(sequence(1, size(_w) - 7), "
+        "i -> md5(array_join(slice(_w, i, 8), ' '))) "
+        "ELSE array() END")).alias("gh")
+    holdout = (stage.filter(F.col("bucket") >= 90)
+               .select(F.split("text", " ").alias("_w")))
+    g_eval = holdout.select(gram_col).distinct()
+    keep_docs = (stage.join(keepers, "doc_id", "left_semi")
+                 .select("doc_id", F.split("text", " ").alias("_w")))
+    contam = (keep_docs.select("doc_id", gram_col)
+              .join(F.broadcast(g_eval), "gh")
+              .select("doc_id").distinct()
+              .withColumn("_contam", F.lit(True)))
+    verdict = (F.when(F.col("bucket") >= 90, "eval_holdout")
+                .when(~F.col("lang_ok"), "lang")
+                .when(~F.col("gopher_ok"), "gopher")
+                .when(F.col("_keeper").isNull(), "near_dup")
+                .when(F.col("_contam").isNotNull(), "contaminated")
+                .otherwise("kept"))
+    return (stage
+            .join(keepers, "doc_id", "left")
+            .join(contam, "doc_id", "left")
+            .select("doc_id", verdict.alias("drop_reason"),
+                    (verdict == F.lit("kept")).alias("keep")))
