@@ -345,6 +345,29 @@ class StreamingLshIndex:
                     _fs_delete(spark, p)
         return len(touched)
 
+    def migrate_docmap(self, spark: SparkSession) -> int:
+        """Rebuild the erasure sidecar from one full index scan and
+        stamp the meta ``docmap_complete`` — the explicit form of the
+        migration :meth:`purge_docs` performs implicitly on a
+        mixed-era index. When to call it: an index operated WITHOUT
+        ``batch_id`` (plain at-least-once appends) that crashed
+        between a band append and its sidecar write has index rows the
+        sidecar misses, and no replay contract to heal them — under
+        exactly-once operation (``batch_id`` + foreachBatch replay)
+        the uncommitted batch is recomputed and its dynamic overwrite
+        replaces the partial append, so the gap cannot survive and
+        this method is never needed. Returns the number of docs
+        mapped."""
+        if not _fs_exists(spark, self.index_path):
+            return 0
+        self._resolve_buckets(spark)
+        full = (spark.read.option("basePath", self.index_path)
+                .parquet(self.index_path))
+        none = spark.createDataFrame([], "doc_id long")
+        self._rebuild_docmap(spark, full, none)
+        return (spark.read.parquet(self._docmap_path)
+                .select("doc_id").distinct().count())
+
     def _rebuild_docmap(self, spark: SparkSession, full_index: DataFrame,
                         purged_ids: DataFrame) -> None:
         """One-time sidecar migration for a pre-/mixed-sidecar index:

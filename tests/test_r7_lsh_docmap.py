@@ -148,3 +148,47 @@ def test_hyperplane_lsh_empty_corpus_returns_empty(spark):
     out = hyperplane_lsh_pairs(empty, bits_per_band=4)
     assert out.columns == ["vec_a", "vec_b", "sim"]
     assert out.count() == 0
+
+
+def test_migrate_docmap_heals_at_least_once_gap(spark, sf_dir):
+    """At-least-once operation (no batch_id) with a crash between the
+    band append and the sidecar write leaves index rows the sidecar
+    misses — there is no replay to heal them, so purge under a
+    complete-stamped meta would silently skip those docs.
+    migrate_docmap rebuilds the sidecar from the index and the next
+    purge is both complete AND pruned."""
+    docs = _docs(spark, sf_dir).limit(80)
+    work = tempfile.mkdtemp(prefix="lsh_r7_mig_")
+    try:
+        idx = StreamingLshIndex(os.path.join(work, "idx"),
+                                num_buckets=16)
+        ids = sorted(r[0] for r in docs.select("doc_id").collect())
+        cut = ids[len(ids) // 2]
+        idx.process_batch(spark, docs.filter(F.col("doc_id") < cut))
+        # simulate the crash: second batch's bands land, sidecar write
+        # "lost" (delete the docmap rows the second batch added)
+        before = set(os.listdir(idx._docmap_path))
+        snapshot = {}
+        for d in before:
+            p = os.path.join(idx._docmap_path, d)
+            if os.path.isdir(p):
+                snapshot[d] = set(os.listdir(p))
+        idx.process_batch(spark, docs.filter(F.col("doc_id") >= cut))
+        for d in os.listdir(idx._docmap_path):
+            p = os.path.join(idx._docmap_path, d)
+            if not os.path.isdir(p):
+                continue
+            if d not in snapshot:
+                shutil.rmtree(p)
+            else:
+                for f in os.listdir(p):
+                    if f not in snapshot[d]:
+                        os.remove(os.path.join(p, f))
+        n = idx.migrate_docmap(spark)
+        all_ids = _index_doc_ids(spark, idx)
+        assert n == len(all_ids)
+        victims = sorted(i for i in all_ids if i >= cut)[:3]
+        idx.purge_docs(spark, victims)
+        assert _index_doc_ids(spark, idx) == all_ids - set(victims)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
