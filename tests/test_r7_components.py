@@ -1,0 +1,60 @@
+"""Scale-adaptive connected components (round 7): the driver-side
+union-find fast path must be bit-identical to the distributed
+min-label loop — the cutover is a pure performance decision — and the
+bounded probe must never let a big graph onto the driver."""
+
+from pyspark.sql import functions as F
+
+from python_cdc_component_spark.operators.llm.components import (
+    connected_components)
+
+
+def _graph(spark, n_chains=5, chain_len=8, n_triangles=4):
+    edges = []
+    base = 0
+    for _ in range(n_chains):
+        edges += [(base + i, base + i + 1) for i in range(chain_len)]
+        base += chain_len + 10
+    for _ in range(n_triangles):
+        edges += [(base, base + 1), (base + 1, base + 2),
+                  (base, base + 2)]
+        base += 13
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_fast_and_distributed_paths_identical(spark):
+    edges = _graph(spark)
+    fast = {(r.node, r.component)
+            for r in connected_components(edges).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(
+                edges, small_graph_edges=0).collect()}
+    assert fast == dist
+    assert fast           # non-empty
+
+
+def test_probe_truncation_falls_back_to_distributed(spark):
+    """A graph one edge over the threshold must take the distributed
+    path and still be correct (the truncated probe is discarded)."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "src long, dst long")
+    out = {(r.node, r.component)
+           for r in connected_components(
+               edges, small_graph_edges=5).collect()}
+    assert out == {(i, 0) for i in range(13)}
+
+
+def test_empty_edges_empty_components(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(empty)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
+
+
+def test_fast_path_duplicate_and_reversed_edges(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (2, 3), (7, 7)],
+        "src long, dst long")
+    out = {(r.node, r.component)
+           for r in connected_components(edges).collect()}
+    assert out == {(1, 1), (2, 1), (3, 1), (7, 7)}

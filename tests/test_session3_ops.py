@@ -246,6 +246,9 @@ def test_connected_components_long_chain_converges(spark):
         connected_components)
     edges = spark.createDataFrame([(i, i + 1) for i in range(199)],
                                   "src long, dst long")
-    out = connected_components(edges).collect()
+    # small_graph_edges=0 forces the DISTRIBUTED loop — this test
+    # guards the pointer-jumping round budget, which the r7 driver-side
+    # fast path would otherwise bypass at this size
+    out = connected_components(edges, small_graph_edges=0).collect()
     assert len(out) == 200
     assert {r["component"] for r in out} == {0}
