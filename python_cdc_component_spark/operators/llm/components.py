@@ -45,7 +45,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     (big graph) is DISCARDED and the distributed min-label loop runs
     unchanged; the probe result is only ever used when it provably
     holds the complete edge set, so the cutover cannot change results
-    (pytest pins cross-path parity)."""
+    (pytest pins cross-path parity).
+
+    Callers whose edge list is expensive to compute AND likely over
+    the threshold should pin it first (``localCheckpoint``, as
+    hybrid_dedup_keep does) or pass ``small_graph_edges=0`` — a
+    truncated probe re-computes the edge plan once more for the
+    distributed path."""
     spark = edges.sparkSession
     probe = (edges.select(F.col(src).cast("long").alias("s"),
                           F.col(dst).cast("long").alias("d"))
