@@ -6982,3 +6982,38 @@ def curation_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(contam, "doc_id", "left")
             .select("doc_id", verdict.alias("drop_reason"),
                     (verdict == F.lit("kept")).alias("keep")))
+
+
+@query("streaming_dedup_groups", _HYBRID_ORACLE)
+def streaming_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained verified dedup groups end-to-end
+    (streaming/dedup_state.py): the corpus arrives in three ingest
+    batches; each batch probes the persistent LSH index, exact-verifies
+    its candidate pairs, and INCREMENTALLY merges the affected
+    components in the keep-list state (partition-pruned member reads,
+    exactly-once commit tiers). The oracle is the full-corpus batch
+    hybrid (`hybrid_dedup_keep`'s SQL) — the streaming split must
+    reproduce its keep-list exactly, whatever the batch boundaries
+    (parity + crash-replay additionally pytest-proven in
+    tests/test_r7_dedup_state.py)."""
+    import shutil
+    import tempfile
+    from .streaming.dedup_state import StreamingDedupGroups
+
+    s = _spark(spark)
+    docs = _spread(read_table(s, sf_dir, "documents")
+                   .select("doc_id", "text"), s)
+    work = tempfile.mkdtemp(prefix="sparkcdc_dedupstate_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    s.conf.set(pkey, "32")
+    try:
+        st = StreamingDedupGroups(f"{work}/state", num_buckets=16)
+        for b in range(3):
+            st.process_batch(s, docs.filter(F.col("doc_id") % 3 == b),
+                             corpus=docs, batch_id=b)
+        # pin before the state dir is removed below
+        return st.read_groups(s).localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
+        shutil.rmtree(work, ignore_errors=True)
