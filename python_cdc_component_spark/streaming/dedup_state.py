@@ -85,6 +85,16 @@ class StreamingDedupGroups:
             num_buckets=self.num_buckets,
             compact_file_threshold=self.compact_file_threshold)
 
+    def _resolve_buckets(self, spark: SparkSession) -> None:
+        """Partition counts are physical layout for labels/node_map
+        exactly as for the index's buckets: adopt the count the store
+        was BUILT with (the index's ``_meta.json`` is the single
+        source of truth — all three tables share one N), so a caller
+        reopening with a different constructor arg cannot mis-prune a
+        member/claim lookup and silently miss rows."""
+        self.index._resolve_buckets(spark)
+        self.num_buckets = self.index.num_buckets
+
     @property
     def _labels_path(self) -> str:
         return os.path.join(self.state_path, "labels")
@@ -179,6 +189,7 @@ class StreamingDedupGroups:
         only ever read pruned to pair-involved docs. Returns a stats
         dict. With ``batch_id``, replays of committed batches are
         no-ops and crashed half-writes are replaced (exactly-once)."""
+        self._resolve_buckets(spark)
         committed = (batch_id is not None
                      and _fs_exists(spark, os.path.join(
                          self._manifest_path, str(batch_id))))
@@ -304,6 +315,7 @@ class StreamingDedupGroups:
         Returns the number of rows rewritten."""
         if not doc_ids:
             return 0
+        self._resolve_buckets(spark)
         self.index.purge_docs(spark, doc_ids)
         if not _fs_exists(spark, self._node_map_path):
             return 0

@@ -184,3 +184,27 @@ def test_purge_then_ingest_keeps_working(spark, sf_dir):
         assert sizes == len(all_ids - set(first))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_reopen_with_wrong_bucket_count_resolves_layout(spark, sf_dir):
+    """Partition counts are physical layout: reopening the store with
+    a different num_buckets must adopt the BUILT count (the index
+    meta), or member/claim lookups would prune the wrong partitions
+    and silently miss rows."""
+    d = _docs(spark, sf_dir, n=90)
+    want = _groups(hybrid_dedup_keep(d))
+    work = tempfile.mkdtemp(prefix="dedup_state_")
+    try:
+        path = os.path.join(work, "st")
+        st = StreamingDedupGroups(path, num_buckets=16)
+        st.process_batch(spark, d.filter(F.col("doc_id") % 2 == 0),
+                         corpus=d, batch_id=0)
+        # reopen mis-configured: second batch + purge must still
+        # resolve against the built layout
+        st2 = StreamingDedupGroups(path, num_buckets=4)
+        st2.process_batch(spark, d.filter(F.col("doc_id") % 2 == 1),
+                          corpus=d, batch_id=1)
+        assert st2.num_buckets == 16
+        assert _groups(st2.read_groups(spark)) == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
