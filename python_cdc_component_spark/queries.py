@@ -7017,3 +7017,20 @@ def streaming_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         s.conf.set(pkey, prev)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query("curation_funnel_counts", """
+WITH verdicts AS ({curation})
+SELECT drop_reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM verdicts GROUP BY drop_reason
+""".format(curation=_CURATION_ORACLE.strip()))
+def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-ops dashboard number: documents lost at each stage of
+    the curation cascade (`curation_pipeline_keep`), one row per drop
+    reason — the funnel every corpus effort publishes (e.g. RefinedWeb
+    fig. 2's 'data removed at each stage'). Pure aggregation over the
+    per-doc verdicts; the stage semantics are pinned by the pipeline's
+    own oracle."""
+    return (QUERIES["curation_pipeline_keep"](spark, sf_dir)
+            .groupBy("drop_reason")
+            .agg(F.count(F.lit(1)).alias("n_docs")))

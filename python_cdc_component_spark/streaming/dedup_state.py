@@ -480,3 +480,43 @@ class StreamingDedupGroups:
                         and t != f"{BATCH_COL}={COMPACTED_TIER}"):
                     _fs_delete(spark, os.path.join(pdir, t))
         return len(due)
+
+
+def dedup_groups_sync(spark: SparkSession, docs_dir: str,
+                      state_path: str, checkpoint_path: str, *,
+                      num_buckets: int = 64,
+                      max_files_per_trigger: int | None = None,
+                      max_duration_s: float = 300.0
+                      ) -> StreamingDedupGroups:
+    """Structured-Streaming front end for :class:`StreamingDedupGroups`
+    (the `bounded_sync` convention applied to the dedup surface): drain
+    a growing documents directory under ``Trigger.AvailableNow``, one
+    :meth:`process_batch` per micro-batch with the epoch id as the
+    exactly-once ``batch_id``. Re-running with the same checkpoint
+    resumes — already-committed epochs replay as no-ops, a torn epoch
+    is replaced (the class-level crash contract). The verification
+    corpus is the directory itself re-resolved per batch: it always
+    covers batch ∪ indexed docs (pairs only ever reference those), and
+    the verify stage reads it pruned to pair-involved docs."""
+    st = StreamingDedupGroups(state_path, num_buckets=num_buckets)
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    stream = reader.parquet(docs_dir).select("doc_id", "text")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        corpus = (spark.read.schema(schema).parquet(docs_dir)
+                  .select("doc_id", "text"))
+        st.process_batch(spark, batch_df, corpus=corpus,
+                         batch_id=int(batch_id))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_path)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(max_duration_s)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination()
+    return st

@@ -208,3 +208,40 @@ def test_reopen_with_wrong_bucket_count_resolves_layout(spark, sf_dir):
         assert _groups(st2.read_groups(spark)) == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_dedup_groups_sync_streaming_front_end(spark, sf_dir):
+    """The foreachBatch wrapper: drain a docs directory under
+    AvailableNow, then land MORE files and re-run with the same
+    checkpoint — the final keep-list must equal batch hybrid over the
+    full corpus (checkpoint resume + epoch exactly-once end-to-end)."""
+    from python_cdc_component_spark.streaming.dedup_state import (
+        dedup_groups_sync)
+    d = _docs(spark, sf_dir, n=120)
+    work = tempfile.mkdtemp(prefix="dedup_sync_")
+    try:
+        src = os.path.join(work, "docs")
+        d.filter(F.col("doc_id") % 3 < 2).repartition(2) \
+         .write.mode("overwrite").parquet(src)
+        st = dedup_groups_sync(
+            spark, src, os.path.join(work, "state"),
+            os.path.join(work, "ckpt"), num_buckets=8,
+            max_files_per_trigger=1)
+        first = _groups(st.read_groups(spark))
+        assert first    # something landed
+        # second wave of files, same checkpoint
+        stage = os.path.join(work, "stage")
+        d.filter(F.col("doc_id") % 3 == 2).coalesce(1) \
+         .write.mode("overwrite").parquet(stage)
+        import glob as _glob
+        for i, f in enumerate(_glob.glob(os.path.join(stage,
+                                                      "*.parquet"))):
+            os.rename(f, os.path.join(src, f"wave2-{i}.parquet"))
+        st2 = dedup_groups_sync(
+            spark, src, os.path.join(work, "state"),
+            os.path.join(work, "ckpt"), num_buckets=8,
+            max_files_per_trigger=1)
+        assert _groups(st2.read_groups(spark)) == _groups(
+            hybrid_dedup_keep(d))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
