@@ -17,8 +17,15 @@ connect. Per-batch cost is O(|batch| + affected-component footprint):
   any shingling);
 * the component merge is driver-side union-find over the VERIFIED
   edge endpoints' components — near-dup edges per batch are tiny (the
-  whole point of LSH), and member/row lookups are partition-pruned
-  the same way the LSH index prunes erasure:
+  whole point of LSH) — but component SIZE is unbounded (one batch doc
+  matching a boilerplate mega-component must not collect that whole
+  component), so the affected-member fetch is a bounded
+  ``limit(threshold+1)`` probe: complete → driver union-find (one
+  job); truncated → the merge runs DISTRIBUTED through
+  ``connected_components`` (member→label edges + the batch's verified
+  edges), the same provably-complete-probe-else-distributed
+  discipline as ``operators/llm/components.py``. Member/row lookups
+  are partition-pruned the same way the LSH index prunes erasure:
 
 State layout (the lsh_index commit-tier discipline, twice):
 
@@ -40,6 +47,18 @@ state bytes untouched; a crashed half-write is replaced wholesale
 because resolution reads EXCLUDE the in-flight batch's own tier (the
 only tier that can be partial — every earlier tier is marker-gated).
 
+Tier ordering is the currency resolution (``_latest`` = highest
+``_batch`` wins), so every write path must be MONOTONE: sequenced
+stores use the caller's ``batch_id`` (foreachBatch epochs), and
+unsequenced stores draw tiers from a persisted ``_seq`` counter — a
+node relabeled across appends always has a strictly newer row, never
+two rows at one tier with an arbitrary tie-break. The two modes never
+mix (guarded): an unsequenced append interleaved into an epoch
+sequence would make claim ordering nondeterministic, and erasure on a
+sequenced store must ride the same sequence (``purge_batch_id``
+required) — a purge tier ABOVE the sequence would outrank every later
+ingest merge forever, silently splitting groups.
+
 Parity contract (tested): any batch split of a corpus yields state
 whose keep-list is EXACTLY ``hybrid_dedup_keep`` of the full corpus.
 """
@@ -56,7 +75,10 @@ from ..fs import fs_delete as _fs_delete
 from ..fs import fs_exists as _fs_exists
 from ..fs import fs_file_count as _fs_file_count
 from ..fs import fs_list_names as _fs_list_names
+from ..fs import fs_read_text as _fs_read_text
 from ..fs import fs_touch as _fs_touch
+from ..fs import fs_write_text as _fs_write_text
+from ..operators.llm.components import connected_components
 from ..operators.llm.hybrid import verify_jaccard_pairs
 from .lsh_index import StreamingLshIndex
 
@@ -77,6 +99,12 @@ class StreamingDedupGroups:
     jaccard_num: int = 3
     jaccard_den: int = 5
     compact_file_threshold: int = 8
+    # above this many affected-component members the per-batch merge
+    # runs distributed instead of driver union-find (the components.py
+    # SMALL_GRAPH_EDGES discipline): a batch doc matching a
+    # boilerplate mega-component must never collect that component's
+    # membership onto the driver
+    driver_merge_max_members: int = 100_000
     index: StreamingLshIndex = field(init=False)
 
     def __post_init__(self) -> None:
@@ -106,6 +134,44 @@ class StreamingDedupGroups:
     @property
     def _manifest_path(self) -> str:
         return os.path.join(self.state_path, "_batches")
+
+    @property
+    def _seq_path(self) -> str:
+        return os.path.join(self.state_path, "_seq")
+
+    def _next_tier(self, spark: SparkSession) -> int:
+        """Monotone commit tier for UNSEQUENCED operation: a persisted
+        counter, bumped BEFORE the data writes (a crash after the bump
+        leaves a harmless gap; bumping after would let a retry reuse a
+        tier that already holds committed rows). This is what makes
+        ``_latest`` deterministic in append mode — every relabel of a
+        node lands at a strictly newer tier, never a same-tier tie."""
+        raw = _fs_read_text(spark, self._seq_path)
+        nxt = (int(raw) if raw is not None else -1) + 1
+        _fs_write_text(spark, self._seq_path, str(nxt))
+        return nxt
+
+    def _is_sequenced(self, spark: SparkSession) -> bool:
+        return _fs_exists(spark, self._manifest_path)
+
+    def _check_mode(self, spark: SparkSession,
+                    batch_id: int | None, what: str) -> None:
+        """Sequenced (foreachBatch epoch tiers) and unsequenced
+        (``_seq`` counter tiers) operation must never mix: the two tier
+        namespaces interleave nondeterministically in ``_latest`` and a
+        dynamic overwrite of a colliding tier would destroy the other
+        mode's rows."""
+        if batch_id is None and self._is_sequenced(spark):
+            raise ValueError(
+                f"{what}: this store is batch_id-sequenced (commit "
+                "markers exist) — pass the next id in the same "
+                "sequence; an unsequenced write would resolve "
+                "nondeterministically against the epoch tiers")
+        if batch_id is not None and _fs_exists(spark, self._seq_path):
+            raise ValueError(
+                f"{what}: this store uses unsequenced appends (_seq "
+                "counter exists) — a batch_id tier would interleave "
+                "nondeterministically with the counter tiers")
 
     # -- tier-aware pruned reads ------------------------------------
 
@@ -151,32 +217,41 @@ class StreamingDedupGroups:
                 .select("node", "component").collect())
         return {r["node"]: r["component"] for r in rows}
 
-    def _members(self, spark: SparkSession, comps: set[int],
-                 exclude_batch: int | None) -> dict[int, tuple[int, int]]:
-        """{node: (component, n_tokens)} for every CURRENT member of
-        the given components. Candidate rows come from the components'
-        own partitions; staleness (a node that since moved away — or
-        whose row in this partition is superseded) is resolved against
-        the node_map's current claim."""
+    def _members_df(self, spark: SparkSession, comps: set[int],
+                    exclude_batch: int | None) -> DataFrame | None:
+        """(node, component, n_tokens) for every CURRENT member of the
+        given components — fully DISTRIBUTED: nothing component-sized
+        ever lands on the driver (the only collects are ≤num_buckets
+        partition ids). Candidate rows come from the components' own
+        ``labels`` partitions; staleness (a node that since moved away
+        — or whose row in this partition is superseded) is resolved
+        against the node_map's current claim via a semi-join."""
         if not comps or not _fs_exists(spark, self._labels_path):
-            return {}
+            return None
         parts = {c % self.num_buckets for c in comps}
         df = self._read_parts(spark, self._labels_path, COMP_PART,
                               parts, exclude_batch)
         if df is None:
-            return {}
+            return None
         cand = (df.filter(F.col("component").isin([int(c) for c in comps]))
-                .select("node", "component", "n_tokens", BATCH_COL)
-                .collect())
-        if not cand:
-            return {}
-        current = self._current_comps(spark, [r["node"] for r in cand],
-                                      exclude_batch)
-        out: dict[int, tuple[int, int]] = {}
-        for r in cand:
-            if current.get(r["node"]) == r["component"]:
-                out[r["node"]] = (r["component"], r["n_tokens"])
-        return out
+                .select("node", "component", "n_tokens"))
+        # node partitions the candidates hash into: ≤num_buckets values
+        nparts = {r[0] for r in
+                  cand.select(F.pmod("node", F.lit(self.num_buckets))
+                              .cast("int").alias("p"))
+                      .distinct().collect()}
+        nm = self._read_parts(spark, self._node_map_path, NODE_PART,
+                              nparts, exclude_batch)
+        if nm is None:
+            return None
+        current = (self._latest(
+                       nm.join(cand.select("node").distinct(),
+                               "node", "left_semi"))
+                   .select("node", "component"))
+        # keep candidate rows matching the current claim; duplicate
+        # tiers of one claim collapse (n_tokens is a doc constant)
+        return (cand.join(current, ["node", "component"], "left_semi")
+                .distinct())
 
     # -- per-batch maintenance --------------------------------------
 
@@ -188,8 +263,12 @@ class StreamingDedupGroups:
         this batch (the CDC state store at production scale) — it is
         only ever read pruned to pair-involved docs. Returns a stats
         dict. With ``batch_id``, replays of committed batches are
-        no-ops and crashed half-writes are replaced (exactly-once)."""
+        no-ops and crashed half-writes are replaced (exactly-once);
+        without it, tiers come from the store's ``_seq`` counter
+        (monotone, so cross-batch merges resolve deterministically —
+        the two modes never mix, guarded)."""
         self._resolve_buckets(spark)
+        self._check_mode(spark, batch_id, "process_batch")
         committed = (batch_id is not None
                      and _fs_exists(spark, os.path.join(
                          self._manifest_path, str(batch_id))))
@@ -210,60 +289,111 @@ class StreamingDedupGroups:
                     "n_verified_edges": len(edges)}
 
         edge_nodes = sorted({n for e in edges for n in e})
-        # current components of every edge endpoint (absent → itself)
+        # current components of every edge endpoint (absent → itself);
+        # edge_nodes is O(batch × LSH fan-out) — bounded by design
         cur = self._current_comps(spark, edge_nodes, batch_id)
         batch_tok = {r["doc_id"]: r["n_tokens"] for r in
                      batch_n.filter(F.col("doc_id").isin(edge_nodes))
                      .collect()} if edge_nodes else {}
         comps = {cur.get(n, n) for n in edge_nodes}
-        members = self._members(spark, comps, batch_id)
-        # union-find over affected members + this batch's edges
-        parent: dict[int, int] = {}
+        members_df = self._members_df(spark, comps, batch_id)
+        # bounded probe (the components.py discipline): the affected
+        # components' membership is UNBOUNDED — a batch doc matching a
+        # boilerplate mega-component must not collect it. A complete
+        # probe (≤ threshold rows) merges on the driver in one job; a
+        # truncated probe is DISCARDED and the merge runs distributed.
+        probe = (members_df
+                 .limit(self.driver_merge_max_members + 1).collect()
+                 if members_df is not None else [])
+        if len(probe) <= self.driver_merge_max_members:
+            merge_path = "driver"
+            members = {r["node"]: (r["component"], r["n_tokens"])
+                       for r in probe}
+            # union-find over affected members + this batch's edges
+            parent: dict[int, int] = {}
 
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
+            def find(x: int) -> int:
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
 
-        tok: dict[int, int] = {}
-        for n, (_, nt) in members.items():
-            parent.setdefault(n, n)
-            tok[n] = nt
-        for n in edge_nodes:
-            parent.setdefault(n, n)
-            if n in batch_tok:
-                tok[n] = batch_tok[n]
-        # nodes already sharing a stored component start connected
-        by_comp: dict[int, int] = {}
-        for n, (c, _) in members.items():
-            if c in by_comp:
-                ra, rb = find(n), find(by_comp[c])
+            tok: dict[int, int] = {}
+            for n, (_, nt) in members.items():
+                parent.setdefault(n, n)
+                tok[n] = nt
+            for n in edge_nodes:
+                parent.setdefault(n, n)
+                if n in batch_tok:
+                    tok[n] = batch_tok[n]
+            # nodes already sharing a stored component start connected
+            by_comp: dict[int, int] = {}
+            for n, (c, _) in members.items():
+                if c in by_comp:
+                    ra, rb = find(n), find(by_comp[c])
+                    if ra != rb:
+                        parent[ra] = rb
+                else:
+                    by_comp[c] = n
+            for a, b in edges:
+                ra, rb = find(a), find(b)
                 if ra != rb:
                     parent[ra] = rb
-            else:
-                by_comp[c] = n
-        for a, b in edges:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
-        comp_min: dict[int, int] = {}
-        for n in parent:
-            r = find(n)
-            if r not in comp_min or n < comp_min[r]:
-                comp_min[r] = n
-        new_label = {n: comp_min[find(n)] for n in parent}
-        changed = [(n, new_label[n], tok[n])
-                   for n in parent
-                   if members.get(n, (None, None))[0] != new_label[n]]
+            comp_min: dict[int, int] = {}
+            for n in parent:
+                r = find(n)
+                if r not in comp_min or n < comp_min[r]:
+                    comp_min[r] = n
+            new_label = {n: comp_min[find(n)] for n in parent}
+            changed = [(n, new_label[n], tok[n])
+                       for n in parent
+                       if members.get(n, (None, None))[0] != new_label[n]]
+            changed_df = spark.createDataFrame(
+                changed, "node long, component long, n_tokens long")
+            n_relabeled = len(changed)
+        else:
+            merge_path = "distributed"
+            # pin: the writes below replace the very tiers this plan
+            # reads (the lsh_index read-then-overwrite discipline)
+            members_df = members_df.localCheckpoint(eager=True)
+            edge_df = spark.createDataFrame(
+                edges, "src long, dst long")
+            # a stored component's members connect through its label
+            # node (component ids are always a current member's id, so
+            # member→label edges are node–node edges); components()
+            # self-selects driver vs Pregel on its OWN bounded probe
+            member_edges = (members_df
+                            .filter(F.col("node") != F.col("component"))
+                            .select(F.col("node").alias("src"),
+                                    F.col("component").alias("dst")))
+            labels_new = connected_components(
+                edge_df.unionByName(member_edges))
+            old = members_df.select(
+                "node", F.col("component").alias("_old_c"))
+            tok_all = (members_df.select("node", "n_tokens")
+                       .unionByName(
+                           batch_n.filter(F.col("doc_id")
+                                          .isin(edge_nodes))
+                           .select(F.col("doc_id").alias("node"),
+                                   "n_tokens"))
+                       .groupBy("node")
+                       .agg(F.max("n_tokens").alias("n_tokens")))
+            changed_df = (labels_new
+                          .join(old, "node", "left")
+                          .filter(F.col("_old_c").isNull()
+                                  | (F.col("_old_c")
+                                     != F.col("component")))
+                          .join(tok_all, "node")
+                          .select("node", "component", "n_tokens")
+                          .localCheckpoint(eager=True))
+            n_relabeled = changed_df.count()
 
-        tier = COMPACTED_TIER if batch_id is None else int(batch_id)
+        tier = (self._next_tier(spark) if batch_id is None
+                else int(batch_id))
         # distributed singleton rows for the rest of the batch; the
-        # edge-involved rows ride along from the driver's resolution
-        changed_df = spark.createDataFrame(
-            changed, "node long, component long, n_tokens long")
+        # edge-involved rows ride along from the merge's resolution
         singles = (batch_n
                    .filter(~F.col("doc_id").isin(edge_nodes)
                            if edge_nodes else F.lit(True))
@@ -294,7 +424,8 @@ class StreamingDedupGroups:
         self._compact(spark, self._node_map_path, NODE_PART)
         return {"batch_id": batch_id, "replay": False,
                 "n_verified_edges": len(edges),
-                "n_relabeled": len(changed)}
+                "n_relabeled": n_relabeled,
+                "merge_path": merge_path}
 
     # -- erasure ------------------------------------------------------
 
@@ -309,13 +440,29 @@ class StreamingDedupGroups:
         of the victims' components only. Component topology is NOT
         re-split (erasing a bridge doc keeps the survivors grouped):
         groups record near-dup verdicts already made, and erasure
-        removes a member, not history. Writes ride a commit tier
-        (``purge_batch_id``, required for exactly-once stores — tier
-        ids share the process_batch sequence) or plain appends.
-        Returns the number of rows rewritten."""
+        removes a member, not history. On a batch_id-sequenced store
+        ``purge_batch_id`` is REQUIRED and must be the next unused id
+        in the same sequence (a tier above the sequence would outrank
+        every later ingest merge forever — a survivor could never be
+        merged into a new component again); unsequenced stores draw the
+        tier from the shared ``_seq`` counter, keeping purge and later
+        ingest mutually ordered. Returns rows rewritten."""
         if not doc_ids:
             return 0
         self._resolve_buckets(spark)
+        if purge_batch_id is None and self._is_sequenced(spark):
+            raise ValueError(
+                "purge_docs: this store is batch_id-sequenced — pass "
+                "purge_batch_id (the next unused id in the same "
+                "sequence); an out-of-sequence purge tier would either "
+                "collide with a future epoch's dynamic overwrite or "
+                "permanently outrank later ingest merges")
+        if purge_batch_id is not None and _fs_exists(spark,
+                                                     self._seq_path):
+            raise ValueError(
+                "purge_docs: this store uses unsequenced appends — "
+                "omit purge_batch_id (the tier comes from the shared "
+                "_seq counter)")
         self.index.purge_docs(spark, doc_ids)
         if not _fs_exists(spark, self._node_map_path):
             return 0
@@ -336,50 +483,51 @@ class StreamingDedupGroups:
         if not claims:
             return 0
         all_claimed = {r["component"] for r in claims}
-        # current comps decide which components lose a member now
+        # current comps decide which components lose a member now; the
+        # survivor relabel is fully DISTRIBUTED (affected components
+        # may be arbitrarily large — same bound as process_batch)
         cur = self._current_comps(spark, victims, None)
         comps = set(cur.values())
-        members = self._members(spark, comps, None)
-        vset = set(victims)
-        survivors = {n: (c, t) for n, (c, t) in members.items()
-                     if n not in vset}
-        by_comp: dict[int, list[int]] = {}
-        for n, (c, _) in survivors.items():
-            by_comp.setdefault(c, []).append(n)
-        rows = []
-        for c, ns in by_comp.items():
-            new_c = min(ns)
-            if new_c == c:
-                continue        # label survived — existing rows stand
-            for n in ns:
-                rows.append((n, new_c, survivors[n][1]))
-        # relabel rows must OUTRANK every existing claim in _latest:
-        # a strictly-higher tier (caller-sequenced in exactly-once
-        # mode, max-observed+1 otherwise — max over the claims read
-        # plus the manifest is cheap driver state)
-        if purge_batch_id is not None:
-            tier = int(purge_batch_id)
-        else:
-            # offset far above any foreachBatch epoch id so a FUTURE
-            # process_batch tier can never collide with (and dynamic-
-            # overwrite away) a purge tier
-            seen = [r[BATCH_COL] for r in claims] + [COMPACTED_TIER]
-            if _fs_exists(spark, self._manifest_path):
-                seen += [int(x) for x in
-                         _fs_list_names(spark, self._manifest_path)]
-            tier = max(max(seen) + 1, 1 << 40)
-        new_rows = spark.createDataFrame(
-            rows, "node long, component long, n_tokens long")
+        members_df = self._members_df(spark, comps, None)
+        if members_df is None:
+            members_df = spark.createDataFrame(
+                [], "node long, component long, n_tokens long")
+        surv = (members_df.join(F.broadcast(ids_df), "node", "left_anti")
+                .localCheckpoint(eager=True))
+        # components whose min surviving member changed get relabeled
+        new_rows = (surv.join(
+                        surv.groupBy("component")
+                            .agg(F.min("node").alias("_new_c")),
+                        "component")
+                    .filter(F.col("_new_c") != F.col("component"))
+                    .select("node", F.col("_new_c").alias("component"),
+                            "n_tokens")
+                    .localCheckpoint(eager=True))
+        # relabel rows must OUTRANK every existing claim in _latest —
+        # and stay UNDER every future ingest tier (so later merges can
+        # supersede them): caller-sequenced in exactly-once mode, the
+        # shared _seq counter otherwise
+        tier = (int(purge_batch_id) if purge_batch_id is not None
+                else self._next_tier(spark))
+        relabel_cparts = {r[0] for r in
+                          new_rows.select(
+                              F.pmod("component",
+                                     F.lit(self.num_buckets))
+                              .cast("int")).distinct().collect()}
+        relabel_nparts = {r[0] for r in
+                          new_rows.select(
+                              F.pmod("node", F.lit(self.num_buckets))
+                              .cast("int")).distinct().collect()}
         n_rewritten = 0
         for base, part_col, key in (
                 (self._labels_path, COMP_PART, "component"),
                 (self._node_map_path, NODE_PART, "node")):
             if key == "component":
                 touched = ({c % self.num_buckets for c in all_claimed}
-                           | {r[1] % self.num_buckets for r in rows})
+                           | relabel_cparts)
             else:
                 touched = ({v % self.num_buckets for v in victims}
-                           | {r[0] % self.num_buckets for r in rows})
+                           | relabel_nparts)
             paths = [p for p in
                      (os.path.join(base, f"{part_col}={v}")
                       for v in sorted(touched))
@@ -475,6 +623,71 @@ class StreamingDedupGroups:
                                       [part_col, BATCH_COL], base)
         for name in due:
             pdir = os.path.join(base, name)
+            for t in _fs_list_names(spark, pdir):
+                if (t.startswith(f"{BATCH_COL}=")
+                        and t != f"{BATCH_COL}={COMPACTED_TIER}"):
+                    _fs_delete(spark, os.path.join(pdir, t))
+        return len(due)
+
+    def vacuum(self, spark: SparkSession) -> int:
+        """Drop CROSS-PARTITION stale labels rows. ``_compact`` folds a
+        partition's tiers to the latest claim per node WITHIN that
+        partition, but a node relabeled across partitions leaves one
+        row per former component partition — read-time node_map checks
+        keep results correct, at bounded-but-growing read cost on
+        churn-heavy stores. One maintenance pass: resolve every node's
+        current claim from node_map (authoritative — a node's claims
+        all live in its one node_map partition), find the labels
+        partitions holding any row that is NOT the current claim (or a
+        superseded tier of it), and rewrite ONLY those partitions from
+        the current claims; untouched partitions keep their exact
+        bytes. A crash mid-pass leaves duplicate rows in rewritten
+        partitions — benign, same as the ``_compact`` contract (the
+        claim check and ``distinct`` absorb them). Returns the number
+        of partitions rewritten."""
+        if (not _fs_exists(spark, self._labels_path)
+                or not _fs_exists(spark, self._node_map_path)):
+            return 0
+        self._resolve_buckets(spark)
+        current = (self._latest(
+                       spark.read.option("basePath", self._node_map_path)
+                       .parquet(self._node_map_path))
+                   .select("node", "component", "n_tokens")
+                   .localCheckpoint(eager=True))
+        labels = (spark.read.option("basePath", self._labels_path)
+                  .parquet(self._labels_path))
+        stale_parts = (labels
+                       .join(current.select("node", "component"),
+                             ["node", "component"], "left_anti")
+                       .select(COMP_PART))
+        multi_tier = (labels.groupBy(COMP_PART, "node", "component")
+                      .agg(F.count(F.lit(1)).alias("_n"))
+                      .filter(F.col("_n") > 1).select(COMP_PART))
+        due = sorted({r[0] for r in
+                      stale_parts.unionByName(multi_tier)
+                      .distinct().collect()})
+        if not due:
+            return 0
+        rebuilt = (current
+                   .withColumn(COMP_PART,
+                               F.pmod("component",
+                                      F.lit(self.num_buckets))
+                               .cast("int"))
+                   .filter(F.col(COMP_PART).isin(due))
+                   .withColumn(BATCH_COL, F.lit(COMPACTED_TIER))
+                   .repartition(F.col(COMP_PART))
+                   .localCheckpoint(eager=True))
+        live_parts = {r[0] for r in
+                      rebuilt.select(COMP_PART).distinct().collect()}
+        if live_parts:
+            self.index._overwrite_dynamic(
+                spark, rebuilt, [COMP_PART, BATCH_COL],
+                self._labels_path)
+        for v in due:
+            pdir = os.path.join(self._labels_path, f"{COMP_PART}={v}")
+            if v not in live_parts:
+                _fs_delete(spark, pdir)
+                continue
             for t in _fs_list_names(spark, pdir):
                 if (t.startswith(f"{BATCH_COL}=")
                         and t != f"{BATCH_COL}={COMPACTED_TIER}"):

@@ -142,7 +142,11 @@ def test_purge_relabels_and_erases(spark):
                                   num_buckets=8)
         st.process_batch(spark, d, corpus=d, batch_id=0)
         assert _groups(st.read_groups(spark)) == {(1, 2, 43, 3)}
-        st.purge_docs(spark, [1])
+        # sequenced store: purge must ride the same tier sequence
+        import pytest
+        with pytest.raises(ValueError, match="purge_batch_id"):
+            st.purge_docs(spark, [1])
+        st.purge_docs(spark, [1], purge_batch_id=1)
         got = _groups(st.read_groups(spark))
         assert got == {(2, 2, 43, 2)}, got
         # no victim row survives anywhere in either state table
@@ -152,7 +156,7 @@ def test_purge_relabels_and_erases(spark):
                          .parquet(base_dir).select("node").collect()}
             assert 1 not in surviving, base_dir
         # and the keeper erasure: purging the new keeper re-picks
-        st.purge_docs(spark, [2])
+        st.purge_docs(spark, [2], purge_batch_id=2)
         assert _groups(st.read_groups(spark)) == {(3, 3, 40, 1)}
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -171,9 +175,9 @@ def test_purge_then_ingest_keeps_working(spark, sf_dir):
                          corpus=d, batch_id=0)
         first = sorted(r["keep_doc_id"]
                        for r in st.read_groups(spark).collect())[:2]
-        st.purge_docs(spark, first)
+        st.purge_docs(spark, first, purge_batch_id=1)
         st.process_batch(spark, d.filter(F.col("doc_id") % 2 == 1),
-                         corpus=d, batch_id=1)
+                         corpus=d, batch_id=2)
         got = {r["keep_doc_id"]
                for r in st.read_groups(spark).collect()}
         assert not (set(first) & got)
