@@ -51,12 +51,32 @@ def connected_components(edges: DataFrame, src: str = "src",
     the threshold should pin it first (``localCheckpoint``, as
     hybrid_dedup_keep does) or pass ``small_graph_edges=0`` — a
     truncated probe re-computes the edge plan once more for the
-    distributed path."""
+    distributed path.
+
+    Node-id types: INTEGRAL ids are normalized to long up front, so
+    both paths emit ``node long, component long``. Non-integral ids
+    (e.g. string doc keys) always take the distributed loop — the
+    driver path's long-cast would null them — and the output preserves
+    the input type (min-label is total-ordered for strings too)."""
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType)
     spark = edges.sparkSession
-    probe = (edges.select(F.col(src).cast("long").alias("s"),
-                          F.col(dst).cast("long").alias("d"))
-             .limit(small_graph_edges + 1).collect())
-    if len(probe) <= small_graph_edges:
+    try:
+        ids_integral = all(
+            isinstance(edges.schema[c].dataType,
+                       (ByteType, ShortType, IntegerType, LongType))
+            for c in (src, dst))
+    except Exception:
+        ids_integral = False
+    if ids_integral:
+        # lossless widen: one output contract across both paths
+        edges = edges.select(F.col(src).cast("long").alias(src),
+                             F.col(dst).cast("long").alias(dst))
+    probe = (edges.select(F.col(src).alias("s"),
+                          F.col(dst).alias("d"))
+             .limit(small_graph_edges + 1).collect()
+             if ids_integral else None)
+    if probe is not None and len(probe) <= small_graph_edges:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -98,17 +118,26 @@ def connected_components(edges: DataFrame, src: str = "src",
             .groupBy("node").agg(F.min("label").alias("label")))
 
     # Convergence signal: min-label propagation is MONOTONE — a node's
-    # label can only decrease — so the label sum is strictly decreasing
-    # until the fixpoint, and "sum unchanged" ⟺ "no label changed".
-    # One decimal aggregate over the (cached) labels per round replaces
-    # the earlier join-against-previous + filter + count (a second full
-    # node-count join per round). Decimal sum: exact and overflow-proof
-    # at any node-id magnitude.
+    # label can only decrease — so for integral ids the label sum is
+    # strictly decreasing until the fixpoint, and "sum unchanged" ⟺
+    # "no label changed". One decimal aggregate over the (cached)
+    # labels per round replaces the earlier join-against-previous +
+    # filter + count (a second full node-count join per round).
+    # Decimal sum: exact and overflow-proof at any node-id magnitude.
+    # Non-integral ids (strings) have no monotone sum — they take the
+    # exact per-node comparison (both frames are pinned, so it's one
+    # join over node-count rows; this is already the rare fallback).
     def _label_sum(lb):
         return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))
                        .alias("s")).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels)
+    def _differs(new_lb, old_lb):
+        return not (new_lb.alias("n")
+                    .join(old_lb.alias("o"), "node")
+                    .filter(F.col("n.label") != F.col("o.label"))
+                    .isEmpty())
+
+    prev_sum = _label_sum(labels) if ids_integral else None
     converged = False
     for _ in range(max_iter):
         # neighbor labels: for each edge a→b, b's current label is a
@@ -124,8 +153,10 @@ def connected_components(edges: DataFrame, src: str = "src",
                        nbr.withColumnRenamed("nbr_label", "label"))
                    .groupBy("node").agg(F.min("label").alias("label"))
                    .persist())          # feeds both sides of the jump
-        step_sum = _label_sum(stepped)
-        if step_sum == prev_sum:
+        step_sum = _label_sum(stepped) if ids_integral else None
+        step_unchanged = (step_sum == prev_sum if ids_integral
+                          else not _differs(stepped, labels))
+        if step_unchanged:
             # fixpoint reached by the plain step alone — the common
             # final round. Skipping the jump here saves one self-join +
             # checkpoint per run (~25% of loop cost at the typical 3-4
@@ -148,11 +179,13 @@ def connected_components(edges: DataFrame, src: str = "src",
                      F.coalesce(F.col("y.label"),
                                 F.col("x.label")).alias("label"))
              .localCheckpoint(eager=True))      # O(1) plan per round
-        new_sum = _label_sum(new_labels)
+        new_sum = _label_sum(new_labels) if ids_integral else None
+        jump_unchanged = (new_sum == prev_sum if ids_integral
+                          else not _differs(new_labels, labels))
         stepped.unpersist()
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if jump_unchanged:
             converged = True
             break
         prev_sum = new_sum

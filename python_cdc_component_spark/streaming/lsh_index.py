@@ -286,12 +286,30 @@ class StreamingLshIndex:
             return 0
         else:
             # pre-/mixed-sidecar index: erasure must never miss rows —
-            # full scan, then turn the read into the sidecar migration
+            # full scan, then turn the read into the sidecar migration.
+            # The rebuilt sidecar INCLUDES the victims: their band rows
+            # are still in the index when the complete-stamp is
+            # written, so the stamp is truthful at that instant and a
+            # crash ANYWHERE after it retries down the pruned path and
+            # still finds the victims' entries. (The old order —
+            # exclude victims, stamp, then rewrite buckets — left a
+            # window where a retry saw a "complete" sidecar with no
+            # victim entries and returned 0 while the victims' rows
+            # stayed indexed: silent permanent incomplete erasure.)
+            # The victims' sidecar rows are removed by the normal
+            # victim-partition rewrite below, after the index rewrite.
             full = (spark.read.option("basePath", self.index_path)
                     .parquet(self.index_path))
-            victims = full.join(F.broadcast(ids_df), "doc_id",
-                                "left_semi")
-            self._rebuild_docmap(spark, full, ids_df)
+            victims = (full.join(F.broadcast(ids_df), "doc_id",
+                                 "left_semi")
+                       .localCheckpoint(eager=True))
+            self._rebuild_docmap(spark, full)
+            map_paths = [
+                p for p in
+                (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
+                 for v in sorted({int(i) % self.num_buckets
+                                  for i in doc_ids}))
+                if _fs_exists(spark, p)]
         touched = [r[0] for r in
                    victims.select(BUCKET_COL).distinct().collect()]
         if not touched:
@@ -363,22 +381,24 @@ class StreamingLshIndex:
         self._resolve_buckets(spark)
         full = (spark.read.option("basePath", self.index_path)
                 .parquet(self.index_path))
-        none = spark.createDataFrame([], "doc_id long")
-        self._rebuild_docmap(spark, full, none)
+        self._rebuild_docmap(spark, full)
         return (spark.read.parquet(self._docmap_path)
                 .select("doc_id").distinct().count())
 
-    def _rebuild_docmap(self, spark: SparkSession, full_index: DataFrame,
-                        purged_ids: DataFrame) -> None:
+    def _rebuild_docmap(self, spark: SparkSession,
+                        full_index: DataFrame) -> None:
         """One-time sidecar migration for a pre-/mixed-sidecar index:
         the erasure full scan is already paying for a complete index
-        read, so derive the FULL (doc_id, bucket) map from it (minus
-        the docs being purged — the purge rewrite below removes their
-        rows, and this branch skips the sidecar victim rewrite),
+        read, so derive the FULL (doc_id, bucket) map from it,
         overwrite the sidecar wholesale, and stamp the meta complete —
-        every later purge is partition-pruned."""
+        every later purge is partition-pruned. The map must cover
+        EVERY doc currently in the index, including ones about to be
+        purged: the stamp asserts sidecar-matches-index at write time,
+        and a crash between this stamp and the purge's index rewrite
+        must leave a retry able to find the victims through the pruned
+        path (the purge's normal victim-partition rewrite drops their
+        sidecar rows after the index rewrite succeeds)."""
         docmap = (full_index.select("doc_id", BUCKET_COL).distinct()
-                  .join(F.broadcast(purged_ids), "doc_id", "left_anti")
                   .withColumn(DOC_PART_COL,
                               F.pmod("doc_id", F.lit(self.num_buckets))
                               .cast("int"))

@@ -58,3 +58,32 @@ def test_fast_path_duplicate_and_reversed_edges(spark):
     out = {(r.node, r.component)
            for r in connected_components(edges).collect()}
     assert out == {(1, 1), (2, 1), (3, 1), (7, 7)}
+
+
+def test_string_node_ids_take_distributed_path(spark):
+    """ADVICE r7 (low): non-integral node ids must never hit the
+    driver fast path (its long-cast nulls them) — they run the
+    distributed loop with the input type preserved."""
+    edges = spark.createDataFrame(
+        [("apple", "banana"), ("banana", "cherry"), ("x", "y")],
+        "src string, dst string")
+    out = connected_components(edges)
+    assert dict(out.dtypes) == {"node": "string",
+                                "component": "string"}
+    got = {(r.node, r.component) for r in out.collect()}
+    assert got == {("apple", "apple"), ("banana", "apple"),
+                   ("cherry", "apple"), ("x", "x"), ("y", "x")}
+
+
+def test_integral_ids_share_one_output_contract(spark):
+    """int32 ids widen to long on BOTH paths — fast and distributed
+    emit the same schema and the same rows."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (9, 10)],
+                                  "src int, dst int")
+    fast = connected_components(edges)
+    dist = connected_components(edges, small_graph_edges=0)
+    assert dict(fast.dtypes) == dict(dist.dtypes) == {
+        "node": "bigint", "component": "bigint"}
+    assert ({tuple(r) for r in fast.collect()}
+            == {tuple(r) for r in dist.collect()}
+            == {(1, 1), (2, 1), (3, 1), (9, 9), (10, 9)})

@@ -139,6 +139,48 @@ def test_complete_sidecar_absent_victims_purge_is_noop(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_mixed_era_purge_crash_after_stamp_retries_complete(
+        spark, sf_dir, monkeypatch):
+    """ADVICE r7 (medium): the migration stamp must be retry-safe. A
+    crash between the docmap rebuild+stamp and the index bucket
+    rewrite retries down the PRUNED path — the rebuilt sidecar now
+    INCLUDES the victims (their rows are still indexed at stamp time),
+    so the retry finds their entries and completes the erasure. The
+    old exclude-victims-then-stamp order made such a retry return 0
+    with the victims' rows still in the index."""
+    import pytest
+    docs = _docs(spark, sf_dir).limit(120)
+    work = tempfile.mkdtemp(prefix="lsh_r8_")
+    try:
+        idx, cut = _make_mixed_era_index(spark, docs, work)
+        pre = _index_doc_ids(spark, idx)
+        victims = sorted(i for i in pre if i < cut)[:4]
+        assert victims
+        real = StreamingLshIndex._rebuild_docmap
+
+        def boom(self, spark_, full_index):
+            real(self, spark_, full_index)
+            raise RuntimeError("crash after docmap stamp")
+
+        monkeypatch.setattr(StreamingLshIndex, "_rebuild_docmap", boom)
+        with pytest.raises(RuntimeError, match="crash after"):
+            idx.purge_docs(spark, victims)
+        monkeypatch.undo()
+        with open(idx._meta_path) as fh:
+            assert json.load(fh)["docmap_complete"] is True
+        # victims' band rows are still indexed; the retry must erase
+        # them through the pruned path (n buckets rewritten > 0)
+        assert set(victims) <= _index_doc_ids(spark, idx)
+        assert idx.purge_docs(spark, victims) > 0
+        assert _index_doc_ids(spark, idx) == pre - set(victims)
+        sidecar_ids = {r[0] for r in
+                       (spark.read.parquet(idx._docmap_path)
+                        .select("doc_id").distinct().collect())}
+        assert not (set(victims) & sidecar_ids)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_hyperplane_lsh_empty_corpus_returns_empty(spark):
     """ADVICE r6: an empty corpus returns an empty pair set, not a
     TypeError from first()[0]."""
