@@ -35,14 +35,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle (S2-S8, K1-K5, P3/P4/P7, F8/F10, T1/T3/T6/T8), the UDF
 # surface (§2.10), and one flagship per LLM-pipeline operator family.
 # Everything else still runs under scripts/check_oracle.py + pytest.
-# Round-7 rotation (VERDICT r6 #1): the 25 flagship slots stay pinned;
-# the other 25 rotate — exclusively queries that have NEVER earned a
-# driver row in any round (computed from CORRECTNESS_r01..r06 ∪ vs
-# queries(); contract-tested in tests/test_r7_window.py against
-# ROTATION_BASE_ROUND below). The rotated-out r06 batch (event
-# analytics, quality family, mixtures, ...) all earned green r06 rows
-# and stay covered by the 194-query self gate + pytest.
-ROTATION_BASE_ROUND = 7     # rotation slots never rowed in rounds < 7
+# Round-8 rotation (VERDICT r7 #2, third rotation): the 25 flagship
+# slots stay pinned; the other 25 rotate — exclusively queries that
+# have NEVER earned a driver row in any round (computed from
+# CORRECTNESS_r01..r07 ∪ vs queries(); contract-tested in
+# tests/test_r7_window.py against ROTATION_BASE_ROUND below). Leads
+# with the 5 round-7 newcomers per the verdict; the rotated-out r07
+# batch all earned green r07 rows and stays covered by the full
+# hostile self gate + pytest. ~26 queries remain never-rowed — one
+# more rotation from full coverage.
+ROTATION_BASE_ROUND = 8     # rotation slots never rowed in rounds < 8
 DRIVER_WINDOW = [
     # pinned flagships: CDC core + lifecycle essentials
     "cdc_dedup_latest", "cdc_append", "cdc_chunked_dedup",
@@ -56,27 +58,26 @@ DRIVER_WINDOW = [
     # pinned flagships: LLM pipeline
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
-    # rotated in (first-ever driver rows): dedup / fingerprint family
-    "containment_dup_pairs", "winnowing_fingerprints",
-    "lsh_incremental_pairs", "minhash_jaccard_accuracy",
-    "embedding_hyperplane_lsh_pairs",
-    # rotated in: ANN / multimodal / tokenize
-    "knn_join_kmeans", "multimodal_features", "bpe_encode_tokens",
-    # rotated in: sketches
-    "countmin_heavy_hitters", "approx_quantile_contract",
-    # rotated in: CDC lifecycle tail
-    "scd2_intervals", "snapshot_diff_events",
-    # rotated in: format surface
-    "jsonl_roundtrip_events", "orc_roundtrip_events",
-    # rotated in: event analytics tail
-    "funnel_time_to_convert", "session_window_agg",
-    "interval_join_clicks_buys",
-    # rotated in: curation / sampling / text
-    "corpus_audit_by_source", "stratified_sample_docs",
-    "text_normalize", "doc_chunk_split",
-    # rotated in: relational tail
-    "lateral_topk_per_customer", "q7_nation_volume",
-    "q8_market_share", "q22_dormant_customers",
+    # rotated in (first-ever driver rows): the 5 round-7 newcomers
+    "hybrid_dedup_keep", "streaming_dedup_groups",
+    "curation_pipeline_keep", "curation_funnel_counts",
+    "lsh_incremental_verified_pairs",
+    # rotated in: dedup / ANN family closure
+    "lsh_dup_groups", "semantic_dup_groups",
+    "embedding_int8_ann_recall",
+    # rotated in: curation / quality / training pipeline
+    "decontaminate_train_docs", "quality_filter_chain",
+    "char_entropy_quality", "train_split_assign",
+    "training_mix_caps", "pack_sequences",
+    # rotated in: text analysis
+    "vocab_topk", "repetition_stats",
+    # rotated in: event analytics / profiling
+    "events_anomaly_zscore", "events_hourly_heatmap",
+    "value_histogram_bins", "profile_orders",
+    # rotated in: relational surface tail
+    "grouping_sets_orders", "range_join_value_bands",
+    "relational_division", "q15_top_supplier",
+    "q16_parts_supplier_relationship",
 ]
 
 

@@ -74,6 +74,22 @@ class BoundedStreamConfig:
     view_path: str | None = None
     view_group_keys: list[str] | None = None
     view_measure: str = "value"
+    # Optional verified near-dup groups side state (DEDUPE mode only):
+    # when dedup_groups_path is set, each micro-batch ALSO maintains a
+    # StreamingDedupGroups store beside the compacted state — the
+    # many-table CDC sync meeting the LLM dedup surface. The payload
+    # column named by dedup_doc_id_col is the document id (integral)
+    # and dedup_text_col its text. CDC semantics: an INSERT ingests; an
+    # UPDATE purges the old version and ingests the new; a tombstone
+    # purges. Erasure keeps component topology (the documented
+    # purge_docs contract), so keep-list parity with batch
+    # hybrid_dedup_keep over the table's current state holds exactly
+    # for insert-only tables; updated/deleted docs retain their
+    # already-made group verdicts.
+    dedup_groups_path: str | None = None
+    dedup_doc_id_col: str = "user_id"
+    dedup_text_col: str = "props"
+    dedup_groups_buckets: int = 64
 
 
 def read_event_stream(spark: SparkSession, events_dir: str,
@@ -164,6 +180,50 @@ def _compact(spark: SparkSession, batch_df: DataFrame,
     compactor.merge(spark, batch_df.drop("_snapshot_phase"))
 
 
+def _maintain_dedup_groups(spark: SparkSession, groups,
+                           compactor: MergeCompactor,
+                           batch_df: DataFrame, epoch: int,
+                           cfg: "BoundedStreamConfig") -> None:
+    """One epoch of dedup-groups side maintenance (runs AFTER the
+    compaction merge, so the compacted state already reflects this
+    batch). Tier scheme on the groups store's batch_id sequence:
+    ``2·epoch`` for the purge (replaced/deleted doc versions) and
+    ``2·epoch+1`` for the ingest — monotone across epochs, so later
+    ingest merges always outrank purge relabels. The INGEST marker
+    gates the whole epoch: purge is idempotent, so a replay after a
+    crash between purge and ingest re-runs both safely, while a replay
+    of a committed epoch skips both (re-purging would erase the rows
+    the committed ingest wrote)."""
+    import os as _os
+
+    from ..fs import fs_exists
+    from ..operators.dedup import dedup_latest
+
+    ingest_tier = 2 * epoch + 1
+    if fs_exists(spark, _os.path.join(groups._manifest_path,
+                                      str(ingest_tier))):
+        return
+    idc, txc = cfg.dedup_doc_id_col, cfg.dedup_text_col
+    latest = dedup_latest(batch_df.drop("_snapshot_phase"), [idc])
+    batch_ids = [r[0] for r in
+                 latest.select(idc).distinct().collect()]
+    if not batch_ids:
+        return
+    # purge every batch-touched id: replaced versions and tombstones
+    # lose their old bands/claims; never-indexed ids are a pruned no-op
+    groups.purge_docs(spark, batch_ids, purge_batch_id=2 * epoch)
+    live = (latest
+            .filter(~F.coalesce(F.col(SC.deleted), F.lit(False)))
+            .select(F.col(idc).cast("long").alias("doc_id"),
+                    F.col(txc).alias("text")))
+    corpus = (compactor.read(spark)
+              .filter(~F.coalesce(F.col(SC.deleted), F.lit(False)))
+              .select(F.col(idc).cast("long").alias("doc_id"),
+                      F.col(txc).alias("text")))
+    groups.process_batch(spark, live, corpus=corpus,
+                         batch_id=ingest_tier)
+
+
 def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                  checkpoint_dir: str,
                  cfg: BoundedStreamConfig | None = None) -> dict:
@@ -174,6 +234,10 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
     like the reference's poll loop. Returns run stats.
     """
     cfg = cfg or BoundedStreamConfig()
+    if cfg.dedup_groups_path and cfg.mode.upper() != "DEDUPE":
+        raise ValueError(
+            "dedup_groups_path requires DEDUPE mode — APPEND mode has "
+            "no compacted current state to verify against")
     stream = read_event_stream(spark, events_dir, cfg.max_files_per_trigger)
 
     # snapshot-mode dispatch (stream flavor; batch twin in engine.sync).
@@ -221,6 +285,12 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                 view = StreamingAggView(cfg.view_path, keys,
                                         cfg.view_group_keys,
                                         cfg.view_measure)
+            groups = None
+            if cfg.dedup_groups_path:
+                from .dedup_state import StreamingDedupGroups
+                groups = StreamingDedupGroups(
+                    cfg.dedup_groups_path,
+                    num_buckets=cfg.dedup_groups_buckets)
 
             def sink(batch_df: DataFrame, batch_id: int) -> None:
                 if cfg.live:
@@ -233,6 +303,10 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                                 batch_df.drop("_snapshot_phase"))
                 else:
                     _compact(spark, batch_df, compactor)
+                if groups is not None:
+                    _maintain_dedup_groups(spark, groups, compactor,
+                                           batch_df, int(batch_id),
+                                           cfg)
 
             writer = stream.writeStream.foreachBatch(sink)
         else:
@@ -359,6 +433,11 @@ def bounded_sync_multi_fused(spark: SparkSession,
                 f"table {t!r}: maintained views are per-table state and "
                 "are not supported on the fused fleet path — run that "
                 "table through bounded_sync, or fuse without the view")
+        if c.dedup_groups_path:
+            raise ValueError(
+                f"table {t!r}: dedup-groups side state is per-table "
+                "and not supported on the fused fleet path — run that "
+                "table through bounded_sync")
 
     groups: dict[tuple, list[str]] = {}
     for t in sorted(cfgs):

@@ -402,12 +402,19 @@ class StreamingDedupGroups:
                            "n_tokens"))
         rows = singles.unionByName(changed_df).withColumn(
             BATCH_COL, F.lit(tier))
-        labels = rows.withColumn(
-            COMP_PART, F.pmod("component", F.lit(self.num_buckets))
-            .cast("int"))
-        nmap = rows.withColumn(
-            NODE_PART, F.pmod("node", F.lit(self.num_buckets))
-            .cast("int"))
+        # bin-pack: one file per touched partition per tier (the
+        # lsh_index append discipline — unpacked writes emit up to
+        # shuffle-partitions files per partition per batch and trip
+        # compaction every batch)
+        labels = (rows.withColumn(
+                      COMP_PART,
+                      F.pmod("component", F.lit(self.num_buckets))
+                      .cast("int"))
+                  .repartition(F.col(COMP_PART)))
+        nmap = (rows.withColumn(
+                    NODE_PART, F.pmod("node", F.lit(self.num_buckets))
+                    .cast("int"))
+                .repartition(F.col(NODE_PART)))
         if batch_id is None:
             (labels.write.partitionBy(COMP_PART, BATCH_COL)
                    .mode("append").parquet(self._labels_path))

@@ -213,7 +213,15 @@ class StreamingLshIndex:
             if committed:
                 return pairs        # replay of a committed batch: no-op
             tier = COMPACTED_TIER if batch_id is None else int(batch_id)
-            out = bands.withColumn(BATCH_COL, F.lit(tier))
+            # bin-pack the append: without the bucket repartition every
+            # writer task holding rows of a bucket emits its own file
+            # (up to shuffle-partitions × buckets tiny files per batch
+            # — measured 3.5 s/batch of pure file-create overhead at
+            # sf0.1, and every bucket trips the compaction threshold
+            # EVERY batch). One file per touched bucket per batch keeps
+            # compaction amortized at threshold⁻¹ per batch.
+            out = (bands.withColumn(BATCH_COL, F.lit(tier))
+                   .repartition(F.col(BUCKET_COL)))
             if batch_id is None:
                 (out.write.partitionBy(BUCKET_COL, BATCH_COL)
                     .mode("append").parquet(self.index_path))
@@ -227,7 +235,8 @@ class StreamingLshIndex:
                       .withColumn(DOC_PART_COL,
                                   F.pmod("doc_id",
                                          F.lit(self.num_buckets))
-                                  .cast("int")))
+                                  .cast("int"))
+                      .repartition(F.col(DOC_PART_COL)))
             (docmap.write.partitionBy(DOC_PART_COL)
                    .mode("append").parquet(self._docmap_path))
             if _fs_read_text(spark, self._meta_path) is None:

@@ -30,9 +30,15 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     spark = get_spark("bench_lsh_stream")
+    # size per-batch shuffles to the ingest batch, not the session's
+    # analytical default (the same trick the stateless streaming
+    # queries use): per-batch seconds should price the operator, not
+    # hundreds of near-empty tasks per micro-batch stage
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", "text"))
-    n_docs = docs.count()
+            .select("doc_id", "text")
+            .persist())     # the per-batch filter shouldn't re-pay
+    n_docs = docs.count()   # the corpus scan (harness, not operator)
     work = tempfile.mkdtemp(prefix="lsh_bench_")
     try:
         idx = StreamingLshIndex(index_path=f"{work}/index")
