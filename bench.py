@@ -181,6 +181,68 @@ def bench_streaming_fleet(spark, sf_dir: str, n_tables: int = 32,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_dedup_groups_sync(spark, sf_dir: str,
+                            n_docs: int = 1_000,
+                            n_waves: int = 4) -> dict:
+    """CDC sync with the dedup-groups side state (VERDICT r7 #5 /
+    NOTES_r7 §12.4): a DEDUPE-mode documents table drained through
+    ``bounded_sync`` with and without ``dedup_groups_path`` — the row
+    prices what maintaining verified near-dup groups costs ON TOP of
+    the compaction the sync pays anyway (per batch: LSH probe +
+    pruned-verify + incremental component merge, never a corpus-wide
+    re-closure)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from python_cdc_component_spark.streaming.bounded import (
+        BoundedStreamConfig, bounded_sync)
+
+    root = tempfile.mkdtemp(prefix="bench_dgroups_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text").limit(n_docs))
+        ev = docs.select(
+            F.col("doc_id").alias("event_id"),
+            (F.col("doc_id") * 1_000_000).alias("ts"),
+            F.col("doc_id").alias("user_id"),
+            F.lit("signup").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.col("text").alias("props"),
+            F.pmod("doc_id", F.lit(n_waves)).alias("w"))
+        ev.write.partitionBy("w").mode("overwrite").parquet(f"{root}/src")
+        import glob
+        import os
+        flat = f"{root}/flat"
+        os.makedirs(flat)
+        n = 0
+        for w in range(n_waves):
+            for f in sorted(glob.glob(f"{root}/src/w={w}/*.parquet")):
+                shutil.copy(f, os.path.join(flat, f"p{n}.parquet"))
+                n += 1
+        out = {}
+        for label, groups_path in (("plain", None),
+                                   ("with_groups", f"{root}/groups")):
+            cfg = BoundedStreamConfig(
+                mode="DEDUPE", primary_keys=["user_id"],
+                max_files_per_trigger=1, max_wait_s=5.0,
+                dedup_groups_path=groups_path, dedup_groups_buckets=16)
+            t0 = time.time()
+            bounded_sync(spark, flat, f"{root}/state_{label}",
+                         f"{root}/ckpt_{label}", cfg)
+            out[f"{label}_sec"] = round(time.time() - t0, 3)
+        out["n_docs"] = n_docs
+        out["n_batches"] = n_waves
+        out["groups_premium_sec"] = round(
+            out["with_groups_sec"] - out["plain_sec"], 3)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_skew(spark, n: int = 1_000_000, hot_frac: float = 0.5) -> dict:
     """Inline skew-strategy ladder (plain vs AQE skew-join vs salted vs
     broadcast) so the measured justification for operators/joins.py
@@ -333,6 +395,7 @@ def main() -> None:
             "many_tables": bench_many_tables(spark),
             "streaming_fleet": bench_streaming_fleet(spark, sf_dir),
             "skew_join": bench_skew(spark),
+            "dedup_groups_sync": bench_dedup_groups_sync(spark, sf_dir),
             "q1_decimal_probe": bench_q1_decimal_probe(spark, sf_dir),
         }
         # round-over-round scale-ratio tracking (VERDICT r6 #5): the

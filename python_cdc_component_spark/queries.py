@@ -7019,6 +7019,63 @@ def streaming_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query("dedup_groups_cdc_sync", _HYBRID_ORACLE)
+def dedup_groups_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC fleet × LLM dedup surface end-to-end (round 8, VERDICT r7
+    #5): the documents corpus arrives as CDC INSERT events through the
+    reference's bounded-sync envelope (streaming/bounded.py);
+    ``bounded_sync`` drains the file waves under AvailableNow,
+    maintaining the MergeCompactor table state AND the verified
+    near-dup group side state (`_maintain_dedup_groups`) in the same
+    foreachBatch. The oracle is the batch hybrid keep-list over the
+    full corpus — for an insert-only table the side state must equal
+    batch ``hybrid_dedup_keep`` of the table's current state exactly
+    (update/tombstone purge semantics additionally pytest-proven in
+    tests/test_r8_fleet_dedup_groups.py)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    from .streaming.bounded import BoundedStreamConfig, bounded_sync
+    from .streaming.dedup_state import StreamingDedupGroups
+
+    s = _spark(spark)
+    docs = read_table(s, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sparkcdc_dgsync_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    s.conf.set(pkey, "32")
+    try:
+        ev = (docs.select(
+                  F.col("doc_id").alias("event_id"),
+                  (F.col("doc_id") * 1_000_000).alias("ts"),
+                  F.col("doc_id").alias("user_id"),
+                  F.lit("signup").alias("event_type"),
+                  F.lit(0.0).alias("value"),
+                  F.col("text").alias("props"),
+                  F.pmod("doc_id", F.lit(2)).alias("w"))
+              .repartition(F.col("w")))      # one file per wave
+        ev.write.partitionBy("w").mode("overwrite").parquet(f"{work}/src")
+        flat = f"{work}/flat"
+        os.makedirs(flat)
+        n = 0
+        for w in range(2):
+            for f in sorted(glob.glob(f"{work}/src/w={w}/*.parquet")):
+                shutil.copy(f, os.path.join(flat, f"p{n}.parquet"))
+                n += 1
+        cfg = BoundedStreamConfig(
+            mode="DEDUPE", primary_keys=["user_id"],
+            max_files_per_trigger=1, max_wait_s=5.0,
+            dedup_groups_path=f"{work}/groups",
+            dedup_groups_buckets=16)
+        bounded_sync(s, flat, f"{work}/state", f"{work}/ckpt", cfg)
+        st = StreamingDedupGroups(f"{work}/groups", num_buckets=16)
+        return st.read_groups(s).localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("curation_funnel_counts", """
 WITH verdicts AS ({curation})
 SELECT drop_reason, CAST(COUNT(*) AS BIGINT) AS n_docs

@@ -574,6 +574,33 @@ class StreamingDedupGroups:
 
     # -- reads -------------------------------------------------------
 
+    def purge_between_runs(self, spark: SparkSession,
+                           doc_ids: list[int]) -> int:
+        """Erasure convenience for stores whose ingest rides an
+        epoch→odd-tier mapping and does NOT itself purge (the
+        :func:`dedup_groups_sync` facade): derives the next free EVEN
+        tier — ``max(committed ingest tier) + 1`` — so the purge
+        outranks every existing claim while the next run's first
+        ingest epoch (the following odd tier) still outranks the
+        purge's relabels. Must not race a concurrently-running sync of
+        the same store. For CDC-fed stores (``bounded_sync`` with
+        ``dedup_groups_path``) erase via tombstone events instead —
+        that path's inline purge already owns the even slots."""
+        if not _fs_exists(spark, self._manifest_path):
+            raise ValueError(
+                "purge_between_runs: no committed ingest epochs — use "
+                "purge_docs directly on an unsequenced store")
+        tiers = [int(x) for x in
+                 _fs_list_names(spark, self._manifest_path)]
+        if not all(t % 2 == 1 for t in tiers):
+            raise ValueError(
+                "purge_between_runs: this store's ingest tiers are not "
+                "odd-mapped (built by an epoch→tier=e writer, or a "
+                "CDC-fed store whose inline purge owns the even "
+                "slots) — sequence purge_docs yourself")
+        return self.purge_docs(spark, doc_ids,
+                               purge_batch_id=max(tiers) + 1)
+
     def read_groups(self, spark: SparkSession) -> DataFrame:
         """Current keep-list: (component, keep_doc_id, keep_n_tokens,
         cluster_size) — the same shape (and, by the parity contract,
@@ -711,8 +738,11 @@ def dedup_groups_sync(spark: SparkSession, docs_dir: str,
     """Structured-Streaming front end for :class:`StreamingDedupGroups`
     (the `bounded_sync` convention applied to the dedup surface): drain
     a growing documents directory under ``Trigger.AvailableNow``, one
-    :meth:`process_batch` per micro-batch with the epoch id as the
-    exactly-once ``batch_id``. Re-running with the same checkpoint
+    :meth:`process_batch` per micro-batch with the epoch id mapped to
+    the exactly-once tier ``2·epoch + 1`` — even slots stay free so
+    :meth:`StreamingDedupGroups.purge_between_runs` always has a tier
+    that outranks existing claims without colliding with the next
+    run's first epoch. Re-running with the same checkpoint
     resumes — already-committed epochs replay as no-ops, a torn epoch
     is replaced (the class-level crash contract). The verification
     corpus is the directory itself re-resolved per batch: it always
@@ -730,7 +760,7 @@ def dedup_groups_sync(spark: SparkSession, docs_dir: str,
         corpus = (spark.read.schema(schema).parquet(docs_dir)
                   .select("doc_id", "text"))
         st.process_batch(spark, batch_df, corpus=corpus,
-                         batch_id=int(batch_id))
+                         batch_id=2 * int(batch_id) + 1)
 
     q = (stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint_path)

@@ -208,3 +208,45 @@ def test_vacuum_drops_cross_partition_stale_rows(spark):
         assert st.vacuum(spark) == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_purge_between_runs_on_streaming_facade(spark, tmp_path):
+    """The dedup_groups_sync facade maps epochs to odd tiers, so
+    between-runs GDPR erasure always has a free even tier: purge the
+    component label between two sync runs, then ingest a near-dup with
+    a smaller id — the purge must erase completely AND the later run's
+    merge must outrank the purge's relabels (the ADVICE r7 ordering
+    bug, now on the streaming facade)."""
+    import glob
+    from python_cdc_component_spark.streaming.dedup_state import (
+        StreamingDedupGroups, dedup_groups_sync)
+    other = " ".join(f"u{i}" for i in range(40))
+    d = spark.createDataFrame(
+        [(1, BASE + " y"), (2, BASE + " x"), (3, BASE), (7, other)],
+        "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    d.filter("doc_id in (2, 3, 7)").coalesce(1) \
+     .write.mode("overwrite").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    st = dedup_groups_sync(spark, src, state, ckpt, num_buckets=8)
+    assert _groups(st.read_groups(spark)) == {(2, 2, 41, 2),
+                                              (7, 7, 40, 1)}
+    n = st.purge_between_runs(spark, [2])
+    assert n > 0
+    assert _groups(st.read_groups(spark)) == {(3, 3, 40, 1),
+                                              (7, 7, 40, 1)}
+    # second wave: doc 1 (near-dup of 3, smaller id) via the same
+    # checkpoint — the merge must supersede the purge relabel
+    stage = str(tmp_path / "stage")
+    d.filter("doc_id = 1").coalesce(1) \
+     .write.mode("overwrite").parquet(stage)
+    for i, f in enumerate(glob.glob(os.path.join(stage, "*.parquet"))):
+        os.rename(f, os.path.join(src, f"wave2-{i}.parquet"))
+    st2 = dedup_groups_sync(spark, src, state, ckpt, num_buckets=8)
+    got = _groups(st2.read_groups(spark))
+    assert got == {(1, 1, 41, 2), (7, 7, 40, 1)}, got
+    for base_dir in (st2._labels_path, st2._node_map_path):
+        nodes = {r["node"] for r in
+                 spark.read.option("basePath", base_dir)
+                 .parquet(base_dir).select("node").collect()}
+        assert 2 not in nodes, base_dir
