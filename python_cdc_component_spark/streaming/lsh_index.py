@@ -249,6 +249,7 @@ class StreamingLshIndex:
                 _fs_touch(spark, os.path.join(self._manifest_path,
                                               str(batch_id)))
             self._compact(spark, touched)
+            self._compact_docmap(spark)
             return pairs
         finally:
             bands.unpersist()
@@ -416,6 +417,50 @@ class StreamingLshIndex:
         (docmap.write.partitionBy(DOC_PART_COL)
                .mode("overwrite").parquet(self._docmap_path))
         self._write_meta(spark, docmap_complete=True)
+
+    def _compact_docmap(self, spark: SparkSession) -> int:
+        """Size-tiered compaction for the erasure sidecar — it accretes
+        one file per doc-part per batch, so after K batches a purge's
+        pruned victim read would open K tiny files per partition.
+        Over-threshold partitions fold to one DISTINCT file each via
+        APPEND-then-DELETE, never overwrite: a crash between the append
+        and the old-file deletes leaves duplicate (doc_id, bucket) rows
+        — benign, victim resolution reads distinct buckets — while an
+        overwrite could tear mid-replace and LOSE sidecar rows, turning
+        the meta's ``docmap_complete`` vouch into silent incomplete
+        erasure. Rows are never lost on any crash path. Partition
+        listings are driver-side FS calls; one Spark job folds all due
+        partitions."""
+        if not _fs_exists(spark, self._docmap_path):
+            return 0
+        due: list[str] = []
+        old_files: dict[str, list[str]] = {}
+        for name in _fs_list_names(spark, self._docmap_path):
+            if not name.startswith(f"{DOC_PART_COL}="):
+                continue
+            pdir = os.path.join(self._docmap_path, name)
+            files = [f for f in _fs_list_names(spark, pdir)
+                     if f.endswith(".parquet")]
+            if len(files) > self.compact_file_threshold:
+                due.append(name)
+                old_files[name] = files
+        if not due:
+            return 0
+        paths = [os.path.join(self._docmap_path, n) for n in due]
+        folded = (spark.read.option("basePath", self._docmap_path)
+                  .parquet(*paths)
+                  .distinct()
+                  .repartition(F.col(DOC_PART_COL))
+                  # eager pin before the delete below removes the very
+                  # files this plan reads
+                  .localCheckpoint(eager=True))
+        (folded.write.partitionBy(DOC_PART_COL)
+               .mode("append").parquet(self._docmap_path))
+        for n in due:
+            pdir = os.path.join(self._docmap_path, n)
+            for f in old_files[n]:
+                _fs_delete(spark, os.path.join(pdir, f))
+        return len(due)
 
     def _compact(self, spark: SparkSession, touched: list[int]) -> int:
         """Rewrite every touched bucket whose (recursive) file count

@@ -234,3 +234,52 @@ def test_migrate_docmap_heals_at_least_once_gap(spark, sf_dir):
         assert _index_doc_ids(spark, idx) == all_ids - set(victims)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_docmap_compaction_bounds_files_and_preserves_erasure(
+        spark, sf_dir):
+    """r8: the erasure sidecar accretes one file per doc-part per
+    batch; size-tiered compaction must bound the per-partition file
+    count (append-then-delete — rows can duplicate on a crash, never
+    vanish) while keeping the sidecar complete: a doc from an early
+    batch still resolves through the PRUNED purge path."""
+    docs = _docs(spark, sf_dir).limit(120)
+    work = tempfile.mkdtemp(prefix="lsh_r8_dc_")
+    try:
+        idx = StreamingLshIndex(os.path.join(work, "idx"),
+                                num_buckets=4,
+                                compact_file_threshold=3)
+        for b in range(10):
+            idx.process_batch(spark,
+                              docs.filter(F.col("doc_id") % 10 == b),
+                              batch_id=b)
+        # post-batch invariant: every doc-part dir within threshold
+        for d in os.listdir(idx._docmap_path):
+            if not d.startswith(f"{DOC_PART_COL}="):
+                continue
+            pdir = os.path.join(idx._docmap_path, d)
+            n_files = len([f for f in os.listdir(pdir)
+                           if f.endswith(".parquet")])
+            assert n_files <= 3, (d, n_files)
+        # sidecar still complete after folds
+        all_ids = _index_doc_ids(spark, idx)
+        sidecar_ids = {r[0] for r in
+                       (spark.read.parquet(idx._docmap_path)
+                        .select("doc_id").distinct().collect())}
+        assert sidecar_ids == all_ids
+        # erasure of an early-batch doc still complete AND pruned:
+        # corrupt every non-victim docmap partition first
+        victim = sorted(all_ids)[0]
+        vpart = victim % idx.num_buckets
+        for d in os.listdir(idx._docmap_path):
+            if (d.startswith(f"{DOC_PART_COL}=")
+                    and d != f"{DOC_PART_COL}={vpart}"):
+                pdir = os.path.join(idx._docmap_path, d)
+                for f in os.listdir(pdir):
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(pdir, f), "wb") as fh:
+                            fh.write(b"garbage")
+        idx.purge_docs(spark, [victim])
+        assert victim not in _index_doc_ids(spark, idx)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
