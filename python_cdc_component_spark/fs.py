@@ -38,6 +38,19 @@ def fs_file_count(spark: SparkSession, path: str,
     return n
 
 
+def fs_total_file_count(spark: SparkSession, path: str) -> int:
+    """Recursive file count under ``path`` in ONE round-trip
+    (``FileSystem.getContentSummary`` counts JVM-side) — the cheap
+    compaction-debt trigger for stores with many partition dirs, where
+    per-directory ``fs_file_count`` listings would cost one py4j call
+    each on every batch."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getContentSummary(jpath).getFileCount())
+
+
 def fs_touch(spark: SparkSession, path: str) -> None:
     """Create an empty marker file (parents included) — the
     processed-batch manifest primitive."""

@@ -428,16 +428,26 @@ class StreamingLshIndex:
         — benign, victim resolution reads distinct buckets — while an
         overwrite could tear mid-replace and LOSE sidecar rows, turning
         the meta's ``docmap_complete`` vouch into silent incomplete
-        erasure. Rows are never lost on any crash path. Partition
-        listings are driver-side FS calls; one Spark job folds all due
-        partitions."""
+        erasure. Rows are never lost on any crash path. One
+        ``getContentSummary`` round-trip gates the whole check — the
+        per-partition listings (one py4j call each × up to num_buckets
+        dirs, every batch — measured ~0.1-0.2 s/batch) only run once
+        the sidecar's TOTAL file count exceeds threshold × partitions.
+        A single over-threshold partition can defer its fold until the
+        global average crosses — bounded by threshold × num_buckets
+        files total, still amortized O(1) per batch. One Spark job
+        folds all due partitions."""
+        from ..fs import fs_total_file_count as _fs_total
         if not _fs_exists(spark, self._docmap_path):
+            return 0
+        names = [n for n in _fs_list_names(spark, self._docmap_path)
+                 if n.startswith(f"{DOC_PART_COL}=")]
+        if not names or (_fs_total(spark, self._docmap_path)
+                         <= self.compact_file_threshold * len(names)):
             return 0
         due: list[str] = []
         old_files: dict[str, list[str]] = {}
-        for name in _fs_list_names(spark, self._docmap_path):
-            if not name.startswith(f"{DOC_PART_COL}="):
-                continue
+        for name in names:
             pdir = os.path.join(self._docmap_path, name)
             files = [f for f in _fs_list_names(spark, pdir)
                      if f.endswith(".parquet")]

@@ -253,14 +253,17 @@ def test_docmap_compaction_bounds_files_and_preserves_erasure(
             idx.process_batch(spark,
                               docs.filter(F.col("doc_id") % 10 == b),
                               batch_id=b)
-        # post-batch invariant: every doc-part dir within threshold
+        # post-batch invariant: every doc-part dir within threshold+1
+        # (the getContentSummary gate defers the per-dir check until
+        # the global average crosses, so a dir can sit one file over
+        # between folds)
         for d in os.listdir(idx._docmap_path):
             if not d.startswith(f"{DOC_PART_COL}="):
                 continue
             pdir = os.path.join(idx._docmap_path, d)
             n_files = len([f for f in os.listdir(pdir)
                            if f.endswith(".parquet")])
-            assert n_files <= 3, (d, n_files)
+            assert n_files <= 4, (d, n_files)
         # sidecar still complete after folds
         all_ids = _index_doc_ids(spark, idx)
         sidecar_ids = {r[0] for r in
