@@ -216,7 +216,15 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
             .filter(~F.coalesce(F.col(SC.deleted), F.lit(False)))
             .select(F.col(idc).cast("long").alias("doc_id"),
                     F.col(txc).alias("text")))
-    corpus = (compactor.read(spark)
+    # explicit 3-column schema, not compactor.read(): the corpus is
+    # only ever read pruned to pair-involved docs, and the mergeSchema
+    # footer pass over every bucket (the drift-safe general read)
+    # would otherwise run per epoch — the three columns used here are
+    # guaranteed present from epoch one (they come off the stream)
+    corpus = (spark.read
+              .schema(f"{idc} long, {txc} string, "
+                      f"{SC.deleted} boolean")
+              .parquet(compactor.state_path)
               .filter(~F.coalesce(F.col(SC.deleted), F.lit(False)))
               .select(F.col(idc).cast("long").alias("doc_id"),
                       F.col(txc).alias("text")))
