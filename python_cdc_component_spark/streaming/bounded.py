@@ -212,6 +212,14 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
     # purge every batch-touched id: replaced versions and tombstones
     # lose their old bands/claims; never-indexed ids are a pruned no-op
     groups.purge_docs(spark, batch_ids, purge_batch_id=2 * epoch)
+    # record the even tier in the manifest: this is what lets
+    # purge_between_runs recognize a CDC-fed store (whose inline purge
+    # owns the even slots) and refuse it — without the marker the
+    # manifest holds only odd ingest tiers, indistinguishable from the
+    # facade where even slots are free
+    from ..fs import fs_touch
+    fs_touch(spark, _os.path.join(groups._manifest_path,
+                                  str(2 * epoch)))
     live = (latest
             .filter(~F.coalesce(F.col(SC.deleted), F.lit(False)))
             .select(F.col(idc).cast("long").alias("doc_id"),

@@ -157,3 +157,26 @@ def test_append_mode_rejects_dedup_groups_cfg(spark, tmp_path):
     with pytest.raises(ValueError, match="DEDUPE"):
         bounded_sync(spark, w1, str(tmp_path / "out"),
                      str(tmp_path / "ck"), cfg)
+
+
+def test_purge_between_runs_refuses_cdc_fed_store(spark, sf_dir,
+                                                  tmp_path):
+    """The CDC-fed path's inline purge owns the even tier slots, so
+    between-runs erasure there must go through tombstone events —
+    purge_between_runs recognizes the store by the even purge markers
+    the fleet path records and refuses."""
+    from python_cdc_component_spark.streaming.dedup_state import (
+        StreamingDedupGroups)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(20).collect())
+    rows = [(i + 1, r["doc_id"], "signup", r["text"])
+            for i, r in enumerate(docs)]
+    w1 = str(tmp_path / "w1")
+    _write_events(spark, rows, w1)
+    work = str(tmp_path)
+    cfg = _cfg(work)
+    bounded_sync(spark, w1, os.path.join(work, "state"),
+                 os.path.join(work, "ckpt"), cfg)
+    groups = StreamingDedupGroups(cfg.dedup_groups_path, num_buckets=8)
+    with pytest.raises(ValueError, match="odd-mapped"):
+        groups.purge_between_runs(spark, [rows[0][1]])
