@@ -601,6 +601,50 @@ class StreamingDedupGroups:
         return self.purge_docs(spark, doc_ids,
                                purge_batch_id=max(tiers) + 1)
 
+    def read_group_of(self, spark: SparkSession,
+                      doc_ids: list[int]) -> DataFrame:
+        """Point lookup: (doc_id, component, keep_doc_id,
+        keep_n_tokens, cluster_size) for the given docs — the
+        production query shape ("is this doc a dup? who's the
+        keeper?") answered from PARTITION-PRUNED reads only: the docs'
+        claims from their node_map partitions, then the members of
+        exactly those components from the labels partitions
+        (``_members_df``). ``read_groups`` scans the whole state;
+        this touches O(queried docs + their components' footprint)
+        whatever the corpus size. Docs with no claim (never ingested,
+        or erased) are absent from the result."""
+        out_schema = ("doc_id long, component long, keep_doc_id long, "
+                      "keep_n_tokens long, cluster_size long")
+        if not doc_ids or not _fs_exists(spark, self._node_map_path):
+            return spark.createDataFrame([], out_schema)
+        self._resolve_buckets(spark)
+        cur = self._current_comps(spark,
+                                  sorted(int(i) for i in doc_ids), None)
+        if not cur:
+            return spark.createDataFrame([], out_schema)
+        members = self._members_df(spark, set(cur.values()), None)
+        if members is None:
+            return spark.createDataFrame([], out_schema)
+        from pyspark.sql import Window
+        w = Window.partitionBy("component")
+        picked = (members
+                  .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+                  .withColumn("_rn", F.row_number().over(
+                      w.orderBy(F.col("n_tokens").desc(),
+                                F.col("node")))))
+        keepers = (picked.filter(F.col("_rn") == 1)
+                   .select("component",
+                           F.col("node").alias("keep_doc_id"),
+                           F.col("n_tokens").alias("keep_n_tokens"),
+                           F.col("cluster_size").cast("long")
+                           .alias("cluster_size")))
+        asked = spark.createDataFrame(
+            [(int(d), int(c)) for d, c in cur.items()],
+            "doc_id long, component long")
+        return asked.join(F.broadcast(keepers), "component").select(
+            "doc_id", "component", "keep_doc_id", "keep_n_tokens",
+            "cluster_size")
+
     def read_groups(self, spark: SparkSession) -> DataFrame:
         """Current keep-list: (component, keep_doc_id, keep_n_tokens,
         cluster_size) — the same shape (and, by the parity contract,

@@ -250,3 +250,50 @@ def test_purge_between_runs_on_streaming_facade(spark, tmp_path):
                  spark.read.option("basePath", base_dir)
                  .parquet(base_dir).select("node").collect()}
         assert 2 not in nodes, base_dir
+
+
+def test_read_group_of_point_lookup_is_pruned(spark):
+    """read_group_of answers 'is this doc a dup / who keeps it' from
+    partition-pruned reads only: results match the full read_groups
+    join, erased/unknown docs are absent, and corrupting every
+    partition OUTSIDE the queried docs' footprint does not break the
+    lookup (the corruption canary proves those partitions are never
+    opened)."""
+    U = " ".join(f"u{i}" for i in range(40))
+    d = spark.createDataFrame(
+        [(9, BASE), (17, BASE), (2, U), (10, U), (5, "short text here")],
+        "doc_id long, text string")
+    work = tempfile.mkdtemp(prefix="dedup_state_r8_")
+    try:
+        st = StreamingDedupGroups(os.path.join(work, "st"),
+                                  num_buckets=8)
+        st.process_batch(spark, d, corpus=d, batch_id=0)
+        full = {(r["component"], r["keep_doc_id"], r["keep_n_tokens"],
+                 r["cluster_size"])
+                for r in st.read_groups(spark).collect()}
+        got = {tuple(r) for r in
+               st.read_group_of(spark, [17, 5, 999]).collect()}
+        # doc 17 → group 9, doc 5 → itself, 999 absent
+        want = {(17, c, k, n, s) for (c, k, n, s) in full if c == 9} \
+             | {(5, c, k, n, s) for (c, k, n, s) in full if c == 5}
+        assert got == want, got
+        # canary: corrupt every partition the {17} lookup never needs
+        # (group A={9,17} lives wholly in part 1; comp part 1)
+        for base_dir, keep in ((st._node_map_path, {1}),
+                               (st._labels_path, {1})):
+            for p in os.listdir(base_dir):
+                if "=" not in p:
+                    continue
+                if int(p.split("=")[1]) in keep:
+                    continue
+                pdir = os.path.join(base_dir, p)
+                for root, _, files in os.walk(pdir):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            with open(os.path.join(root, f), "wb") as fh:
+                                fh.write(b"garbage")
+        got17 = {tuple(r) for r in
+                 st.read_group_of(spark, [17]).collect()}
+        assert got17 == {(17, 9, 9, 40, 2)}, got17
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
