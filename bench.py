@@ -194,7 +194,6 @@ def bench_dedup_groups_sync(spark, sf_dir: str,
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
     from python_cdc_component_spark.streaming.bounded import (
         BoundedStreamConfig, bounded_sync)
 
@@ -202,26 +201,11 @@ def bench_dedup_groups_sync(spark, sf_dir: str,
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
+        from python_cdc_component_spark.queries import (
+            _stage_docs_as_event_waves)
         docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
                 .select("doc_id", "text").limit(n_docs))
-        ev = docs.select(
-            F.col("doc_id").alias("event_id"),
-            (F.col("doc_id") * 1_000_000).alias("ts"),
-            F.col("doc_id").alias("user_id"),
-            F.lit("signup").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.col("text").alias("props"),
-            F.pmod("doc_id", F.lit(n_waves)).alias("w"))
-        ev.write.partitionBy("w").mode("overwrite").parquet(f"{root}/src")
-        import glob
-        import os
-        flat = f"{root}/flat"
-        os.makedirs(flat)
-        n = 0
-        for w in range(n_waves):
-            for f in sorted(glob.glob(f"{root}/src/w={w}/*.parquet")):
-                shutil.copy(f, os.path.join(flat, f"p{n}.parquet"))
-                n += 1
+        flat = _stage_docs_as_event_waves(spark, docs, root, n_waves)
         out = {}
         for label, groups_path in (("plain", None),
                                    ("with_groups", f"{root}/groups")):

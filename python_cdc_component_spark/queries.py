@@ -7019,6 +7019,38 @@ def streaming_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _stage_docs_as_event_waves(spark: SparkSession, docs: DataFrame,
+                               root: str, n_waves: int) -> str:
+    """Write a (doc_id, text) frame as CDC INSERT events in
+    ``n_waves`` parquet files (one per wave — doc_id mod n_waves) and
+    return the flat source directory a bounded_sync can drain with
+    ``maxFilesPerTrigger=1``. Shared by the ``dedup_groups_cdc_sync``
+    oracle query and ``bench.bench_dedup_groups_sync`` so the bench
+    prices exactly the pipeline the query pins."""
+    import glob
+    import os
+    import shutil
+
+    ev = (docs.select(
+              F.col("doc_id").alias("event_id"),
+              (F.col("doc_id") * 1_000_000).alias("ts"),
+              F.col("doc_id").alias("user_id"),
+              F.lit("signup").alias("event_type"),
+              F.lit(0.0).alias("value"),
+              F.col("text").alias("props"),
+              F.pmod("doc_id", F.lit(int(n_waves))).alias("w"))
+          .repartition(F.col("w")))          # one file per wave
+    ev.write.partitionBy("w").mode("overwrite").parquet(f"{root}/src")
+    flat = f"{root}/flat"
+    os.makedirs(flat)
+    n = 0
+    for w in range(n_waves):
+        for f in sorted(glob.glob(f"{root}/src/w={w}/*.parquet")):
+            shutil.copy(f, os.path.join(flat, f"p{n}.parquet"))
+            n += 1
+    return flat
+
+
 @query("dedup_groups_cdc_sync", _HYBRID_ORACLE)
 def dedup_groups_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC fleet × LLM dedup surface end-to-end (round 8, VERDICT r7
@@ -7032,8 +7064,6 @@ def dedup_groups_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch ``hybrid_dedup_keep`` of the table's current state exactly
     (update/tombstone purge semantics additionally pytest-proven in
     tests/test_r8_fleet_dedup_groups.py)."""
-    import glob
-    import os
     import shutil
     import tempfile
     from .streaming.bounded import BoundedStreamConfig, bounded_sync
@@ -7046,23 +7076,7 @@ def dedup_groups_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = s.conf.get(pkey)
     s.conf.set(pkey, "32")
     try:
-        ev = (docs.select(
-                  F.col("doc_id").alias("event_id"),
-                  (F.col("doc_id") * 1_000_000).alias("ts"),
-                  F.col("doc_id").alias("user_id"),
-                  F.lit("signup").alias("event_type"),
-                  F.lit(0.0).alias("value"),
-                  F.col("text").alias("props"),
-                  F.pmod("doc_id", F.lit(2)).alias("w"))
-              .repartition(F.col("w")))      # one file per wave
-        ev.write.partitionBy("w").mode("overwrite").parquet(f"{work}/src")
-        flat = f"{work}/flat"
-        os.makedirs(flat)
-        n = 0
-        for w in range(2):
-            for f in sorted(glob.glob(f"{work}/src/w={w}/*.parquet")):
-                shutil.copy(f, os.path.join(flat, f"p{n}.parquet"))
-                n += 1
+        flat = _stage_docs_as_event_waves(s, docs, work, 2)
         cfg = BoundedStreamConfig(
             mode="DEDUPE", primary_keys=["user_id"],
             max_files_per_trigger=1, max_wait_s=5.0,

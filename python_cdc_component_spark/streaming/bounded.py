@@ -189,14 +189,23 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
     batch). Tier scheme on the groups store's batch_id sequence:
     ``2·epoch`` for the purge (replaced/deleted doc versions) and
     ``2·epoch+1`` for the ingest — monotone across epochs, so later
-    ingest merges always outrank purge relabels. The INGEST marker
-    gates the whole epoch: purge is idempotent, so a replay after a
-    crash between purge and ingest re-runs both safely, while a replay
-    of a committed epoch skips both (re-purging would erase the rows
-    the committed ingest wrote)."""
+    ingest merges always outrank purge relabels. TWO markers gate the
+    epoch: the INGEST marker (``2e+1``, touched inside process_batch)
+    skips a fully-committed epoch's replay, and the PURGE marker
+    (``2e``, touched here after the purge) skips the purge alone — a
+    crash INSIDE process_batch (after the LSH index already appended
+    this batch's bands and committed its sub-marker) must not re-run
+    the purge on replay: that purge would erase the bands the crashed
+    attempt committed, and the index's replay contract would then skip
+    the re-append, silently un-indexing the batch's docs forever. A
+    crash BEFORE the purge marker replays the purge, which is
+    idempotent against pre-epoch state (no index rows of this batch
+    exist yet — the purge runs before the append). The purge marker
+    doubles as the store fingerprint purge_between_runs uses to refuse
+    CDC-fed stores."""
     import os as _os
 
-    from ..fs import fs_exists
+    from ..fs import fs_exists, fs_touch
     from ..operators.dedup import dedup_latest
 
     ingest_tier = 2 * epoch + 1
@@ -209,17 +218,14 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
                  latest.select(idc).distinct().collect()]
     if not batch_ids:
         return
-    # purge every batch-touched id: replaced versions and tombstones
-    # lose their old bands/claims; never-indexed ids are a pruned no-op
-    groups.purge_docs(spark, batch_ids, purge_batch_id=2 * epoch)
-    # record the even tier in the manifest: this is what lets
-    # purge_between_runs recognize a CDC-fed store (whose inline purge
-    # owns the even slots) and refuse it — without the marker the
-    # manifest holds only odd ingest tiers, indistinguishable from the
-    # facade where even slots are free
-    from ..fs import fs_touch
-    fs_touch(spark, _os.path.join(groups._manifest_path,
-                                  str(2 * epoch)))
+    groups._set_tier_mode(spark, "cdc")
+    purge_marker = _os.path.join(groups._manifest_path, str(2 * epoch))
+    if not fs_exists(spark, purge_marker):
+        # purge every batch-touched id: replaced versions and
+        # tombstones lose their old bands/claims; never-indexed ids
+        # are a pruned no-op
+        groups.purge_docs(spark, batch_ids, purge_batch_id=2 * epoch)
+        fs_touch(spark, purge_marker)
     live = (latest
             .filter(~F.coalesce(F.col(SC.deleted), F.lit(False)))
             .select(F.col(idc).cast("long").alias("doc_id"),

@@ -154,6 +154,27 @@ class StreamingDedupGroups:
     def _is_sequenced(self, spark: SparkSession) -> bool:
         return _fs_exists(spark, self._manifest_path)
 
+    @property
+    def _tier_mode_path(self) -> str:
+        return os.path.join(self.state_path, "_tier_mode")
+
+    def _set_tier_mode(self, spark: SparkSession, mode: str) -> None:
+        """Record which epoch→tier discipline drives this sequenced
+        store — ``"facade"`` (dedup_groups_sync: ingest on odd tiers,
+        even slots free for between-runs erasure) or ``"cdc"``
+        (bounded_sync side state: the inline purge owns the even
+        slots). Explicit metadata, not parity inference: both
+        disciplines leave similar-looking manifests, and erasure
+        safety depends on knowing which one owns the even slots.
+        First writer pins the mode; a conflicting driver raises."""
+        cur = _fs_read_text(spark, self._tier_mode_path)
+        if cur is None:
+            _fs_write_text(spark, self._tier_mode_path, mode)
+        elif cur != mode:
+            raise ValueError(
+                f"store at {self.state_path} is driven by tier mode "
+                f"{cur!r}; cannot also drive it as {mode!r}")
+
     def _check_mode(self, spark: SparkSession,
                     batch_id: int | None, what: str) -> None:
         """Sequenced (foreachBatch epoch tiers) and unsequenced
@@ -165,8 +186,9 @@ class StreamingDedupGroups:
             raise ValueError(
                 f"{what}: this store is batch_id-sequenced (commit "
                 "markers exist) — pass the next id in the same "
-                "sequence; an unsequenced write would resolve "
-                "nondeterministically against the epoch tiers")
+                "sequence (batch_id / purge_batch_id); an unsequenced "
+                "write would resolve nondeterministically against the "
+                "epoch tiers")
         if batch_id is not None and _fs_exists(spark, self._seq_path):
             raise ValueError(
                 f"{what}: this store uses unsequenced appends (_seq "
@@ -457,19 +479,7 @@ class StreamingDedupGroups:
         if not doc_ids:
             return 0
         self._resolve_buckets(spark)
-        if purge_batch_id is None and self._is_sequenced(spark):
-            raise ValueError(
-                "purge_docs: this store is batch_id-sequenced — pass "
-                "purge_batch_id (the next unused id in the same "
-                "sequence); an out-of-sequence purge tier would either "
-                "collide with a future epoch's dynamic overwrite or "
-                "permanently outrank later ingest merges")
-        if purge_batch_id is not None and _fs_exists(spark,
-                                                     self._seq_path):
-            raise ValueError(
-                "purge_docs: this store uses unsequenced appends — "
-                "omit purge_batch_id (the tier comes from the shared "
-                "_seq counter)")
+        self._check_mode(spark, purge_batch_id, "purge_docs")
         self.index.purge_docs(spark, doc_ids)
         if not _fs_exists(spark, self._node_map_path):
             return 0
@@ -576,30 +586,44 @@ class StreamingDedupGroups:
 
     def purge_between_runs(self, spark: SparkSession,
                            doc_ids: list[int]) -> int:
-        """Erasure convenience for stores whose ingest rides an
-        epoch→odd-tier mapping and does NOT itself purge (the
-        :func:`dedup_groups_sync` facade): derives the next free EVEN
-        tier — ``max(committed ingest tier) + 1`` — so the purge
-        outranks every existing claim while the next run's first
-        ingest epoch (the following odd tier) still outranks the
-        purge's relabels. Must not race a concurrently-running sync of
-        the same store. For CDC-fed stores (``bounded_sync`` with
-        ``dedup_groups_path``) erase via tombstone events instead —
-        that path's inline purge already owns the even slots."""
+        """Erasure convenience for ``"facade"`` stores
+        (:func:`dedup_groups_sync`: ingest on odd tiers, even slots
+        free): derives the next free EVEN tier —
+        ``max(manifest) + 1`` — so the purge outranks every existing
+        claim while the next run's first ingest epoch (a higher odd
+        tier) still outranks the purge's relabels, records the
+        consumed tier in the manifest, and purges. ONE erasure slot
+        exists per ingest gap: a second call before any new ingest
+        would need the next even tier, which can collide with — or
+        permanently outrank — a future epoch's tier, so it raises
+        (batch the doc_ids into one call, or run a sync in between).
+        Must not race a concurrently-running sync of the same store.
+        ``"cdc"`` stores (bounded_sync side state) are refused: their
+        inline purge owns the even slots — erase via tombstone events,
+        the CDC-native route."""
         if not _fs_exists(spark, self._manifest_path):
             raise ValueError(
                 "purge_between_runs: no committed ingest epochs — use "
                 "purge_docs directly on an unsequenced store")
+        mode = _fs_read_text(spark, self._tier_mode_path)
+        if mode != "facade":
+            raise ValueError(
+                f"purge_between_runs: store tier mode is {mode!r}, "
+                "not 'facade' — on a CDC-fed store the inline purge "
+                "owns the even slots; erase via tombstone events")
         tiers = [int(x) for x in
                  _fs_list_names(spark, self._manifest_path)]
-        if not all(t % 2 == 1 for t in tiers):
+        top = max(tiers)
+        if top % 2 == 0:
             raise ValueError(
-                "purge_between_runs: this store's ingest tiers are not "
-                "odd-mapped (built by an epoch→tier=e writer, or a "
-                "CDC-fed store whose inline purge owns the even "
-                "slots) — sequence purge_docs yourself")
-        return self.purge_docs(spark, doc_ids,
-                               purge_batch_id=max(tiers) + 1)
+                "purge_between_runs: the last manifest slot is "
+                "already a purge tier — one erasure slot per ingest "
+                "gap (batch doc_ids into one call, or run a sync "
+                "between erasures)")
+        tier = top + 1
+        n = self.purge_docs(spark, doc_ids, purge_batch_id=tier)
+        _fs_touch(spark, os.path.join(self._manifest_path, str(tier)))
+        return n
 
     def read_group_of(self, spark: SparkSession,
                       doc_ids: list[int]) -> DataFrame:
@@ -681,13 +705,21 @@ class StreamingDedupGroups:
         latest row per node WITHIN the partition, which is exactly its
         current row when the node still lives there and a droppable
         stale row otherwise — checked against node_map at read time
-        either way). One Spark job for all due partitions."""
+        either way). One Spark job for all due partitions. A single
+        ``getContentSummary`` round-trip gates the per-partition
+        listings (one py4j call each × up to num_buckets dirs × two
+        tables × every batch otherwise — the docmap-gate lesson)."""
+        from ..fs import fs_total_file_count as _fs_total
         if not _fs_exists(spark, base):
             return 0
-        due = [name for name in _fs_list_names(spark, base)
-               if name.startswith(f"{part_col}=")
-               and _fs_file_count(spark, os.path.join(base, name),
-                                  recursive=True)
+        names = [name for name in _fs_list_names(spark, base)
+                 if name.startswith(f"{part_col}=")]
+        if not names or (_fs_total(spark, base)
+                         <= self.compact_file_threshold * len(names)):
+            return 0
+        due = [name for name in names
+               if _fs_file_count(spark, os.path.join(base, name),
+                                 recursive=True)
                > self.compact_file_threshold]
         if not due:
             return 0
@@ -793,6 +825,7 @@ def dedup_groups_sync(spark: SparkSession, docs_dir: str,
     covers batch ∪ indexed docs (pairs only ever reference those), and
     the verify stage reads it pruned to pair-involved docs."""
     st = StreamingDedupGroups(state_path, num_buckets=num_buckets)
+    st._set_tier_mode(spark, "facade")
     schema = spark.read.parquet(docs_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

@@ -297,3 +297,35 @@ def test_read_group_of_point_lookup_is_pruned(spark):
         assert got17 == {(17, 9, 9, 40, 2)}, got17
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_purge_between_runs_consumes_one_slot_per_gap(spark, tmp_path):
+    """Code-review regression (r8): the consumed even tier is recorded
+    in the manifest, so a second between-runs purge without an
+    intervening ingest raises instead of silently reusing the tier
+    (same-tier duplicate claims resolved by arbitrary tie-break); a
+    new sync re-opens the slot."""
+    import glob
+    from python_cdc_component_spark.streaming.dedup_state import (
+        dedup_groups_sync)
+    d = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " x"), (3, BASE + " y")],
+        "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    d.filter("doc_id in (1, 2)").coalesce(1) \
+     .write.mode("overwrite").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    st = dedup_groups_sync(spark, src, state, ckpt, num_buckets=8)
+    assert st.purge_between_runs(spark, [1]) > 0
+    with pytest.raises(ValueError, match="one erasure slot"):
+        st.purge_between_runs(spark, [2])
+    # an ingest gap re-opens the slot
+    stage = str(tmp_path / "stage")
+    d.filter("doc_id = 3").coalesce(1) \
+     .write.mode("overwrite").parquet(stage)
+    for i, f in enumerate(glob.glob(os.path.join(stage, "*.parquet"))):
+        os.rename(f, os.path.join(src, f"wave2-{i}.parquet"))
+    st2 = dedup_groups_sync(spark, src, state, ckpt, num_buckets=8)
+    assert st2.purge_between_runs(spark, [2]) > 0
+    got = _groups(st2.read_groups(spark))
+    assert got == {(3, 3, 41, 1)}, got

@@ -178,5 +178,46 @@ def test_purge_between_runs_refuses_cdc_fed_store(spark, sf_dir,
     bounded_sync(spark, w1, os.path.join(work, "state"),
                  os.path.join(work, "ckpt"), cfg)
     groups = StreamingDedupGroups(cfg.dedup_groups_path, num_buckets=8)
-    with pytest.raises(ValueError, match="odd-mapped"):
+    with pytest.raises(ValueError, match="tombstone events"):
         groups.purge_between_runs(spark, [rows[0][1]])
+
+
+def test_crash_inside_epoch_replay_does_not_unindex_batch(
+        spark, tmp_path, monkeypatch):
+    """Code-review regression (r8): a crash INSIDE process_batch —
+    after the LSH index appended this batch's bands and committed its
+    sub-marker, before the groups marker — must not let the replay's
+    purge erase those bands (the index replay contract would then skip
+    the re-append and the docs would be silently un-indexed forever).
+    The purge marker gates the replay: wave-2's doc must still pair
+    with wave-3's near-dup after the crash-replay cycle."""
+    import python_cdc_component_spark.streaming.dedup_state as D
+    from python_cdc_component_spark.streaming.dedup_state import (
+        StreamingDedupGroups)
+    rows = {1: (1, 3, "signup", BASE),
+            2: (2, 2, "signup", BASE + " x"),
+            3: (3, 1, "signup", BASE + " y")}
+    work = str(tmp_path)
+    cfg = _cfg(work)
+    src = str(tmp_path / "src")
+    state, ckpt = os.path.join(work, "state"), os.path.join(work, "ckpt")
+    for wave in (1, 2, 3):
+        wdir = str(tmp_path / f"w{wave}")
+        _write_events(spark, [rows[wave]], wdir)
+        _stage(src, wdir)
+        if wave == 2:
+            real = D.verify_jaccard_pairs
+
+            def boom(*a, **k):
+                raise RuntimeError("crash mid-epoch after index append")
+
+            monkeypatch.setattr(D, "verify_jaccard_pairs", boom)
+            with pytest.raises(Exception, match="crash mid-epoch"):
+                bounded_sync(spark, src, state, ckpt, cfg)
+            monkeypatch.setattr(D, "verify_jaccard_pairs", real)
+        bounded_sync(spark, src, state, ckpt, cfg)
+    groups = StreamingDedupGroups(cfg.dedup_groups_path, num_buckets=8)
+    # all three docs near-dup: ONE component labeled 1; under the bug
+    # doc 2's bands were erased on replay and it stays a singleton
+    got = _groups_set(groups, spark)
+    assert got == {(1, 1, 3)}, got
