@@ -55,9 +55,14 @@ def connected_components(edges: DataFrame, src: str = "src",
 
     Node-id types: INTEGRAL ids are normalized to long up front, so
     both paths emit ``node long, component long``. Non-integral ids
-    (e.g. string doc keys) always take the distributed loop — the
-    driver path's long-cast would null them — and the output preserves
-    the input type (min-label is total-ordered for strings too)."""
+    whose src/dst types match (string doc keys, the struct text keys
+    of hybrid_dedup_keep's exact-group collapse) take the SAME two
+    paths with the input type preserved: Python's tuple/str ordering
+    equals Spark's struct/UTF8 binary ordering (UTF-8 byte order is
+    code-point order), so the driver union-find's min-label agrees
+    bit-for-bit with the distributed loop's ``min(label)`` (pytest
+    pins cross-path parity for strings and structs). Mismatched
+    src/dst types fall back to the distributed loop unchanged."""
     from pyspark.sql.types import (
         ByteType, IntegerType, LongType, ShortType)
     spark = edges.sparkSession
@@ -66,8 +71,11 @@ def connected_components(edges: DataFrame, src: str = "src",
             isinstance(edges.schema[c].dataType,
                        (ByteType, ShortType, IntegerType, LongType))
             for c in (src, dst))
+        out_type = edges.schema[src].dataType
+        ids_comparable = (ids_integral
+                          or out_type == edges.schema[dst].dataType)
     except Exception:
-        ids_integral = False
+        ids_integral, ids_comparable = False, False
     if ids_integral:
         # lossless widen: one output contract across both paths
         edges = edges.select(F.col(src).cast("long").alias(src),
@@ -75,11 +83,11 @@ def connected_components(edges: DataFrame, src: str = "src",
     probe = (edges.select(F.col(src).alias("s"),
                           F.col(dst).alias("d"))
              .limit(small_graph_edges + 1).collect()
-             if ids_integral else None)
+             if ids_comparable else None)
     if probe is not None and len(probe) <= small_graph_edges:
-        parent: dict[int, int] = {}
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             r = x
             while parent[r] != r:
                 r = parent[r]
@@ -95,13 +103,19 @@ def connected_components(edges: DataFrame, src: str = "src",
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[ra] = rb
-        comp_min: dict[int, int] = {}
+        comp_min: dict = {}
         for n in parent:
             r = find(n)
             if r not in comp_min or n < comp_min[r]:
                 comp_min[r] = n
         rows = [(n, comp_min[find(n)]) for n in sorted(parent)]
-        return spark.createDataFrame(rows, "node long, component long")
+        if ids_integral:
+            return spark.createDataFrame(rows,
+                                         "node long, component long")
+        from pyspark.sql.types import StructField, StructType
+        return spark.createDataFrame(rows, StructType([
+            StructField("node", out_type, False),
+            StructField("component", out_type, False)]))
 
     both = persist_once(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

@@ -28,6 +28,29 @@ hash luck or boilerplate shingles) are killed by the verify stage —
 the property the piecewise composition (``dup_canonical_best``) lacks,
 since it trusts every band collision as an edge.
 
+Exact-duplicate collapse (the boilerplate guard): K text-identical
+docs have identical shingle sets, so the banded self-join emits ALL
+K(K-1)/2 intra-group pairs — a corpus with a million-times-repeated
+boilerplate page turns the "output ∝ true collisions" claim into a
+5·10^11-row candidate shuffle. Real corpora at 100 TB are exactly
+like that (license pages, error pages, scraped templates), so the
+pipeline collapses exact-text groups to ONE LSH node before any
+banding: the shingle table is keyed by an exact-text key computed
+map-side (a 17-byte struct of two 60-bit md5 slices, or the doc_id
+for <3-token docs, which never shingle and must stay singletons),
+and the
+final keep window expands groups back. This is a pure re-plan, not a
+semantic knob: intra-group pairs verify at Jaccard 1 ≥ any threshold
+and min-label components merge the group anyway, so the keep-list is
+row-identical (pinned by the oracle and the parity pytest); candidate
+volume drops from O(Σ group²) to O(unique-text collisions). Costs
+that stay linear: the text key is computed in the same two corpus
+scans the pipeline already made (shingling + the keep-side token
+count), the collapsed shingle distinct shuffles ≤ the old volume, and
+the group→component expansion rides the keep window's existing
+shuffle (the component id is min(doc_id) OVER the keep window, so no
+extra corpus join materializes).
+
 Reference parity note: the reference engine has no near-dup operator
 (its dedup is exact-PK, db_components/db_common/src/db_common/
 staging.py window dedup); this is a beyond-reference LLM-pipeline
@@ -92,6 +115,47 @@ def verify_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                       verdict.alias("verified"))
 
 
+def exact_group_keyed(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Map-side exact-text grouping for the collapse stage.
+
+    Returns ``(keyed, collapsed)``:
+
+    * ``keyed`` — (doc_id, n_tokens, tkey): one row per doc, tkey the
+      exact-text key — a compact 17-byte struct (s tinyint, k1 long,
+      k2 long) rather than a hex string, because it rides the
+      pipeline's biggest shuffles (the shingle distinct and the
+      sig+size agg) as the grouping key. s=0 carries two 60-bit
+      md5-slice halves of the text (120 exact bits — collision odds at
+      10^11 docs ≈ 4e-15); s=1 carries the doc_id itself for <3-token
+      docs, whose Jaccard is undefined-empty and who must therefore
+      NEVER group — two distinct one-word docs with equal text stay
+      separate singletons, exactly as the un-collapsed pipeline
+      leaves them.
+    * ``collapsed`` — (doc_id=tkey, text): the shingle input. Feeding
+      ALL rows (duplicates included) is deliberate: duplicate texts
+      emit identical (tkey, v) shingle rows that the downstream
+      DISTINCT collapses map-side, so no per-group representative
+      text ever needs to be picked or shuffled.
+    """
+    t = F.split("text", " ")
+    m = F.md5(F.col("text").cast("binary"))
+    tkey = (F.when(F.size(t) >= 3, F.struct(
+                F.lit(0).cast("tinyint").alias("s"),
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+                 .alias("k1"),
+                F.conv(F.substring(m, 16, 15), 16, 10).cast("long")
+                 .alias("k2")))
+            .otherwise(F.struct(
+                F.lit(1).cast("tinyint").alias("s"),
+                F.col("doc_id").alias("k1"),
+                F.lit(0).cast("long").alias("k2"))))
+    keyed = docs.select("doc_id",
+                        F.size(t).cast("long").alias("n_tokens"),
+                        tkey.alias("tkey"))
+    collapsed = docs.select(tkey.alias("doc_id"), "text")
+    return keyed, collapsed
+
+
 def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
                       threshold_den: int = 5) -> DataFrame:
     """(doc_id, text) → one keeper row per verified near-dup component:
@@ -104,26 +168,35 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
     exact integer math: ``den·|A∩B| ≥ num·(|A|+|B|−|A∩B|)``.
 
     One shingle pass serves everything: MIN over duplicates equals MIN
-    over distincts, so the DISTINCT (doc_id, v) table feeds the minhash
-    signatures, the per-doc set sizes, and the intersection counts —
+    over distincts, so the DISTINCT (tkey, v) table feeds the minhash
+    signatures, the per-group set sizes, and the intersection counts —
     and the set size rides the SAME aggregation as the signatures
     (``with_count``), so the corpus-wide passes over the shingle table
     are exactly two: the distinct build and the sig+size agg. Every
-    verify join runs on the candidate-pruned slice."""
-    # distinct shingle table: one (doc_id, v) shuffle, cached — feeds
-    # the sig+size agg and the candidate-slice semi-join
-    sh = persist_once(shingle_hashes(docs).distinct())
+    verify join runs on the candidate-pruned slice, and all LSH/verify
+    work happens at exact-text-GROUP granularity (see the module
+    docstring's boilerplate guard) — duplicate texts cost their
+    map-side shingle hashing and nothing downstream."""
+    # exact-text collapse: keyed is the slim per-doc table reused by
+    # the rep lookup and the keep window (ONE extra text scan total,
+    # cached slim); collapsed feeds shingling with tkey as the node id
+    keyed, collapsed = exact_group_keyed(docs)
+    keyed = persist_once(keyed)
+    # distinct shingle table: one (tkey, v) shuffle, cached — feeds
+    # the sig+size agg and the candidate-slice semi-join; duplicate
+    # texts collapse in the distinct's map-side partial
+    sh = persist_once(shingle_hashes(collapsed).distinct())
     # h0..h15 AND the Jaccard set size in one aggregation pass
     stats = persist_once(signatures_from_hashes(sh, with_count=True))
     bands = band_table(stats.drop("n"))
     a, b = bands.alias("a"), bands.alias("b")
     # eager pin, not persist: the candidate list is tiny (true LSH
-    # collisions only) but feeds THREE consumers (the id slice, the
-    # verify join, and — through edges — both orientations of the
-    # components closure); an unfilled lazy cache referenced several
-    # times inside one downstream job re-computes the band self-join
-    # per reference (measured 2.5× whole-operator cost), an eager
-    # checkpoint makes it a flat scan everywhere
+    # collisions only, and never intra-exact-group) but feeds THREE
+    # consumers (the id slice, the verify join, and — through edges —
+    # both orientations of the components closure); an unfilled lazy
+    # cache referenced several times inside one downstream job
+    # re-computes the band self-join per reference (measured 2.5×
+    # whole-operator cost), an eager checkpoint makes it a flat scan
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bv") == F.col("b.bv"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -131,9 +204,9 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
                     F.col("b.doc_id").alias("db"))
             .distinct()
             .localCheckpoint(eager=True))
-    # one pass over the cached shingle table prunes it to the docs any
-    # candidate pair touches — the verify joins below then run on the
-    # candidate footprint only, never the corpus
+    # one pass over the cached shingle table prunes it to the groups
+    # any candidate pair touches — the verify joins below then run on
+    # the candidate footprint only, never the corpus
     cand_ids = (cand.select(F.col("da").alias("doc_id"))
                 .unionByName(cand.select(F.col("db").alias("doc_id")))
                 .distinct())
@@ -161,20 +234,28 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
              # same eager pin: components traverses the edge list from
              # both orientations across O(log diameter) round jobs
              .localCheckpoint(eager=True))
+    # closure over the tkey node space directly (components handles
+    # struct ids on both of its paths); the labels never surface —
+    # the public component id is re-derived as min(doc_id) in the
+    # keep window — so no group→rep translation is ever needed
     comp = connected_components(edges)
-    docs_n = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long")
-        .alias("n_tokens"))
-    # every doc is a node: verified-component members take their label,
-    # everyone else (incl. <3-token docs with no shingles) self-labels
-    labeled = (docs_n
-               .join(comp.withColumnRenamed("node", "doc_id"),
-                     "doc_id", "left")
+    # every doc is a node: members of a verified component take its
+    # label (itself a tkey — the min member key), everyone else
+    # (unverified groups, never-candidate groups, <3-token solo keys)
+    # self-labels by tkey; labels and self-labels live in the same
+    # key space, so distinct groups get distinct labels by
+    # construction. comp is candidate-footprint-sized — the same
+    # broadcastability assumption as cand_ids above
+    labeled = (keyed
+               .join(F.broadcast(comp.withColumnRenamed("node", "tkey")),
+                     "tkey", "left")
                .select("doc_id", "n_tokens",
-                       F.coalesce("component", "doc_id")
-                        .alias("component")))
-    w = Window.partitionBy("component")
+                       F.coalesce("component", "tkey").alias("ckey")))
+    # the public component id — min doc_id reachable, identical to the
+    # un-collapsed pipeline — rides the keep window's own shuffle
+    w = Window.partitionBy("ckey")
     picked = (labeled
+              .withColumn("component", F.min("doc_id").over(w))
               .withColumn("csize", F.count(F.lit(1)).over(w))
               .withColumn("rn", F.row_number().over(
                   w.orderBy(F.col("n_tokens").desc(), F.col("doc_id")))))

@@ -60,19 +60,47 @@ def test_fast_path_duplicate_and_reversed_edges(spark):
     assert out == {(1, 1), (2, 1), (3, 1), (7, 7)}
 
 
-def test_string_node_ids_take_distributed_path(spark):
-    """ADVICE r7 (low): non-integral node ids must never hit the
-    driver fast path (its long-cast nulls them) — they run the
-    distributed loop with the input type preserved."""
+def test_string_node_ids_preserve_type_on_both_paths(spark):
+    """ADVICE r7 (low), extended in r8: non-integral node ids used to
+    be distributed-only (the old driver path long-cast nulled them);
+    the generic driver path must now agree with the distributed loop
+    bit-for-bit — Python str ordering is code-point order, which
+    equals Spark's UTF8 binary ordering."""
     edges = spark.createDataFrame(
         [("apple", "banana"), ("banana", "cherry"), ("x", "y")],
         "src string, dst string")
-    out = connected_components(edges)
-    assert dict(out.dtypes) == {"node": "string",
-                                "component": "string"}
-    got = {(r.node, r.component) for r in out.collect()}
-    assert got == {("apple", "apple"), ("banana", "apple"),
-                   ("cherry", "apple"), ("x", "x"), ("y", "x")}
+    want = {("apple", "apple"), ("banana", "apple"),
+            ("cherry", "apple"), ("x", "x"), ("y", "x")}
+    for kw in ({}, {"small_graph_edges": 0}):
+        out = connected_components(edges, **kw)
+        assert dict(out.dtypes) == {"node": "string",
+                                    "component": "string"}
+        assert {(r.node, r.component) for r in out.collect()} == want
+
+
+def test_struct_node_ids_cross_path_parity(spark):
+    """Round-8: hybrid_dedup_keep's exact-group collapse feeds struct
+    text keys straight into the closure — both paths must accept them,
+    agree row-for-row, and preserve the struct type (Python tuple
+    ordering equals Spark struct field-by-field ordering)."""
+    rows = [((0, 10, 1), (0, 20, 2)), ((0, 20, 2), (0, 5, 9)),
+            ((1, 7, 0), (0, 99, 3))]
+    edges = spark.createDataFrame(
+        rows, "src struct<s:int,k1:long,k2:long>, "
+              "dst struct<s:int,k1:long,k2:long>")
+    got_fast = connected_components(edges)
+    got_dist = connected_components(edges, small_graph_edges=0)
+    assert (dict(got_fast.dtypes)["node"]
+            == dict(got_dist.dtypes)["node"]
+            == "struct<s:int,k1:bigint,k2:bigint>")
+    fast = {(tuple(r.node), tuple(r.component))
+            for r in got_fast.collect()}
+    dist = {(tuple(r.node), tuple(r.component))
+            for r in got_dist.collect()}
+    assert fast == dist
+    assert fast == {((0, 10, 1), (0, 5, 9)), ((0, 20, 2), (0, 5, 9)),
+                    ((0, 5, 9), (0, 5, 9)), ((1, 7, 0), (0, 99, 3)),
+                    ((0, 99, 3), (0, 99, 3))}
 
 
 def test_integral_ids_share_one_output_contract(spark):
