@@ -227,6 +227,35 @@ def bench_dedup_groups_sync(spark, sf_dir: str,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_boilerplate_guard(spark, sf_dir: str,
+                            n_copies: int = 3_000) -> dict:
+    """Round-8 exact-duplicate collapse, priced per round: hybrid
+    dedup over the sf corpus PLUS one n_copies-strong text-identical
+    boilerplate group (the web-corpus shape — license pages, error
+    pages, templates). Before the collapse the band self-join emitted
+    all n_copies²/2 intra-group candidate pairs (measured 41.9 s at
+    3 000 copies vs 4.1 s collapsed); this row keeps the guarded cost
+    visible so a regression that reintroduces the quadratic term is
+    machine-detectable."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_component_spark.operators.llm.hybrid import (
+        hybrid_dedup_keep)
+
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    boiler = " ".join(f"boiler{i} term" for i in range(30))
+    group = spark.range(1_000_000, 1_000_000 + n_copies).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text"))
+    docs = base.unionByName(group).localCheckpoint(eager=True)
+    t0 = time.time()
+    out = hybrid_dedup_keep(docs)
+    kept = out.count()
+    sec = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+    return {"n_copies": n_copies, "sec": sec, "keep_rows": kept}
+
+
 def bench_skew(spark, n: int = 1_000_000, hot_frac: float = 0.5) -> dict:
     """Inline skew-strategy ladder (plain vs AQE skew-join vs salted vs
     broadcast) so the measured justification for operators/joins.py
@@ -381,6 +410,7 @@ def main() -> None:
             "skew_join": bench_skew(spark),
             "dedup_groups_sync": bench_dedup_groups_sync(spark, sf_dir),
             "q1_decimal_probe": bench_q1_decimal_probe(spark, sf_dir),
+            "boilerplate_guard": bench_boilerplate_guard(spark, sf_dir),
         }
         # round-over-round scale-ratio tracking (VERDICT r6 #5): the
         # 10×/30× adaptive-geometry claims (SCALING.md audit index) as
