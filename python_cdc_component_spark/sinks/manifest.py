@@ -65,3 +65,110 @@ def write_manifest(table: TableSchema, path: str, incremental: bool,
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=2, sort_keys=True)
     return doc
+
+
+# ---------------------------------------------------------------------------
+# Legacy (pre-`schema`) manifest interop: the column_metadata shape every
+# reference functional scenario's expected manifest uses
+# (ex_mysql_cdc/tests/functional/*/expected/data/out/tables/*.manifest,
+# assembled by component.py:380-447 via the keboola.component table
+# definition). A consumer migrating from the reference can point the
+# same downstream loader at these manifests unchanged; dict parity with
+# the reference goldens is pytest-pinned (tests/test_golden_matrix.py).
+
+#: KBC system columns appended to every CDC egress table — fixed base
+#: types, never nullable, no length (reference debezium/common.py
+#: system fields as serialized across the expected manifests).
+LEGACY_SYSTEM_COLUMNS: list[tuple[str, str]] = [
+    ("KBC__OPERATION", "STRING"),
+    ("KBC__EVENT_TIMESTAMP_MS", "TIMESTAMP"),
+    ("KBC__FILE", "STRING"),
+    ("KBC__POS", "INTEGER"),
+    ("KBC__DELETED", "BOOLEAN"),
+    ("KBC__BATCH_EVENT_ORDER", "INTEGER"),
+]
+
+# MySQL text types carry their fixed character capacity as the manifest
+# length; integer types carry their DECIMAL PRECISION (Debezium column
+# length — INT serializes as 10, not the display width 11).
+_MYSQL_TEXT_LENGTHS = {"tinytext": 255, "text": 65535,
+                       "mediumtext": 16777215, "longtext": 16777216}
+_MYSQL_INT_PRECISION = {"tinyint": 3, "smallint": 5, "mediumint": 7,
+                        "int": 10, "integer": 10, "bigint": 19}
+_BARE_BASE_TYPES = {"STRING", "INTEGER", "NUMERIC", "FLOAT", "BOOLEAN",
+                    "DATE", "TIMESTAMP"}
+
+
+def _legacy_type(source_type: str) -> tuple[str, int | None]:
+    """MySQL native type (or a bare KBC base type) → (basetype, length)
+    as the legacy manifest serializes it: STRING carries the character
+    length, INTEGER/NUMERIC the decimal precision, everything else is
+    lengthless — observed across the reference's expected manifests
+    (MEDIUMTEXT→STRING/16777215, INT→INTEGER/10, VARCHAR(64)→STRING/64,
+    DECIMAL(12,5)→NUMERIC/12)."""
+    if source_type in _BARE_BASE_TYPES:
+        return source_type, None
+    t = source_type.strip().lower()
+    base = t.split("(")[0].strip()
+    args = []
+    if "(" in t and t.endswith(")"):
+        args = [int(a) for a in t[t.index("(") + 1:-1].split(",")
+                if a.strip().lstrip("-").isdigit()]
+    if base in _MYSQL_TEXT_LENGTHS:
+        return "STRING", _MYSQL_TEXT_LENGTHS[base]
+    if base in ("varchar", "char", "character"):
+        return "STRING", args[0] if args else None
+    if base in _MYSQL_INT_PRECISION:
+        return "INTEGER", _MYSQL_INT_PRECISION[base]
+    if base in ("decimal", "numeric"):
+        return "NUMERIC", args[0] if args else None
+    if base in ("float", "double", "real"):
+        return "FLOAT", None
+    if base in ("datetime", "timestamp"):
+        return "TIMESTAMP", None
+    if base == "date":
+        return "DATE", None
+    if base in ("boolean", "bool"):
+        return "BOOLEAN", None
+    return "STRING", None
+
+
+def build_legacy_manifest(columns: list[tuple[str, str, bool]],
+                          destination: str,
+                          primary_key: list[str] | None = None,
+                          incremental: bool | None = None,
+                          system_columns: bool = True,
+                          write_always: bool = False) -> dict:
+    """Reference-shape legacy manifest.
+
+    ``columns`` is (name, source type, nullable) per data column, the
+    source type either a MySQL native type from the captured table's
+    DDL or a bare KBC base type (the schema-changes side table's
+    form). ``primary_key``/``incremental`` are omitted from the doc
+    when None — the reference omits the PK key for append-mode tables
+    (component.py:403-405 clears PKs under append load types) and the
+    incremental key for data tables."""
+    cols = list(columns)
+    if system_columns:
+        cols += [(n, t, False) for n, t in LEGACY_SYSTEM_COLUMNS]
+    column_metadata = {}
+    for name, src, nullable in cols:
+        base, length = _legacy_type(src)
+        md = [{"key": "KBC.description", "value": ""},
+              {"key": "KBC.datatype.basetype", "value": base},
+              {"key": "KBC.datatype.nullable", "value": bool(nullable)}]
+        if length is not None:
+            md.append({"key": "KBC.datatype.length", "value": length})
+        column_metadata[name] = md
+    doc: dict = {"destination": destination}
+    if primary_key is not None:
+        doc["primary_key"] = list(primary_key)
+    doc["columns"] = [c[0] for c in cols]
+    doc["enclosure"] = '"'
+    doc["delimiter"] = ","
+    if incremental is not None:
+        doc["incremental"] = bool(incremental)
+    doc["metadata"] = []
+    doc["column_metadata"] = column_metadata
+    doc["write_always"] = bool(write_always)
+    return doc
