@@ -256,3 +256,39 @@ def test_schema_changes_ddl_csv_bytes_mariadb(spark, tmp_path):
                   "expected/data/out/tables/"
                   "io_debezium_connector_mysql_schema_changes.csv")
     assert _golden(gold) != _golden(mysql_gold)   # genuinely distinct
+
+
+# ---------------------------------------------------------------------------
+# incremental-append-chained / 03_table_addition: the APPEND-mode table
+# addition — the new table arrives via the ad-hoc BLOCKING snapshot
+# alone (op=r, orders 0..8; no stream-capture prefix, unlike the
+# all-tables variant whose c×9 + r×9 interleave test_golden_csv covers)
+
+
+def test_append_chained_table_addition_byte_match(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from python_cdc_component_spark.control import backfill_plan
+    from test_golden_csv import PRODUCTS, PROD_SCHEMA, _export_prod
+
+    ac = f"{FUNC}/incremental-append-chained/03_table_addition/expected"
+    at = f"{FUNC}/all-tables/03_table_addition/expected"
+    # the signal row and the already-synced table's egress are
+    # byte-identical to the all-tables goldens test_golden_csv replays
+    for f in ("inventory_debezium_signals.csv", "inventory_sales.csv"):
+        assert (_golden(f"{ac}/data/out/tables/{f}")
+                == _golden(f"{at}/data/out/tables/{f}"))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    prod_payload = T.StructType(PROD_SCHEMA.fields[:4])
+    (spark.createDataFrame(PRODUCTS, prod_payload).coalesce(1)
+     .write.parquet(os.path.join(src, "products.parquet")))
+    snap = (backfill_plan(spark, src, ["products"])["products"]
+            .withColumn("kbc__batch_event_order",
+                        F.col("id").cast("long") - 101))
+    cols = ["id", "name", "description", "weight", "KBC__OPERATION",
+            "KBC__DELETED", "KBC__BATCH_EVENT_ORDER"]
+    got = _export_prod(snap, str(tmp_path / "ac_prod"), cols)
+    assert got == _golden(f"{ac}/data/out/tables/inventory_products.csv")
