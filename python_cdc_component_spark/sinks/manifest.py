@@ -88,6 +88,14 @@ LEGACY_SYSTEM_COLUMNS: list[tuple[str, str]] = [
     ("KBC__BATCH_EVENT_ORDER", "INTEGER"),
 ]
 
+#: The Postgres flavor has no binlog coordinates — KBC__FILE/KBC__POS
+#: are absent from every ex_postgres_cdc expected manifest (W3's
+#: no-FILE/POS order-column flavor at the manifest level).
+LEGACY_SYSTEM_COLUMNS_PG: list[tuple[str, str]] = [
+    (n, t) for n, t in LEGACY_SYSTEM_COLUMNS
+    if n not in ("KBC__FILE", "KBC__POS")
+]
+
 # MySQL text types carry their fixed character capacity as the manifest
 # length; integer types carry their DECIMAL PRECISION (Debezium column
 # length — INT serializes as 10, not the display width 11).
@@ -99,13 +107,16 @@ _BARE_BASE_TYPES = {"STRING", "INTEGER", "NUMERIC", "FLOAT", "BOOLEAN",
                     "DATE", "TIMESTAMP"}
 
 
-def _legacy_type(source_type: str) -> tuple[str, int | None]:
-    """MySQL native type (or a bare KBC base type) → (basetype, length)
+def _legacy_type(source_type: str,
+                 dialect: str = "mysql") -> tuple[str, int | None]:
+    """Source native type (or a bare KBC base type) → (basetype, length)
     as the legacy manifest serializes it: STRING carries the character
     length, INTEGER/NUMERIC the decimal precision, everything else is
     lengthless — observed across the reference's expected manifests
     (MEDIUMTEXT→STRING/16777215, INT→INTEGER/10, VARCHAR(64)→STRING/64,
-    DECIMAL(12,5)→NUMERIC/12)."""
+    DECIMAL(12,5)→NUMERIC/12; Postgres ``text`` has no declared length
+    and serializes as the reference's 16777216 cap,
+    component.py:436-439)."""
     if source_type in _BARE_BASE_TYPES:
         return source_type, None
     t = source_type.strip().lower()
@@ -114,6 +125,8 @@ def _legacy_type(source_type: str) -> tuple[str, int | None]:
     if "(" in t and t.endswith(")"):
         args = [int(a) for a in t[t.index("(") + 1:-1].split(",")
                 if a.strip().lstrip("-").isdigit()]
+    if dialect == "postgres" and base == "text":
+        return "STRING", 16777216
     if base in _MYSQL_TEXT_LENGTHS:
         return "STRING", _MYSQL_TEXT_LENGTHS[base]
     if base in ("varchar", "char", "character"):
@@ -134,33 +147,40 @@ def _legacy_type(source_type: str) -> tuple[str, int | None]:
 
 
 def build_legacy_manifest(columns: list[tuple[str, str, bool]],
-                          destination: str,
+                          destination: str | None = None,
                           primary_key: list[str] | None = None,
                           incremental: bool | None = None,
                           system_columns: bool = True,
-                          write_always: bool = False) -> dict:
+                          write_always: bool = False,
+                          dialect: str = "mysql") -> dict:
     """Reference-shape legacy manifest.
 
     ``columns`` is (name, source type, nullable) per data column, the
-    source type either a MySQL native type from the captured table's
-    DDL or a bare KBC base type (the schema-changes side table's
-    form). ``primary_key``/``incremental`` are omitted from the doc
-    when None — the reference omits the PK key for append-mode tables
-    (component.py:403-405 clears PKs under append load types) and the
-    incremental key for data tables."""
+    source type either a source-native type from the captured table's
+    DDL (``dialect`` picks the mysql/postgres length rules) or a bare
+    KBC base type (the schema-changes side table's form).
+    ``destination``/``primary_key``/``incremental`` are omitted from
+    the doc when None — the reference omits the PK key for append-mode
+    tables (component.py:403-405 clears PKs under append load types),
+    the incremental key for data tables, and the destination on the
+    Postgres component's expected manifests."""
     cols = list(columns)
     if system_columns:
-        cols += [(n, t, False) for n, t in LEGACY_SYSTEM_COLUMNS]
+        tail = (LEGACY_SYSTEM_COLUMNS_PG if dialect == "postgres"
+                else LEGACY_SYSTEM_COLUMNS)
+        cols += [(n, t, False) for n, t in tail]
     column_metadata = {}
     for name, src, nullable in cols:
-        base, length = _legacy_type(src)
+        base, length = _legacy_type(src, dialect=dialect)
         md = [{"key": "KBC.description", "value": ""},
               {"key": "KBC.datatype.basetype", "value": base},
               {"key": "KBC.datatype.nullable", "value": bool(nullable)}]
         if length is not None:
             md.append({"key": "KBC.datatype.length", "value": length})
         column_metadata[name] = md
-    doc: dict = {"destination": destination}
+    doc: dict = {}
+    if destination is not None:
+        doc["destination"] = destination
     if primary_key is not None:
         doc["primary_key"] = list(primary_key)
     doc["columns"] = [c[0] for c in cols]
