@@ -244,3 +244,217 @@ def test_pg_legacy_manifest_parity():
         PG_SALES_COLUMNS, primary_key=["createdate"],
         dialect="postgres")
     assert got == want
+
+
+def test_pg_column_filter_stage2_byte_match(spark, tmp_path):
+    """incremental-column-filter-chained/02: P3 exclude-regex egress
+    over the PG workload — the PK-only tombstone keeps only createdate
+    among the SURVIVING columns."""
+    from python_cdc_component_spark.operators.filters import (
+        apply_column_filter)
+    from test_golden_csv import CF_PAYLOAD
+
+    ev = []
+
+    def emit(row, op, deleted=False):
+        ev.append(row + (op, deleted, len(ev)))
+
+    emit(_with_price(_NY10, "199.99"), "c")
+    emit(_with_price(_LA20, "14.99"), "c")
+    emit(_with_price(_R2013_SKU1, "249.99"), "u")
+    emit(_pk_only_delete("2013-09-23 22:38:30"), "d", True)
+    df = apply_column_filter(spark.createDataFrame(ev, SCHEMA),
+                             exclude=[r"user.*"])
+    cols = CF_PAYLOAD + ["KBC__OPERATION", "KBC__DELETED",
+                         "KBC__BATCH_EVENT_ORDER"]
+    out = (to_output_columns(df).select(*cols)
+           .repartition(1)
+           .sortWithinPartitions("KBC__BATCH_EVENT_ORDER"))
+    d = str(tmp_path / "pgcf")
+    write_csv(out, d, null_value="")
+    part = next(f for f in sorted(os.listdir(d)) if f.endswith(".csv"))
+    with open(os.path.join(d, part), "rb") as fh:
+        got = fh.read()
+    assert got == _golden(
+        f"{PG}/incremental-column-filter-chained/"
+        "02_inserts_updates_deletes/expected/data/out/tables/"
+        "inventory_sales.csv")
+
+
+def test_pg_drift_stage2_byte_match(spark, tmp_path):
+    """schema-drift-chained/02: three schema epochs over the PG
+    workload — ALTER ADD newcolumn lands at the END of the merged
+    schema, the dropped usercity survives NULL-padded, and the PG
+    PK-only tombstone rides through the union unchanged."""
+    from python_cdc_component_spark.model.schema import (
+        SchemaRegistry, TableSchema)
+    from python_cdc_component_spark.operators.schema_align import (
+        align_to_schema, union_epochs)
+    from test_golden_csv import _SF, _SF2
+
+    ev_a = [(_with_price(_NY10, "199.99") + ("c", False, 0)),
+            (_with_price(_LA20, "14.99") + ("c", False, 1)),
+            (_with_price(_R2013_SKU1, "249.99") + ("u", False, 2)),
+            (_pk_only_delete("2013-09-23 22:38:30") + ("d", True, 3))]
+    ev_b = [(_with_price(_SF, "49.99") + ("c", False, 4, "defaultvalue"))]
+    row_c = list(_with_price(_SF2, "49.99"))
+    del row_c[1]                                   # usercity dropped
+    ev_c = [tuple(row_c) + ("c", False, 5, "defaultvalue")]
+
+    schema_b = T.StructType(
+        SCHEMA.fields + [T.StructField("newcolumn", T.StringType())])
+    schema_c = T.StructType(
+        [f for f in schema_b.fields if f.name != "usercity"])
+    epochs = [spark.createDataFrame(ev_a, SCHEMA),
+              spark.createDataFrame(ev_b, schema_b),
+              spark.createDataFrame(ev_c, schema_c)]
+    reg = SchemaRegistry()
+    merged = None
+    for df in epochs:
+        merged = reg.update(TableSchema(
+            name="inventory_sales", struct=df.schema,
+            primary_keys=["createdate"]))
+    aligned = union_epochs(
+        [align_to_schema(df, merged.struct) for df in epochs])
+    dedup = dedup_latest(aligned, ["createdate"],
+                         order_by=_order_col_desc())
+    cols = PAYLOAD + ["KBC__OPERATION", "KBC__DELETED",
+                      "KBC__BATCH_EVENT_ORDER", "newcolumn"]
+    out = (to_output_columns(dedup).select(*cols)
+           .repartition(1)
+           .sortWithinPartitions("KBC__BATCH_EVENT_ORDER"))
+    d = str(tmp_path / "pgdrift")
+    write_csv(out, d, null_value="")
+    part = next(f for f in sorted(os.listdir(d)) if f.endswith(".csv"))
+    with open(os.path.join(d, part), "rb") as fh:
+        got = fh.read()
+    assert got == _golden(
+        f"{PG}/schema-drift-chained/02_inserts_updates_deletes_alter/"
+        "expected/data/out/tables/inventory_sales.csv")
+
+
+def _snapshot_bytes(spark, rows, schema, cols, out_dir):
+    df = spark.createDataFrame(
+        [r + ("r", False, i) for i, r in enumerate(rows)], schema)
+    out = (to_output_columns(df).select(*cols)
+           .repartition(1)
+           .sortWithinPartitions("KBC__BATCH_EVENT_ORDER"))
+    write_csv(out, out_dir, null_value="")
+    part = next(f for f in sorted(os.listdir(out_dir))
+                if f.endswith(".csv"))
+    with open(os.path.join(out_dir, part), "rb") as fh:
+        return fh.read()
+
+
+_SYS_FIELDS = [T.StructField("kbc__operation", T.StringType()),
+               T.StructField("__deleted", T.BooleanType()),
+               T.StructField("kbc__batch_event_order", T.LongType())]
+
+
+def test_pg_inventory_snapshots_byte_match(spark, tmp_path):
+    """all-tables/01: the Debezium inventory fixture tables' snapshots
+    (customers / orders / products_on_hand) — typed date egress and
+    the statement-overrides customers golden being the same snapshot."""
+    customers = [(1001, "Sally", "Thomas", "sally.thomas@acme.com"),
+                 (1002, "George", "Bailey", "gbailey@foobar.com"),
+                 (1003, "Edward", "Walker", "ed@walker.com"),
+                 (1004, "Anne", "Kretchmar", "annek@noanswer.org")]
+    cust_schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("email", T.StringType())] + _SYS_FIELDS)
+    cust_gold = _golden(f"{PG}/all-tables/01_simple-full-load/expected/"
+                        "data/out/tables/inventory_customers.csv")
+    assert cust_gold == _golden(
+        f"{PG}/full-load-statement-overrides/expected/data/out/tables/"
+        "inventory_customers.csv")
+    got = _snapshot_bytes(
+        spark, customers, cust_schema,
+        ["id", "first_name", "last_name", "email", "KBC__OPERATION",
+         "KBC__DELETED", "KBC__BATCH_EVENT_ORDER"],
+        str(tmp_path / "pgcust"))
+    assert got == cust_gold
+
+    import datetime
+    orders = [(10001, datetime.date(2016, 1, 16), 1001, 1, 102),
+              (10002, datetime.date(2016, 1, 17), 1002, 2, 105),
+              (10003, datetime.date(2016, 2, 19), 1002, 2, 106),
+              (10004, datetime.date(2016, 2, 21), 1003, 1, 107)]
+    ord_schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("order_date", T.DateType()),
+        T.StructField("purchaser", T.IntegerType()),
+        T.StructField("quantity", T.IntegerType()),
+        T.StructField("product_id", T.IntegerType())] + _SYS_FIELDS)
+    got = _snapshot_bytes(
+        spark, orders, ord_schema,
+        ["id", "order_date", "purchaser", "quantity", "product_id",
+         "KBC__OPERATION", "KBC__DELETED", "KBC__BATCH_EVENT_ORDER"],
+        str(tmp_path / "pgord"))
+    assert got == _golden(f"{PG}/all-tables/01_simple-full-load/expected/"
+                          "data/out/tables/inventory_orders.csv")
+
+    poh = [(101, 3), (102, 8), (103, 18), (104, 4), (105, 5),
+           (106, 0), (107, 44), (108, 2), (109, 5)]
+    poh_schema = T.StructType([
+        T.StructField("product_id", T.IntegerType()),
+        T.StructField("quantity", T.IntegerType())] + _SYS_FIELDS)
+    got = _snapshot_bytes(
+        spark, poh, poh_schema,
+        ["product_id", "quantity", "KBC__OPERATION", "KBC__DELETED",
+         "KBC__BATCH_EVENT_ORDER"],
+        str(tmp_path / "pgpoh"))
+    assert got == _golden(f"{PG}/all-tables/01_simple-full-load/expected/"
+                          "data/out/tables/inventory_products_on_hand.csv")
+
+
+def test_pg_geom_snapshot_byte_match(spark, tmp_path):
+    """all-tables/01 geom: Debezium's generic Geometry struct (wkb +
+    srid, NO x/y — that form is Point-only) JSON-stringified with an
+    explicit null srid; the nullable geography column h egresses as a
+    bare empty field."""
+    from pyspark.sql import functions as F
+    # WKB payloads of the fixture rows: POINT(1 1), LINESTRING(2 1,6 6),
+    # POLYGON((0 5,2 5,2 7,0 7,0 5)) — carried as opaque values
+    wkbs = ["AQEAAAAAAAAAAADwPwAAAAAAAPA/",
+            "AQIAAAACAAAAAAAAAAAAAEAAAAAAAADwPwAAAAAAABhAAAAAAAAAGEA=",
+            "AQMAAAABAAAABQAAAAAAAAAAAAAAAAAAAAAAFEAAAAAAAAAAQAAAAAAAABRA"
+            "AAAAAAAAAEAAAAAAAAAcQAAAAAAAAAAAAAAAAAAAHEAAAAAAAAAAAAAAAAAA"
+            "ABRA"]
+    rows = [(i + 1, wkbs[i], None, "r", False, i) for i in range(3)]
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("g_wkb", T.StringType()),
+        T.StructField("h", T.StringType())] + _SYS_FIELDS)
+    df = spark.createDataFrame(rows, schema)
+    g = F.to_json(F.struct(F.col("g_wkb").alias("wkb"),
+                           F.lit(None).cast("int").alias("srid")),
+                  {"ignoreNullFields": "false"})
+    out = (to_output_columns(df)
+           .select("id", g.alias("g"), "h", "KBC__OPERATION",
+                   "KBC__DELETED", "KBC__BATCH_EVENT_ORDER")
+           .repartition(1)
+           .sortWithinPartitions("KBC__BATCH_EVENT_ORDER"))
+    d = str(tmp_path / "pggeom")
+    write_csv(out, d, null_value="", options={"escape": '"'})
+    part = next(f for f in sorted(os.listdir(d)) if f.endswith(".csv"))
+    with open(os.path.join(d, part), "rb") as fh:
+        got = fh.read()
+    assert got == _golden(f"{PG}/all-tables/01_simple-full-load/expected/"
+                          "data/out/tables/inventory_geom.csv")
+
+
+def test_pg_all_tables_stage2_equivalence():
+    """all-tables/02 changes only the sales table; its golden is
+    byte-identical to simple-incremental-chained's stage 2 (replayed
+    above); the untouched tables' stage-2 expecteds are empty."""
+    assert _golden(f"{PG}/all-tables/02_inserts_updates_deletes/expected/"
+                   "data/out/tables/inventory_sales.csv") == _golden(
+        f"{PG}/simple-incremental-chained/02_inserts_updates_deletes/"
+        "expected/data/out/tables/inventory_sales.csv")
+    for t in ("inventory_orders", "inventory_customers",
+              "inventory_products_on_hand", "inventory_geom",
+              "inventory_products"):
+        assert _golden(f"{PG}/all-tables/02_inserts_updates_deletes/"
+                       f"expected/data/out/tables/{t}.csv") == b""
