@@ -25,7 +25,7 @@ from .operators.dedup import dedup_latest, dedup_latest_no_pk
 from .operators.filters import apply_column_filter
 from .operators.order import order_sort_cols
 from .sinks.csv_sink import write_csv, write_parquet
-from .sinks.manifest import write_manifest
+from .sinks.manifest import write_legacy_manifest, write_manifest
 from .sinks.state import RunState
 from .sources.events import read_cdc_events, PAYLOAD_COLS
 
@@ -44,6 +44,13 @@ class SyncConfig:
     # SnapshotMode parity (reference configuration.py:129-136; dispatch
     # component.py:575-592 → control.resolve_snapshot_mode)
     snapshot_mode: str = "initial"
+    # manifest shape: "schema" (the current typed form) or "legacy"
+    # (the reference's pre-`schema` column_metadata form — a reference
+    # user's downstream loader consumes those unchanged; K4 interop)
+    manifest_format: str = "schema"
+    # legacy manifests carry the storage destination when configured
+    # (reference generate_output_bucket_name + table name)
+    destination: str | None = None
 
 
 _OUTPUT_RENAMES = {
@@ -54,6 +61,25 @@ _OUTPUT_RENAMES = {
     SC.deleted: SC.DELETED,
     SC.batch_event_order: SC.BATCH_EVENT_ORDER,
 }
+
+
+def _write_table_manifest(merged: TableSchema, path: str,
+                          cfg: SyncConfig) -> None:
+    """Manifest sink dispatch: the typed `schema` form, or the
+    reference's legacy column_metadata form. Legacy parity details the
+    reference itself pins: append load types clear the primary key
+    (component.py:403-405), and data tables omit the `incremental` key
+    (only the schema-changes side table carries it)."""
+    if cfg.manifest_format == "legacy":
+        pk = list(merged.primary_keys) or None
+        if cfg.mode.upper() != "DEDUPE":
+            pk = None
+        destination = (f"{cfg.destination}.{merged.name}"
+                       if cfg.destination else None)
+        write_legacy_manifest(merged, path, destination=destination,
+                              primary_key=pk)
+    else:
+        write_manifest(merged, path, incremental=cfg.incremental)
 
 
 def to_output_columns(df: DataFrame) -> DataFrame:
@@ -148,7 +174,7 @@ def sync(spark: SparkSession, sf_dir: str, out_dir: str,
         write_parquet(result, path)
 
     registry.save(registry_path)
-    write_manifest(merged, path + ".manifest", incremental=cfg.incremental)
+    _write_table_manifest(merged, path + ".manifest", cfg)
 
     # Advance offsets to the max consumed coordinates (bounded-run end,
     # the reference's "captured target position", P6). The schema-only
@@ -272,9 +298,8 @@ def sync_multi_fused_hetero(spark: SparkSession,
                 name=t, struct=data_schema,
                 primary_keys=list(cfgs[t].primary_keys or []))
             merged = registry.update(schema)
-            write_manifest(
-                merged, os.path.join(out_dir, f"{t}.manifest"),
-                incremental=cfgs[t].incremental)
+            _write_table_manifest(
+                merged, os.path.join(out_dir, f"{t}.manifest"), cfgs[t])
         results[fp] = result
 
     registry.save(registry_path)
@@ -339,9 +364,8 @@ def sync_multi_fused(spark: SparkSession, events: DataFrame, out_dir: str,
         merged = registry.update(schema)
         # manifests live BESIDE the partitioned dataset (a stray file
         # inside tables/ would break the partition-discovery scan)
-        write_manifest(
-            merged, os.path.join(out_dir, f"{t}.manifest"),
-            incremental=cfgs[t].incremental)
+        _write_table_manifest(
+            merged, os.path.join(out_dir, f"{t}.manifest"), cfgs[t])
     registry.save(registry_path)
     state.last_synced_tables = sorted(cfgs)
     state.save(os.path.join(out_dir, "state.json"))

@@ -192,3 +192,39 @@ def build_legacy_manifest(columns: list[tuple[str, str, bool]],
     doc["column_metadata"] = column_metadata
     doc["write_always"] = bool(write_always)
     return doc
+
+
+def write_legacy_manifest(table: TableSchema, path: str,
+                          destination: str | None = None,
+                          primary_key: list[str] | None = None,
+                          incremental: bool | None = None,
+                          write_always: bool = False) -> dict:
+    """Engine-derived legacy manifest for a Spark output schema — the
+    sync engine's ``manifest_format='legacy'`` sink (a reference user's
+    downstream loader consumes these unchanged). KBC__* system columns
+    keep their fixed reference metadata in their ACTUAL schema
+    positions (drift can push payload columns after them); data
+    columns map Spark type → base type, decimals carrying their
+    precision. Engine-derived strings have no source DDL, so no length
+    is emitted — exact-length parity with a reference manifest needs
+    the DDL-driven ``build_legacy_manifest`` instead."""
+    sys_map = dict(LEGACY_SYSTEM_COLUMNS)
+    cols = []
+    for f in table.struct.fields:
+        if f.name in sys_map:
+            cols.append((f.name, sys_map[f.name], False))
+        elif isinstance(f.dataType, T.DecimalType):
+            cols.append((f.name,
+                         f"decimal({f.dataType.precision},"
+                         f"{f.dataType.scale})", bool(f.nullable)))
+        else:
+            base, _ = _spark_type_to_base(f.dataType)
+            cols.append((f.name, base, bool(f.nullable)))
+    doc = build_legacy_manifest(cols, destination=destination,
+                                primary_key=primary_key,
+                                incremental=incremental,
+                                system_columns=False,
+                                write_always=write_always)
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    return doc

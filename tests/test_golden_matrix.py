@@ -292,3 +292,42 @@ def test_append_chained_table_addition_byte_match(spark, tmp_path):
             "KBC__DELETED", "KBC__BATCH_EVENT_ORDER"]
     got = _export_prod(snap, str(tmp_path / "ac_prod"), cols)
     assert got == _golden(f"{ac}/data/out/tables/inventory_products.csv")
+
+
+def test_engine_legacy_manifest_format(spark, sf_dir, tmp_path):
+    """The sync engine's manifest_format='legacy' sink: the reference's
+    column_metadata shape derived from the OUTPUT schema — KBC__*
+    system columns keep their fixed metadata at their actual schema
+    positions, decimals carry precision, DEDUPE keeps the PK and
+    APPEND clears it (component.py:403-405), destination is
+    bucket.table."""
+    from python_cdc_component_spark.engine import SyncConfig, sync
+
+    out = str(tmp_path / "out")
+    sync(spark, sf_dir, out, SyncConfig(
+        mode="DEDUPE", manifest_format="legacy",
+        destination="in.c-bucket"))
+    doc = json.load(open(os.path.join(out, "events.manifest")))
+    assert doc["destination"] == "in.c-bucket.events"
+    assert doc["primary_key"] == ["user_id"]
+    assert "incremental" not in doc         # data tables omit the key
+    assert doc["columns"] == list(doc["column_metadata"])
+    md = doc["column_metadata"]
+    assert md["KBC__OPERATION"] == [
+        {"key": "KBC.description", "value": ""},
+        {"key": "KBC.datatype.basetype", "value": "STRING"},
+        {"key": "KBC.datatype.nullable", "value": False}]
+    assert md["KBC__DELETED"][1]["value"] == "BOOLEAN"
+    assert md["KBC__POS"][1]["value"] == "INTEGER"
+    # a legacy run in APPEND mode clears the PK key entirely
+    out2 = str(tmp_path / "out2")
+    sync(spark, sf_dir, out2, SyncConfig(
+        mode="APPEND", manifest_format="legacy"))
+    doc2 = json.load(open(os.path.join(out2, "events.manifest")))
+    assert "primary_key" not in doc2
+    assert "destination" not in doc2
+    # default format unchanged: the typed `schema` form
+    out3 = str(tmp_path / "out3")
+    sync(spark, sf_dir, out3, SyncConfig(mode="DEDUPE"))
+    doc3 = json.load(open(os.path.join(out3, "events.manifest")))
+    assert "schema" in doc3 and "column_metadata" not in doc3
