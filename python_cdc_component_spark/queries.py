@@ -511,6 +511,61 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count(F.lit(1)).alias("dup_count")))
 
 
+@query("boilerplate_ngrams", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram FROM idx)
+SELECT gram, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS occurrences
+FROM sh GROUP BY gram
+ORDER BY df DESC, gram LIMIT 20
+""")
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate phrase mining: the top word-3-grams by DOCUMENT
+    frequency — the analytical twin of the hybrid dedup's exact-group
+    collapse (operators/llm/hybrid.py): phrases shared by many docs are
+    the template/license/error-page signal a curation pipeline caps or
+    strips before near-dup runs. One explode + one uniform-key gram
+    shuffle with map-side partial aggregation; the top-k is a
+    TakeOrderedAndProject (per-partition heaps, no global sort), so the
+    plan is two exchanges at any corpus size. Deterministic total
+    order: (df DESC, gram) — ties resolve lexicographically."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    gram = F.expr("transform(sequence(1, size(t) - 2), "
+                  "i -> array_join(slice(t, i, 3), ' '))")
+    grams = (t.filter(F.size("t") >= 3)
+              .select("doc_id", F.explode(gram).alias("gram")))
+    return (grams.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("df"),
+                 F.count(F.lit(1)).alias("occurrences"))
+            .orderBy(F.col("df").desc(), "gram").limit(20))
+
+
+@query("domain_cap_keep", """
+SELECT source, doc_id, n_tokens, rank FROM (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rank
+  FROM documents) WHERE rank <= 10
+""")
+def domain_cap_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep the top-10 docs per source ranked by a
+    quality proxy (token count; min doc_id tie-break) — the
+    CommonCrawl-style per-domain quota that stops one crawled host
+    from dominating the training mix. One source-keyed shuffle;
+    WindowGroupLimit pushes the per-group top-k into partial heaps
+    before the exchange, so skewed giant domains never materialize
+    their full membership."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy("source").orderBy(
+        F.size(F.split("text", " ")).desc(), F.col("doc_id"))
+    return (d.select("source", "doc_id", n.alias("n_tokens"),
+                     F.row_number().over(w).cast("long").alias("rank"))
+             .filter(F.col("rank") <= 10))
+
+
 @query("text_langid", """
 SELECT doc_id,
        CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
