@@ -94,6 +94,14 @@ def _corpus(draw):
     if n >= 4:
         docs[1] = list(docs[0])
         docs[2] = list(docs[0]) + [draw(st.sampled_from(_WORDS))]
+    # r8 exact-group collapse: plant a variable-size exact-dup GROUP
+    # (the boilerplate shape the collapse rewrites) and two IDENTICAL
+    # <3-token docs, which have no shingles and must stay separate
+    # singletons on both sides
+    for j in range(draw(st.integers(0, 5))):
+        docs[100 + j] = list(docs[0])
+    docs[200] = [_WORDS[0], _WORDS[1]]
+    docs[201] = [_WORDS[0], _WORDS[1]]
     return docs
 
 
