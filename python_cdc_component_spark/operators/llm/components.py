@@ -64,8 +64,24 @@ def connected_components(edges: DataFrame, src: str = "src",
     pins cross-path parity for strings and structs). Mismatched
     src/dst types fall back to the distributed loop unchanged."""
     from pyspark.sql.types import (
-        ByteType, IntegerType, LongType, ShortType)
+        ByteType, IntegerType, LongType, ShortType, StringType,
+        StructType)
     spark = edges.sparkSession
+
+    def _py_orderable(dt) -> bool:
+        # types whose PYTHON ordering provably equals Spark's: integral
+        # (tuple ints), UTF-8 strings (code-point == binary order), and
+        # structs thereof. Floats are EXCLUDED on purpose — a NaN id
+        # would hang the union-find (NaN != NaN) — and anything else
+        # (binary, decimal, map, ...) takes the distributed loop, the
+        # pre-generalization behavior.
+        if isinstance(dt, (ByteType, ShortType, IntegerType, LongType,
+                           StringType)):
+            return True
+        if isinstance(dt, StructType):
+            return all(_py_orderable(f.dataType) for f in dt.fields)
+        return False
+
     try:
         ids_integral = all(
             isinstance(edges.schema[c].dataType,
@@ -73,7 +89,8 @@ def connected_components(edges: DataFrame, src: str = "src",
             for c in (src, dst))
         out_type = edges.schema[src].dataType
         ids_comparable = (ids_integral
-                          or out_type == edges.schema[dst].dataType)
+                          or (out_type == edges.schema[dst].dataType
+                              and _py_orderable(out_type)))
     except Exception:
         ids_integral, ids_comparable = False, False
     if ids_integral:
@@ -84,6 +101,20 @@ def connected_components(edges: DataFrame, src: str = "src",
                           F.col(dst).alias("d"))
              .limit(small_graph_edges + 1).collect()
              if ids_comparable else None)
+
+    def _has_null(v) -> bool:
+        if v is None:
+            return True
+        if isinstance(v, tuple):             # Row/struct values
+            return any(_has_null(x) for x in v)
+        return False
+
+    if probe is not None and any(
+            _has_null(r["s"]) or _has_null(r["d"]) for r in probe):
+        # NULL ids (incl. nested struct fields) break Python ordering;
+        # the distributed loop — the only path such ids ever took
+        # before the generic fast path — keeps its semantics for them
+        probe = None
     if probe is not None and len(probe) <= small_graph_edges:
         parent: dict = {}
 

@@ -40,7 +40,9 @@ map-side (a 17-byte struct of two 60-bit md5 slices, or the doc_id
 for <3-token docs, which never shingle and must stay singletons),
 and the
 final keep window expands groups back. This is a pure re-plan, not a
-semantic knob: intra-group pairs verify at Jaccard 1 ≥ any threshold
+semantic knob: intra-group pairs verify at Jaccard 1 ≥ any valid
+threshold (thresholds are validated to lie in [0, 1] — an
+unsatisfiable bound would contradict the collapse and is rejected)
 and min-label components merge the group anyway, so the keep-list is
 row-identical (pinned by the oracle and the parity pytest); candidate
 volume drops from O(Σ group²) to O(unique-text collisions). Costs
@@ -125,30 +127,33 @@ def exact_group_keyed(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
       k2 long) rather than a hex string, because it rides the
       pipeline's biggest shuffles (the shingle distinct and the
       sig+size agg) as the grouping key. s=0 carries two 60-bit
-      md5-slice halves of the text (120 exact bits — collision odds at
-      10^11 docs ≈ 4e-15); s=1 carries the doc_id itself for <3-token
-      docs, whose Jaccard is undefined-empty and who must therefore
-      NEVER group — two distinct one-word docs with equal text stay
-      separate singletons, exactly as the un-collapsed pipeline
-      leaves them.
+      md5-slice halves of the text (120 bits — collision odds at
+      10^11 docs ≈ 4e-15); s=1 carries the same two md5 halves of the
+      doc_id's STRING form for <3-token docs, whose Jaccard is
+      undefined-empty and who must therefore NEVER group — two
+      distinct one-word docs with equal text stay separate singletons,
+      exactly as the un-collapsed pipeline leaves them. Hashing (not
+      casting) the doc id keeps the key total over ANY atomic id type
+      (string ids work; '7' and '07' stay distinct) at the same
+      120-bit collision class the text key already accepts.
     * ``collapsed`` — (doc_id=tkey, text): the shingle input. Feeding
       ALL rows (duplicates included) is deliberate: duplicate texts
       emit identical (tkey, v) shingle rows that the downstream
       DISTINCT collapses map-side, so no per-group representative
       text ever needs to be picked or shuffled.
     """
+    def h60(col, off):
+        return F.conv(F.substring(col, off, 15), 16, 10).cast("long")
+
     t = F.split("text", " ")
     m = F.md5(F.col("text").cast("binary"))
+    mid = F.md5(F.col("doc_id").cast("string").cast("binary"))
     tkey = (F.when(F.size(t) >= 3, F.struct(
                 F.lit(0).cast("tinyint").alias("s"),
-                F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-                 .alias("k1"),
-                F.conv(F.substring(m, 16, 15), 16, 10).cast("long")
-                 .alias("k2")))
+                h60(m, 1).alias("k1"), h60(m, 16).alias("k2")))
             .otherwise(F.struct(
                 F.lit(1).cast("tinyint").alias("s"),
-                F.col("doc_id").alias("k1"),
-                F.lit(0).cast("long").alias("k2"))))
+                h60(mid, 1).alias("k1"), h60(mid, 16).alias("k2"))))
     keyed = docs.select("doc_id",
                         F.size(t).cast("long").alias("n_tokens"),
                         tkey.alias("tkey"))
@@ -176,12 +181,22 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
     verify join runs on the candidate-pruned slice, and all LSH/verify
     work happens at exact-text-GROUP granularity (see the module
     docstring's boilerplate guard) — duplicate texts cost their
-    map-side shingle hashing and nothing downstream."""
-    # exact-text collapse: keyed is the slim per-doc table reused by
-    # the rep lookup and the keep window (ONE extra text scan total,
-    # cached slim); collapsed feeds shingling with tkey as the node id
+    map-side shingle hashing and nothing downstream.
+
+    The threshold must be a valid Jaccard bound (0 ≤ num/den ≤ 1):
+    the collapse merges text-identical docs BEFORE verification, which
+    is only sound because intra-group Jaccard is exactly 1 — an
+    unsatisfiable >1 threshold would silently contradict it, so it is
+    rejected loudly instead."""
+    if threshold_den <= 0 or not 0 <= threshold_num <= threshold_den:
+        raise ValueError(
+            f"threshold {threshold_num}/{threshold_den} is not a valid "
+            f"Jaccard bound in [0, 1]")
+    # exact-text collapse: keyed is a slim map-side projection consumed
+    # by the keep-window job (same one-text-scan count as the old
+    # docs_n projection — no persist: it has exactly one consumer);
+    # collapsed feeds shingling with tkey as the node id
     keyed, collapsed = exact_group_keyed(docs)
-    keyed = persist_once(keyed)
     # distinct shingle table: one (tkey, v) shuffle, cached — feeds
     # the sig+size agg and the candidate-slice semi-join; duplicate
     # texts collapse in the distinct's map-side partial

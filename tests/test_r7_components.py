@@ -115,3 +115,32 @@ def test_integral_ids_share_one_output_contract(spark):
     assert ({tuple(r) for r in fast.collect()}
             == {tuple(r) for r in dist.collect()}
             == {(1, 1), (2, 1), (3, 1), (9, 9), (10, 9)})
+
+
+def test_null_node_ids_fall_back_to_distributed(spark):
+    """NULL ids (allowed pre-generalization via the distributed loop)
+    must never reach the driver union-find's Python comparisons: the
+    probe detects them and discards itself."""
+    edges = spark.createDataFrame(
+        [("a", "b"), (None, "c")], "src string, dst string")
+    got_default = {(r.node, r.component)
+                   for r in connected_components(edges).collect()}
+    got_dist = {(r.node, r.component)
+                for r in connected_components(
+                    edges, small_graph_edges=0).collect()}
+    assert got_default == got_dist
+
+
+def test_float_node_ids_stay_distributed(spark):
+    """Float ids are excluded from the driver path on purpose (a NaN
+    id would hang the union-find: NaN != NaN): both calls must agree
+    and TERMINATE, including with a NaN endpoint."""
+    edges = spark.createDataFrame(
+        [(1.5, 2.5), (float("nan"), 3.5)], "src double, dst double")
+    def canon(df):
+        import math
+        return {(("nan" if r.node != r.node else r.node),
+                 ("nan" if r.component != r.component else r.component))
+                for r in df.collect()}
+    assert (canon(connected_components(edges))
+            == canon(connected_components(edges, small_graph_edges=0)))

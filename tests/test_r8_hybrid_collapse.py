@@ -89,3 +89,31 @@ def test_component_ids_are_min_doc_id_across_expanded_groups(spark):
     assert out[0]["component"] == 2
     assert out[0]["keep_doc_id"] == 2            # longest wins
     assert out[0]["cluster_size"] == 3
+
+
+def test_string_doc_ids_supported(spark):
+    """The collapse must not assume numeric doc ids (the pre-collapse
+    pipeline accepted any orderable id): short docs hash their id
+    string — so 'c7' and 'c07' stay distinct singletons — and the
+    component id stays the min STRING doc id."""
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [("b", base), ("a", base), ("c7", "hi"), ("c07", "hi")]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["keep_doc_id"]: (r["component"], r["cluster_size"])
+           for r in hybrid_dedup_keep(d).collect()}
+    assert out == {"a": ("a", 2), "c7": ("c7", 1), "c07": ("c07", 1)}
+
+
+def test_invalid_jaccard_threshold_rejected(spark):
+    """An unsatisfiable (>1) or degenerate threshold would contradict
+    the exact-group collapse (intra-group Jaccard is exactly 1) — the
+    operator refuses it loudly instead of silently merging."""
+    import pytest
+    d = spark.createDataFrame([(1, "a b c d")],
+                              "doc_id long, text string")
+    with pytest.raises(ValueError, match="Jaccard bound"):
+        hybrid_dedup_keep(d, threshold_num=2, threshold_den=1)
+    with pytest.raises(ValueError, match="Jaccard bound"):
+        hybrid_dedup_keep(d, threshold_num=1, threshold_den=0)
+    with pytest.raises(ValueError, match="Jaccard bound"):
+        hybrid_dedup_keep(d, threshold_num=-1, threshold_den=2)
