@@ -198,3 +198,50 @@ def test_envelope_stream_tail(spark, tmp_path):
                   for r in got) == [("newName", "u", 100.0),
                                     ("oldName", "i", 0.012)]
     assert all(r["_table"] == "testcdc_inventory_products" for r in got)
+
+
+def test_all_datatypes_wire_fixture_parity(spark):
+    """AbstractDbConverterTest's all-data-types golden trio
+    (allDataTypesSchema/allDataTypes/allDataTypesExpected.json): every
+    field of the reference Java converter's expected output must fall
+    out of parse_envelope + decode_logical —
+
+    - nested struct/array values re-serialize as the SAME compact
+      JSON strings (incl. the Point's explicit null srid), the
+      'stringified, never decomposed' contract
+      (AbstractDbConverter.java:194);
+    - Timestamp/Date logical ints decode to the instants the Java
+      java.sql formats render ('2023-01-01 12:34:56.0' / ISO date);
+    - Time/MicroDuration/Bits/bytea/decimal-as-string pass through
+      untouched, CHAR padding preserved."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    fields = _fixture("allDataTypesSchema.json")["fields"]
+    payload = _fixture("allDataTypes.json")
+    expected = _fixture("allDataTypesExpected.json")
+    out = decode_logical(
+        parse_envelope(
+            _envelope_df(spark, [payload],
+                         schema_name="testcdc.inventory.all_types.Value"),
+            "raw", connect_fields_to_struct(fields)),
+        fields)
+    r = out.collect()[0]
+    assert r["_table"] == "testcdc_inventory_all_types"
+
+    special = {"timestamp_col", "date_col", "real_col"}
+    for col, want in expected.items():
+        if col in special:
+            continue
+        assert r[col] == want, col
+    # Java java.sql.Timestamp.toString appends '.0'; the instant and
+    # the day must match our typed decode under the UTC session
+    assert r["timestamp_col"] == datetime.datetime(2023, 1, 1, 12, 34, 56)
+    assert expected["timestamp_col"] == "2023-01-01 12:34:56.0"
+    assert r["date_col"] == datetime.date(2023, 1, 1)
+    assert expected["date_col"] == str(r["date_col"])
+    # float32 wire value: equal at float precision
+    import struct as _struct
+    assert (_struct.unpack("f", _struct.pack("f", expected["real_col"]))[0]
+            == r["real_col"])
+    # the stringified-nested contract holds byte-for-byte
+    assert r["point_col"] == expected["point_col"]
+    assert r["array_col"] == expected["array_col"]
