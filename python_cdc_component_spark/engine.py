@@ -67,17 +67,26 @@ def _write_table_manifest(merged: TableSchema, path: str,
                           cfg: SyncConfig) -> None:
     """Manifest sink dispatch: the typed `schema` form, or the
     reference's legacy column_metadata form. Legacy parity details the
-    reference itself pins: append load types clear the primary key
-    (component.py:403-405), and data tables omit the `incremental` key
-    (only the schema-changes side table carries it)."""
+    reference itself pins: append load types clear the primary key,
+    while a PK-less DEDUPE table builds its PK from all non-system
+    columns (component.py:403-408); incremental load types emit
+    `incremental: true` and full loads omit the key — the reference's
+    incremental-append-chained goldens carry it on DATA tables, so a
+    downstream loader relies on it to not replace the table."""
     if cfg.manifest_format == "legacy":
         pk = list(merged.primary_keys) or None
         if cfg.mode.upper() != "DEDUPE":
             pk = None
+        elif not pk:
+            # reference component.py:406-408: "No primary keys found...
+            # building primary key using all attributes" (non-system)
+            pk = [f.name for f in merged.struct.fields
+                  if not f.name.startswith("KBC__")]
         destination = (f"{cfg.destination}.{merged.name}"
                        if cfg.destination else None)
         write_legacy_manifest(merged, path, destination=destination,
-                              primary_key=pk)
+                              primary_key=pk,
+                              incremental=True if cfg.incremental else None)
     else:
         write_manifest(merged, path, incremental=cfg.incremental)
 

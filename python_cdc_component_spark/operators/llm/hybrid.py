@@ -259,10 +259,12 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
     # (unverified groups, never-candidate groups, <3-token solo keys)
     # self-labels by tkey; labels and self-labels live in the same
     # key space, so distinct groups get distinct labels by
-    # construction. comp is candidate-footprint-sized — the same
-    # broadcastability assumption as cand_ids above
+    # construction. comp is candidate-footprint-sized but UNBOUNDED on
+    # a near-dup-heavy corpus — no broadcast hint here; comp is already
+    # materialized (checkpointed edges → one closure job), so AQE sees
+    # its true size and picks broadcast exactly when it fits
     labeled = (keyed
-               .join(F.broadcast(comp.withColumnRenamed("node", "tkey")),
+               .join(comp.withColumnRenamed("node", "tkey"),
                      "tkey", "left")
                .select("doc_id", "n_tokens",
                        F.coalesce("component", "tkey").alias("ckey")))

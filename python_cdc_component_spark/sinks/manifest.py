@@ -106,6 +106,52 @@ _MYSQL_INT_PRECISION = {"tinyint": 3, "smallint": 5, "mediumint": 7,
 _BARE_BASE_TYPES = {"STRING", "INTEGER", "NUMERIC", "FLOAT", "BOOLEAN",
                     "DATE", "TIMESTAMP"}
 
+# Postgres base-type → (basetype, fixed length) as the reference's
+# all-datatypes expected manifest serializes them (ex_postgres_cdc/
+# tests/functional/all-datatypes-chained/01_simple-full-load/expected/
+# .../inventory_all_data_types.csv.manifest): floats carry their
+# DECIMAL precision (real→NUMERIC/8, double precision→NUMERIC/17),
+# temporals their JDBC display size (timestamp→29, timestamptz→35,
+# date→13, time→15, timetz→21), unbounded/opaque types the int32 cap.
+_PG_INT32_CAP = 2147483647
+_PG_FIXED_TYPES: dict[str, tuple[str, int | None]] = {
+    "real": ("NUMERIC", 8),
+    "double precision": ("NUMERIC", 17),
+    "money": ("NUMERIC", _PG_INT32_CAP),
+    "smallserial": ("INTEGER", 5),
+    "serial": ("INTEGER", 10),
+    "bigserial": ("INTEGER", 19),
+    "text": ("STRING", 16777216),
+    "bytea": ("STRING", _PG_INT32_CAP),
+    "timestamp": ("TIMESTAMP", 29),
+    "timestamp without time zone": ("TIMESTAMP", 29),
+    "timestamp with time zone": ("TIMESTAMP", 35),
+    "timestamptz": ("TIMESTAMP", 35),
+    "date": ("DATE", 13),
+    "time": ("TIMESTAMP", 15),
+    "time without time zone": ("TIMESTAMP", 15),
+    "time with time zone": ("TIMESTAMP", 21),
+    "timetz": ("TIMESTAMP", 21),
+    "interval": ("STRING", 49),
+    "boolean": ("BOOLEAN", 1),
+    "bool": ("BOOLEAN", 1),
+    "point": ("STRING", _PG_INT32_CAP),
+    "cidr": ("STRING", _PG_INT32_CAP),
+    "inet": ("STRING", _PG_INT32_CAP),
+    "macaddr": ("STRING", _PG_INT32_CAP),
+    "macaddr8": ("STRING", _PG_INT32_CAP),
+    "uuid": ("STRING", _PG_INT32_CAP),
+    "xml": ("STRING", _PG_INT32_CAP),
+    "json": ("STRING", _PG_INT32_CAP),
+    "jsonb": ("STRING", _PG_INT32_CAP),
+    "int4range": ("STRING", _PG_INT32_CAP),
+    "int8range": ("STRING", _PG_INT32_CAP),
+    "numrange": ("STRING", _PG_INT32_CAP),
+    "tsrange": ("STRING", _PG_INT32_CAP),
+    "tstzrange": ("STRING", _PG_INT32_CAP),
+    "daterange": ("STRING", _PG_INT32_CAP),
+}
+
 
 def _legacy_type(source_type: str,
                  dialect: str = "mysql") -> tuple[str, int | None]:
@@ -120,16 +166,32 @@ def _legacy_type(source_type: str,
     if source_type in _BARE_BASE_TYPES:
         return source_type, None
     t = source_type.strip().lower()
+    # strip any parenthesized args, preserving multi-word bases both
+    # before ("character varying(10)") and after ("bit(10) varying"
+    # never occurs, but "timestamp(3) with time zone" does in pg DDL)
     base = t.split("(")[0].strip()
+    if "(" in t and ")" in t:
+        tail = t[t.index(")") + 1:].strip()
+        if tail:
+            base = f"{base} {tail}"
     args = []
-    if "(" in t and t.endswith(")"):
-        args = [int(a) for a in t[t.index("(") + 1:-1].split(",")
+    if "(" in t and ")" in t:
+        args = [int(a) for a in t[t.index("(") + 1:t.index(")")].split(",")
                 if a.strip().lstrip("-").isdigit()]
-    if dialect == "postgres" and base == "text":
-        return "STRING", 16777216
+    if dialect == "postgres":
+        # arrays serialize as STRING carrying the ELEMENT type's length
+        # (integer[] → STRING/10 in the all-datatypes golden)
+        if base.endswith("[]"):
+            _, elen = _legacy_type(base[:-2], dialect=dialect)
+            return "STRING", elen
+        if base in _PG_FIXED_TYPES:
+            return _PG_FIXED_TYPES[base]
+        if base in ("character varying", "bit varying", "bit"):
+            bt = "STRING"
+            return bt, args[0] if args else None
     if base in _MYSQL_TEXT_LENGTHS:
         return "STRING", _MYSQL_TEXT_LENGTHS[base]
-    if base in ("varchar", "char", "character"):
+    if base in ("varchar", "char", "character", "character varying"):
         return "STRING", args[0] if args else None
     if base in _MYSQL_INT_PRECISION:
         return "INTEGER", _MYSQL_INT_PRECISION[base]
@@ -184,10 +246,13 @@ def build_legacy_manifest(columns: list[tuple[str, str, bool]],
     if primary_key is not None:
         doc["primary_key"] = list(primary_key)
     doc["columns"] = [c[0] for c in cols]
-    doc["enclosure"] = '"'
-    doc["delimiter"] = ","
+    # key order parity: every reference manifest carrying `incremental`
+    # places it between `columns` and `enclosure` — byte-level diffs
+    # against reference goldens depend on serialization order.
     if incremental is not None:
         doc["incremental"] = bool(incremental)
+    doc["enclosure"] = '"'
+    doc["delimiter"] = ","
     doc["metadata"] = []
     doc["column_metadata"] = column_metadata
     doc["write_always"] = bool(write_always)

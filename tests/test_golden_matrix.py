@@ -310,7 +310,14 @@ def test_engine_legacy_manifest_format(spark, sf_dir, tmp_path):
     doc = json.load(open(os.path.join(out, "events.manifest")))
     assert doc["destination"] == "in.c-bucket.events"
     assert doc["primary_key"] == ["user_id"]
-    assert "incremental" not in doc         # data tables omit the key
+    # incremental load types emit incremental: true on DATA tables too
+    # (reference incremental-append-chained goldens; is_incremental_load
+    # covers incremental_load + append_incremental) — and the key sits
+    # between `columns` and `enclosure` like every reference manifest
+    assert doc["incremental"] is True
+    keys = list(doc)
+    assert keys.index("columns") < keys.index("incremental") \
+        < keys.index("enclosure")
     assert doc["columns"] == list(doc["column_metadata"])
     md = doc["column_metadata"]
     assert md["KBC__OPERATION"] == [
@@ -326,6 +333,23 @@ def test_engine_legacy_manifest_format(spark, sf_dir, tmp_path):
     doc2 = json.load(open(os.path.join(out2, "events.manifest")))
     assert "primary_key" not in doc2
     assert "destination" not in doc2
+    # a full-load legacy run omits the incremental key (reference
+    # full_load/append_full goldens never carry it)
+    out2b = str(tmp_path / "out2b")
+    sync(spark, sf_dir, out2b, SyncConfig(
+        mode="DEDUPE", manifest_format="legacy", incremental=False))
+    doc2b = json.load(open(os.path.join(out2b, "events.manifest")))
+    assert "incremental" not in doc2b
+    # PK-less DEDUPE falls back to all non-system columns as the PK
+    # (reference component.py:406-408: "No primary keys found...
+    # building primary key using all attributes")
+    out2c = str(tmp_path / "out2c")
+    sync(spark, sf_dir, out2c, SyncConfig(
+        mode="DEDUPE", manifest_format="legacy", primary_keys=[]))
+    doc2c = json.load(open(os.path.join(out2c, "events.manifest")))
+    assert doc2c["primary_key"]
+    assert doc2c["primary_key"] == [
+        c for c in doc2c["columns"] if not c.startswith("KBC__")]
     # default format unchanged: the typed `schema` form
     out3 = str(tmp_path / "out3")
     sync(spark, sf_dir, out3, SyncConfig(mode="DEDUPE"))

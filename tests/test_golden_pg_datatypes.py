@@ -218,3 +218,80 @@ def test_pg_all_datatypes_streamed_byte_match(spark, tmp_path):
     with open(GOLD.format(stage="02_inserts_updates_deletes"),
               "rb") as fh:
         assert got == fh.read()
+
+
+# ---------------------------------------------------------------------------
+# legacy manifest parity: the full 40-column all-datatypes manifest
+# (``.csv.manifest`` next to the stage goldens) — floats carry DECIMAL
+# precision (real → NUMERIC/8, double precision → NUMERIC/17), temporals
+# their JDBC display size (timestamp → 29, timestamptz → 35, date → 13,
+# time → 15, timetz → 21), unbounded/opaque types the int32 cap, and
+# arrays the ELEMENT type's length (integer[] → STRING/10).
+
+# source-native DDL types per surviving column (sql_test_traits/
+# all_datatypes.sql; the unsupported geometric/tsvector columns are
+# dropped from the egress and carry no metadata).
+_ADT_DDL = {
+    "id": "serial",
+    "col_smallint": "smallint",
+    "col_integer": "integer",
+    "col_int": "int",
+    "col_bigint": "bigint",
+    "col_decimal": "decimal(5,2)",
+    "col_numeric": "numeric(5,2)",
+    "col_real": "real",
+    "col_double_precision": "double precision",
+    "col_smallserial": "smallserial",
+    "col_serial": "serial",
+    "col_bigserial": "bigserial",
+    "col_money": "money",
+    "col_character": "character(10)",
+    "col_char": "char(10)",
+    "col_character_varying": "character varying(10)",
+    "col_varchar": "varchar(10)",
+    "col_text": "text",
+    "col_bytea": "bytea",
+    "col_timestamp": "timestamp",
+    "col_timestamp_with_time_zone": "timestamp with time zone",
+    "col_date": "date",
+    "col_time": "time",
+    "col_time_with_time_zone": "time with time zone",
+    "col_interval": "interval",
+    "col_boolean": "boolean",
+    "col_point": "point",
+    "col_cidr": "cidr",
+    "col_inet": "inet",
+    "col_macaddr": "macaddr",
+    "col_macaddr8": "macaddr8",
+    "col_bit": "bit(10)",
+    "col_bit_varying": "bit varying(10)",
+    "col_uuid": "uuid",
+    "col_xml": "xml",
+    "col_json": "json",
+    "col_jsonb": "jsonb",
+    "col_integer_array": "integer[]",
+    "col_int4range": "int4range",
+}
+
+
+def test_pg_all_datatypes_manifest_parity():
+    """build_legacy_manifest over the scenario's own DDL types is
+    dict-identical to BOTH stage goldens (append load type: no PK,
+    no destination, no incremental key)."""
+    import json
+
+    from python_cdc_component_spark.sinks.manifest import (
+        build_legacy_manifest)
+
+    for stage in ("01_simple-full-load", "02_inserts_updates_deletes"):
+        want = json.load(open(GOLD.format(stage=stage) + ".manifest"))
+        nullable = {
+            n: {m["key"].split(".")[-1]: m["value"] for m in md}.get(
+                "nullable")
+            for n, md in want["column_metadata"].items()}
+        data_cols = [c for c in want["columns"]
+                     if not c.startswith("KBC__")]
+        cols = [(c, _ADT_DDL[c], nullable[c]) for c in data_cols]
+        got = build_legacy_manifest(cols, dialect="postgres")
+        assert got == want
+        assert list(got) == list(want)      # serialization key order
