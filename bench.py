@@ -256,6 +256,56 @@ def bench_boilerplate_guard(spark, sf_dir: str,
     return {"n_copies": n_copies, "sec": sec, "keep_rows": kept}
 
 
+def bench_stream_boilerplate_guard(spark, sf_dir: str,
+                                   n_copies: int = 1_200,
+                                   n_corpus: int = 200) -> dict:
+    """Round-9 streaming twin of ``boilerplate_guard``: a boilerplate-
+    heavy corpus (n_copies text-identical docs + n_corpus distinct
+    docs, split over two ingest batches) driven through
+    ``StreamingDedupGroups`` with the exact-text collapse ON vs OFF.
+    Unguarded, the LSH front end emits K²/2 intra-group candidate
+    pairs and the verify joins carry them times ~52 shingles each;
+    guarded, the group bands once and every duplicate costs one linear
+    attach pair. ``pairs_*`` pin the candidate-volume contract so a
+    regression is machine-detectable, not just slower."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from python_cdc_component_spark.streaming.dedup_state import (
+        StreamingDedupGroups)
+
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(n_corpus))
+    boiler = " ".join(f"boiler{i} term" for i in range(30))
+    group = spark.range(2_000_000, 2_000_000 + n_copies).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text"))
+    corpus = base.unionByName(group).localCheckpoint(eager=True)
+    half = 2_000_000 + n_copies // 2
+    batches = [corpus.filter(F.col("doc_id") < half),
+               corpus.filter(F.col("doc_id") >= half)]
+    root = tempfile.mkdtemp(prefix="bench_sbg_")
+    out: dict = {"n_copies": n_copies, "n_corpus": n_corpus}
+    try:
+        for label, collapse in (("guarded", True), ("unguarded", False)):
+            st = StreamingDedupGroups(os.path.join(root, label),
+                                      num_buckets=16,
+                                      collapse_exact=collapse)
+            t0 = time.time()
+            n_pairs = 0
+            for i, b in enumerate(batches):
+                stats = st.process_batch(spark, b, corpus=corpus,
+                                         batch_id=i)
+                n_pairs += int(stats["n_verified_edges"])
+            st.read_groups(spark).count()
+            out[f"{label}_sec"] = round(time.time() - t0, 3)
+            out[f"pairs_{label}"] = n_pairs
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_skew(spark, n: int = 1_000_000, hot_frac: float = 0.5) -> dict:
     """Inline skew-strategy ladder (plain vs AQE skew-join vs salted vs
     broadcast) so the measured justification for operators/joins.py
@@ -411,6 +461,8 @@ def main() -> None:
             "dedup_groups_sync": bench_dedup_groups_sync(spark, sf_dir),
             "q1_decimal_probe": bench_q1_decimal_probe(spark, sf_dir),
             "boilerplate_guard": bench_boilerplate_guard(spark, sf_dir),
+            "stream_boilerplate_guard":
+                bench_stream_boilerplate_guard(spark, sf_dir),
         }
         # round-over-round scale-ratio tracking (VERDICT r6 #5): the
         # 10×/30× adaptive-geometry claims (SCALING.md audit index) as

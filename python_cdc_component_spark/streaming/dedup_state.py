@@ -105,13 +105,25 @@ class StreamingDedupGroups:
     # boilerplate mega-component must never collect that component's
     # membership onto the driver
     driver_merge_max_members: int = 100_000
+    # the same discipline one level up: the VERIFIED EDGE list is
+    # probed with limit(threshold+1) — above it the merge runs fully
+    # distributed off the edge DataFrame and the edges never land on
+    # the driver (a batch fanning out against a huge indexed
+    # neighborhood must not collect its edge list either)
+    driver_merge_max_edges: int = 100_000
+    # exact-text group collapse in the LSH front end (the streaming
+    # boilerplate guard): K text-identical docs cost K−1 linear attach
+    # pairs, never K²/2 banded pairs. Pinned in the store meta at
+    # first build — reopening an existing store adopts its stored mode
+    collapse_exact: bool = True
     index: StreamingLshIndex = field(init=False)
 
     def __post_init__(self) -> None:
         self.index = StreamingLshIndex(
             os.path.join(self.state_path, "index"),
             num_buckets=self.num_buckets,
-            compact_file_threshold=self.compact_file_threshold)
+            compact_file_threshold=self.compact_file_threshold,
+            collapse_exact=self.collapse_exact)
 
     def _resolve_buckets(self, spark: SparkSession) -> None:
         """Partition counts are physical layout for labels/node_map
@@ -275,6 +287,41 @@ class StreamingDedupGroups:
         return (cand.join(current, ["node", "component"], "left_semi")
                 .distinct())
 
+    def _members_df_dist(self, spark: SparkSession, comps_df: DataFrame,
+                         exclude_batch: int | None) -> DataFrame | None:
+        """``_members_df`` for the distributed-edges path: the affected
+        component set itself may be unbounded, so it arrives as a
+        one-column ``component`` DataFrame — only its ≤num_buckets
+        distinct PARTITION ids are ever collected; the membership
+        filter is a semi-join instead of a literal isin."""
+        if not _fs_exists(spark, self._labels_path):
+            return None
+        cparts = {r[0] for r in
+                  comps_df.select(F.pmod("component",
+                                         F.lit(self.num_buckets))
+                                  .cast("int").alias("p"))
+                  .distinct().collect()}
+        df = self._read_parts(spark, self._labels_path, COMP_PART,
+                              cparts, exclude_batch)
+        if df is None:
+            return None
+        cand = (df.join(comps_df, "component", "left_semi")
+                .select("node", "component", "n_tokens"))
+        nparts = {r[0] for r in
+                  cand.select(F.pmod("node", F.lit(self.num_buckets))
+                              .cast("int").alias("p"))
+                      .distinct().collect()}
+        nm = self._read_parts(spark, self._node_map_path, NODE_PART,
+                              nparts, exclude_batch)
+        if nm is None:
+            return None
+        current = (self._latest(
+                       nm.join(cand.select("node").distinct(),
+                               "node", "left_semi"))
+                   .select("node", "component"))
+        return (cand.join(current, ["node", "component"], "left_semi")
+                .distinct())
+
     # -- per-batch maintenance --------------------------------------
 
     def process_batch(self, spark: SparkSession, batch_docs: DataFrame,
@@ -296,20 +343,36 @@ class StreamingDedupGroups:
                          self._manifest_path, str(batch_id))))
         pairs = self.index.process_batch(spark, batch_docs,
                                          batch_id=batch_id)
-        verified = (verify_jaccard_pairs(
-                        corpus, pairs.select("doc_a", "doc_b"),
-                        threshold_num=self.jaccard_num,
-                        threshold_den=self.jaccard_den)
-                    .filter("verified"))
-        edges = [(r["doc_a"], r["doc_b"]) for r in
-                 verified.select("doc_a", "doc_b").collect()]
+        # pinned: consumed by the bounded probe AND (over-threshold)
+        # the distributed merge — never recomputed, never collected
+        # wholesale
+        verified_df = (verify_jaccard_pairs(
+                           corpus, pairs.select("doc_a", "doc_b"),
+                           threshold_num=self.jaccard_num,
+                           threshold_den=self.jaccard_den)
+                       .filter("verified").select("doc_a", "doc_b")
+                       .localCheckpoint(eager=True))
+        # bounded EDGE probe (the same probe-else-distributed
+        # discipline the member fetch uses): a batch fanning out
+        # against a huge indexed neighborhood — the collapse guard
+        # makes that near-dup-shaped, never exact-dup-shaped, but the
+        # shape still exists — must not collect its edge list
+        eprobe = (verified_df.limit(self.driver_merge_max_edges + 1)
+                  .collect())
+        edges_small = len(eprobe) <= self.driver_merge_max_edges
         batch_n = batch_docs.select(
             "doc_id", F.size(F.split("text", " ")).cast("long")
             .alias("n_tokens"))
         if committed:
             return {"batch_id": batch_id, "replay": True,
-                    "n_verified_edges": len(edges)}
+                    "n_verified_edges": (len(eprobe) if edges_small
+                                         else verified_df.count())}
 
+        if not edges_small:
+            return self._merge_distributed_edges(
+                spark, verified_df, batch_n, batch_id)
+
+        edges = [(r["doc_a"], r["doc_b"]) for r in eprobe]
         edge_nodes = sorted({n for e in edges for n in e})
         # current components of every edge endpoint (absent → itself);
         # edge_nodes is O(batch × LSH fan-out) — bounded by design
@@ -412,8 +475,6 @@ class StreamingDedupGroups:
                           .localCheckpoint(eager=True))
             n_relabeled = changed_df.count()
 
-        tier = (self._next_tier(spark) if batch_id is None
-                else int(batch_id))
         # distributed singleton rows for the rest of the batch; the
         # edge-involved rows ride along from the merge's resolution
         singles = (batch_n
@@ -422,6 +483,92 @@ class StreamingDedupGroups:
                    .select(F.col("doc_id").alias("node"),
                            F.col("doc_id").alias("component"),
                            "n_tokens"))
+        return self._commit_rows(spark, changed_df, singles, batch_id,
+                                 n_verified_edges=len(edges),
+                                 n_relabeled=n_relabeled,
+                                 merge_path=merge_path)
+
+    def _merge_distributed_edges(self, spark: SparkSession,
+                                 verified_df: DataFrame,
+                                 batch_n: DataFrame,
+                                 batch_id: int | None) -> dict:
+        """Over-threshold edge list: the merge runs with the edges as
+        a DataFrame end to end — endpoints, affected components,
+        membership, closure, relabel, and singles are all joins; the
+        only collects are ≤num_buckets partition-id lists."""
+        ends = (verified_df.select(F.col("doc_a").alias("node"))
+                .unionByName(verified_df.select(F.col("doc_b")
+                                                .alias("node")))
+                .distinct().localCheckpoint(eager=True))
+        nparts = {r[0] for r in
+                  ends.select(F.pmod("node", F.lit(self.num_buckets))
+                              .cast("int").alias("p"))
+                      .distinct().collect()}
+        nm = self._read_parts(spark, self._node_map_path, NODE_PART,
+                              nparts, batch_id)
+        if nm is not None:
+            cur_df = (self._latest(nm.join(ends, "node", "left_semi"))
+                      .select("node", "component"))
+        else:
+            cur_df = spark.createDataFrame(
+                [], "node long, component long")
+        comps_df = (ends.join(cur_df, "node", "left")
+                    .select(F.coalesce("component", "node")
+                            .alias("component"))
+                    .distinct().localCheckpoint(eager=True))
+        members_df = self._members_df_dist(spark, comps_df, batch_id)
+        if members_df is None:
+            members_df = spark.createDataFrame(
+                [], "node long, component long, n_tokens long")
+        # pin: the writes below replace the very tiers this plan reads
+        members_df = members_df.localCheckpoint(eager=True)
+        edge_df = verified_df.select(F.col("doc_a").alias("src"),
+                                     F.col("doc_b").alias("dst"))
+        member_edges = (members_df
+                        .filter(F.col("node") != F.col("component"))
+                        .select(F.col("node").alias("src"),
+                                F.col("component").alias("dst")))
+        labels_new = connected_components(
+            edge_df.unionByName(member_edges))
+        old = members_df.select("node",
+                                F.col("component").alias("_old_c"))
+        tok_all = (members_df.select("node", "n_tokens")
+                   .unionByName(
+                       batch_n.join(ends.withColumnRenamed("node",
+                                                           "doc_id"),
+                                    "doc_id", "left_semi")
+                       .select(F.col("doc_id").alias("node"),
+                               "n_tokens"))
+                   .groupBy("node")
+                   .agg(F.max("n_tokens").alias("n_tokens")))
+        changed_df = (labels_new
+                      .join(old, "node", "left")
+                      .filter(F.col("_old_c").isNull()
+                              | (F.col("_old_c") != F.col("component")))
+                      .join(tok_all, "node")
+                      .select("node", "component", "n_tokens")
+                      .localCheckpoint(eager=True))
+        singles = (batch_n
+                   .join(ends.withColumnRenamed("node", "doc_id"),
+                         "doc_id", "left_anti")
+                   .select(F.col("doc_id").alias("node"),
+                           F.col("doc_id").alias("component"),
+                           "n_tokens"))
+        return self._commit_rows(spark, changed_df, singles, batch_id,
+                                 n_verified_edges=verified_df.count(),
+                                 n_relabeled=changed_df.count(),
+                                 merge_path="distributed-edges")
+
+    def _commit_rows(self, spark: SparkSession, changed_df: DataFrame,
+                     singles: DataFrame, batch_id: int | None, *,
+                     n_verified_edges: int, n_relabeled: int,
+                     merge_path: str) -> dict:
+        """Write one batch's state rows (merge resolution + batch
+        singletons) to both tables at this batch's tier, touch the
+        commit marker, compact — the shared tail of every merge
+        path."""
+        tier = (self._next_tier(spark) if batch_id is None
+                else int(batch_id))
         rows = singles.unionByName(changed_df).withColumn(
             BATCH_COL, F.lit(tier))
         # bin-pack: one file per touched partition per tier (the
@@ -452,7 +599,7 @@ class StreamingDedupGroups:
         self._compact(spark, self._labels_path, COMP_PART)
         self._compact(spark, self._node_map_path, NODE_PART)
         return {"batch_id": batch_id, "replay": False,
-                "n_verified_edges": len(edges),
+                "n_verified_edges": n_verified_edges,
                 "n_relabeled": n_relabeled,
                 "merge_path": merge_path}
 

@@ -81,6 +81,7 @@ from ..operators.schema_align import union_epochs
 BUCKET_COL = "_lsh_bucket"
 BATCH_COL = "_batch"
 DOC_PART_COL = "_doc_part"
+GROUP_PART_COL = "_g_part"
 COMPACTED_TIER = -1
 
 
@@ -100,10 +101,37 @@ class StreamingLshIndex:
     # O(1) per batch, and per-batch probe I/O returns to being
     # proportional to touched-bucket DATA.
     compact_file_threshold: int = 8
+    # Exact-text group collapse (the boilerplate guard, the streaming
+    # twin of operators/llm/hybrid.py::exact_group_keyed): K
+    # text-identical docs band ONCE, keyed by a 120-bit md5 text key —
+    # the index emits one (rep, member) attach pair per duplicate doc
+    # instead of K²/2 intra-group pairs, and LSH candidates are
+    # emitted at unique-text-GROUP granularity, translated back to the
+    # groups' representative doc ids. Physical layout (pinned in the
+    # meta like num_buckets — a store never changes mode):
+    #   _groups/ (gk1, gk2, rep, buckets) by _g_part=pmod(xxhash64(
+    #       gk1,gk2),N): text-key → current rep + the group's fixed
+    #       band buckets;
+    #   _roster/ (gk1, gk2, doc_id) by _g_part: the member sidecar —
+    #       group→doc expansion and rep re-election on a rep's purge;
+    #   _docmap/ (doc_id, _g_part) by _doc_part: victim → group
+    #       partition, the erasure pruning map.
+    # Docs under 3 tokens have no shingles (hence no bands) and an
+    # undefined-empty Jaccard: they never enter the index in either
+    # mode, so identical short docs stay singletons.
+    collapse_exact: bool = False
 
     @property
     def _docmap_path(self) -> str:
         return os.path.join(self.index_path, "_docmap")
+
+    @property
+    def _groups_path(self) -> str:
+        return os.path.join(self.index_path, "_groups")
+
+    @property
+    def _roster_path(self) -> str:
+        return os.path.join(self.index_path, "_roster")
 
     @property
     def _manifest_path(self) -> str:
@@ -130,8 +158,16 @@ class StreamingLshIndex:
         if raw is not None:
             meta = json.loads(raw)
             self.num_buckets = int(meta["num_buckets"])
+            # the collapse mode is physical layout exactly like N (a
+            # collapsed store's band rows are group-keyed structs, an
+            # uncollapsed store's are doc ids) — the stored mode wins
+            # over the constructor arg
+            self.collapse_exact = bool(meta.get("collapse_exact", False))
             return bool(meta.get("docmap_complete", False))
         if _fs_exists(spark, self.index_path):
+            # legacy index built before the meta existed: necessarily
+            # uncollapsed (collapse stores write a meta at first build)
+            self.collapse_exact = False
             self._write_meta(spark, docmap_complete=False)
             return False
         return True     # fresh build: the sidecar grows with the index
@@ -141,7 +177,8 @@ class StreamingLshIndex:
         import json
         _fs_write_text(spark, self._meta_path,
                        json.dumps({"num_buckets": self.num_buckets,
-                                   "docmap_complete": docmap_complete}))
+                                   "docmap_complete": docmap_complete,
+                                   "collapse_exact": self.collapse_exact}))
 
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("bv")),
@@ -169,6 +206,9 @@ class StreamingLshIndex:
         already-committed batch returns the identical pairs and leaves
         the index bytes untouched."""
         self._resolve_buckets(spark)
+        if self.collapse_exact:
+            return self._process_batch_collapsed(spark, batch_docs,
+                                                 batch_id)
         committed = (batch_id is not None
                      and _fs_exists(spark, os.path.join(
                          self._manifest_path, str(batch_id))))
@@ -254,6 +294,459 @@ class StreamingLshIndex:
         finally:
             bands.unpersist()
 
+    # -- exact-text group collapse (the streaming boilerplate guard) --
+
+    def _gpart(self, k1, k2) -> F.Column:
+        return F.pmod(F.xxhash64(k1, k2),
+                      F.lit(self.num_buckets)).cast("int")
+
+    def _gkeyed(self, batch_docs: DataFrame) -> DataFrame:
+        """(doc_id, text) → (doc_id, text, gk1, gk2, _g_part) for docs
+        with ≥3 tokens — two 60-bit md5 slices of the text, the SAME
+        120-bit exact-text key the batch collapse uses
+        (operators/llm/hybrid.py::exact_group_keyed). Shorter docs have
+        no shingles and an undefined-empty Jaccard: they are excluded
+        here exactly as the banding pipeline excludes them."""
+        m = F.md5(F.col("text").cast("binary"))
+        k1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        k2 = F.conv(F.substring(m, 16, 15), 16, 10).cast("long")
+        return (batch_docs
+                .filter(F.size(F.split("text", " ")) >= 3)
+                .select("doc_id", "text", k1.alias("gk1"),
+                        k2.alias("gk2"),
+                        self._gpart(k1, k2).alias(GROUP_PART_COL)))
+
+    def _read_sidecar(self, spark: SparkSession, base: str,
+                      parts: list[int]) -> DataFrame | None:
+        """Partition-pruned read of a ``_g_part``-partitioned sidecar
+        (duplicate rows from crashed at-least-once appends collapse
+        under the callers' ``distinct()``)."""
+        if not _fs_exists(spark, base):
+            return None
+        paths = [p for p in
+                 (os.path.join(base, f"{GROUP_PART_COL}={v}")
+                  for v in sorted(parts))
+                 if _fs_exists(spark, p)]
+        if not paths:
+            return None
+        return spark.read.option("basePath", base).parquet(*paths)
+
+    def _process_batch_collapsed(self, spark: SparkSession,
+                                 batch_docs: DataFrame,
+                                 batch_id: int | None = None
+                                 ) -> DataFrame:
+        """Collapse-mode probe + append: K text-identical docs cost K
+        roster/docmap rows, ONE banded group node, and K−1 linear
+        (rep, member) attach pairs — never K²/2 candidate pairs. LSH
+        candidates join at unique-text-GROUP granularity and are
+        translated back to the groups' current representative doc ids,
+        so downstream consumers still see plain (doc_a, doc_b) pairs
+        (attach pairs verify at exact Jaccard 1, so a verify stage
+        needs no special-casing). Batches that introduce a group band
+        it; later exact dups of the text attach without banding."""
+        from ..operators.llm.minhash import LSH_BANDS
+        empty = spark.createDataFrame(
+            [], "doc_a long, doc_b long, n_bands long")
+        committed = (batch_id is not None
+                     and _fs_exists(spark, os.path.join(
+                         self._manifest_path, str(batch_id))))
+        keyed = self._gkeyed(batch_docs)
+        keyed.persist()
+        bands = None
+        try:
+            bg = (keyed.groupBy("gk1", "gk2", GROUP_PART_COL)
+                  .agg(F.min("doc_id").alias("brep")))
+            gparts = [r[0] for r in
+                      bg.select(GROUP_PART_COL).distinct().collect()]
+            if not gparts:
+                return empty
+            stored = self._read_sidecar(spark, self._groups_path, gparts)
+            if stored is not None:
+                hits = (stored.select("gk1", "gk2", "rep").distinct()
+                        .join(F.broadcast(bg.select("gk1", "gk2")),
+                              ["gk1", "gk2"], "left_semi")
+                        .withColumnRenamed("rep", "srep"))
+                groups = bg.join(F.broadcast(hits),
+                                 ["gk1", "gk2"], "left")
+            else:
+                groups = bg.withColumn("srep", F.lit(None).cast("long"))
+            in_batch = (keyed.select("doc_id").distinct()
+                        .withColumnRenamed("doc_id", "srep")
+                        .withColumn("_in_batch", F.lit(True)))
+            # `mine`: groups THIS batch introduces. A stored row whose
+            # rep is one of this batch's docs was written by this
+            # batch's own earlier (crashed or committed) attempt — rep
+            # ids belong to exactly one ingest batch, and a purged-
+            # then-reingested id re-elects to a surviving member first
+            # — so they re-band: the dynamic overwrite replaces a
+            # crashed partial band append, and a committed replay
+            # recomputes the identical probe for identical pairs.
+            groups = (groups.join(F.broadcast(in_batch), "srep", "left")
+                      .withColumn("rep", F.coalesce("srep", "brep"))
+                      .withColumn("mine",
+                                  F.col("srep").isNull()
+                                  | F.coalesce("_in_batch", F.lit(False)))
+                      .select("gk1", "gk2", GROUP_PART_COL, "rep",
+                              "mine")
+                      # batch-bounded (one row per unique batch text);
+                      # consumed by attach, banding, translation, and
+                      # the sidecar writes
+                      .localCheckpoint(eager=True))
+            attach = (keyed
+                      .join(F.broadcast(groups
+                                        .select("gk1", "gk2", "rep")),
+                            ["gk1", "gk2"])
+                      .filter(F.col("doc_id") != F.col("rep"))
+                      .select(F.least("doc_id", "rep").alias("doc_a"),
+                              F.greatest("doc_id", "rep").alias("doc_b"),
+                              F.lit(int(LSH_BANDS)).cast("long")
+                              .alias("n_bands"))
+                      .distinct())
+            mine_g = groups.filter("mine")
+            new_texts = (keyed
+                         .join(F.broadcast(
+                             mine_g.select("gk1", "gk2",
+                                           F.col("rep")
+                                           .alias("doc_id"))),
+                               ["gk1", "gk2", "doc_id"])
+                         .select(F.struct("gk1", "gk2").alias("doc_id"),
+                                 "text"))
+            bands = (band_table(minhash_signatures(new_texts))
+                     .withColumn(BUCKET_COL, self._bucket()))
+            bands.persist()
+            touched = [r[0] for r in
+                       bands.select(BUCKET_COL).distinct().collect()]
+            lsh_pairs = empty
+            if touched:
+                probe_side = bands
+                if _fs_exists(spark, self.index_path):
+                    paths = [p for p in
+                             (os.path.join(self.index_path,
+                                           f"{BUCKET_COL}={b}")
+                              for b in touched)
+                             if _fs_exists(spark, p)]
+                    if paths:
+                        indexed = (spark.read
+                                   .option("basePath", self.index_path)
+                                   .parquet(*paths)
+                                   .drop(BATCH_COL))
+                        probe_side = union_epochs([indexed, bands])
+                n, a = bands.alias("n"), probe_side.alias("a")
+                cand = n.join(a, (F.col("n.band") == F.col("a.band"))
+                              & (F.col("n.bv") == F.col("a.bv"))
+                              & (F.col("n.doc_id") != F.col("a.doc_id")))
+                gp_pairs = (cand.select(
+                                F.least("n.doc_id", "a.doc_id")
+                                .alias("ga"),
+                                F.greatest("n.doc_id", "a.doc_id")
+                                .alias("gb"),
+                                F.col("n.band").alias("band"))
+                            .groupBy("ga", "gb")
+                            .agg(F.countDistinct("band")
+                                 .alias("n_bands"))
+                            # true group-level collisions only — tiny;
+                            # pinned before the append grows the dirs
+                            # the probe read lazily
+                            .localCheckpoint(eager=True))
+                # group → current rep translation, pruned to the pair
+                # keys' partitions (collision partners can live in any
+                # partition, not just the batch's own)
+                pkeys = (gp_pairs.select(F.col("ga").alias("g"))
+                         .unionByName(gp_pairs.select(F.col("gb")
+                                                      .alias("g")))
+                         .select("g.gk1", "g.gk2").distinct())
+                pparts = [r[0] for r in
+                          pkeys.select(self._gpart("gk1", "gk2"))
+                          .distinct().collect()]
+                gmap = mine_g.select("gk1", "gk2", "rep")
+                st2 = self._read_sidecar(spark, self._groups_path,
+                                         pparts)
+                if st2 is not None:
+                    gmap = (gmap.unionByName(
+                                st2.select("gk1", "gk2", "rep"))
+                            .join(F.broadcast(pkeys),
+                                  ["gk1", "gk2"], "left_semi")
+                            .distinct())
+                ga_map = gmap.select(
+                    F.struct("gk1", "gk2").alias("ga"),
+                    F.col("rep").alias("ra"))
+                gb_map = gmap.select(
+                    F.struct("gk1", "gk2").alias("gb"),
+                    F.col("rep").alias("rb"))
+                lsh_pairs = (gp_pairs
+                             .join(F.broadcast(ga_map), "ga")
+                             .join(F.broadcast(gb_map), "gb")
+                             .select(F.least("ra", "rb").alias("doc_a"),
+                                     F.greatest("ra", "rb")
+                                     .alias("doc_b"),
+                                     "n_bands"))
+            pairs = (attach.unionByName(lsh_pairs)
+                     .localCheckpoint(eager=True))
+            if committed:
+                return pairs    # replay of a committed batch: no-op
+            if _fs_read_text(spark, self._meta_path) is None:
+                # pin the collapse layout BEFORE the first write: a
+                # crash between the band append and a later stamp
+                # would let _resolve_buckets mistake this for a legacy
+                # UNCOLLAPSED index (docmap_complete is truthfully True
+                # — the sidecar grows with the index from batch one)
+                self._write_meta(spark, docmap_complete=True)
+            tier = COMPACTED_TIER if batch_id is None else int(batch_id)
+            if touched:
+                out = (bands.withColumn(BATCH_COL, F.lit(tier))
+                       .repartition(F.col(BUCKET_COL)))
+                if batch_id is None:
+                    (out.write.partitionBy(BUCKET_COL, BATCH_COL)
+                        .mode("append").parquet(self.index_path))
+                else:
+                    self._overwrite_dynamic(spark, out,
+                                            [BUCKET_COL, BATCH_COL],
+                                            self.index_path)
+                # one _groups row per new group, carrying the group's
+                # FIXED band-bucket set (bands are a pure function of
+                # the text) — the erasure path never probes for them
+                gbuckets = (bands.groupBy("doc_id")
+                            .agg(F.array_sort(
+                                F.collect_set(BUCKET_COL))
+                                .alias("buckets"))
+                            .select(F.col("doc_id.gk1").alias("gk1"),
+                                    F.col("doc_id.gk2").alias("gk2"),
+                                    "buckets"))
+                grows = (mine_g.select("gk1", "gk2", GROUP_PART_COL,
+                                       "rep")
+                         .join(gbuckets, ["gk1", "gk2"])
+                         .repartition(F.col(GROUP_PART_COL)))
+                (grows.write.partitionBy(GROUP_PART_COL)
+                      .mode("append").parquet(self._groups_path))
+            # member sidecar: one roster row per batch doc (duplicate
+            # rows from crashed at-least-once appends are benign —
+            # re-election mins over distinct members)
+            (keyed.select("gk1", "gk2", "doc_id", GROUP_PART_COL)
+                  .repartition(F.col(GROUP_PART_COL))
+                  .write.partitionBy(GROUP_PART_COL)
+                  .mode("append").parquet(self._roster_path))
+            docmap = (keyed.select("doc_id",
+                                   F.col(GROUP_PART_COL).alias("gp"))
+                      .distinct()
+                      .withColumn(DOC_PART_COL,
+                                  F.pmod("doc_id",
+                                         F.lit(self.num_buckets))
+                                  .cast("int"))
+                      .repartition(F.col(DOC_PART_COL)))
+            (docmap.write.partitionBy(DOC_PART_COL)
+                   .mode("append").parquet(self._docmap_path))
+            if batch_id is not None:
+                _fs_touch(spark, os.path.join(self._manifest_path,
+                                              str(batch_id)))
+            self._compact(spark, touched)
+            self._compact_docmap(spark)
+            self._compact_sidecar(spark, self._groups_path)
+            self._compact_sidecar(spark, self._roster_path)
+            return pairs
+        finally:
+            keyed.unpersist()
+            if bands is not None:
+                bands.unpersist()
+
+    def _purge_docs_collapsed(self, spark: SparkSession,
+                              doc_ids: list[int]) -> int:
+        """Collapse-mode erasure. Non-rep members never banded, so
+        their erasure is pure sidecar hygiene (roster + docmap rows).
+        A purged REP re-elects: the group's min surviving member takes
+        over in ``_groups`` — a metadata rewrite of the victims' group
+        partitions only, NO band rewrite (bands are keyed by the text
+        group, not the rep). A group losing its last member dies: its
+        band rows are dropped from exactly the buckets its ``_groups``
+        row recorded. Step order is crash-retryable — bands, then
+        ``_groups``, then roster, then docmap — because each retry
+        re-derives the victim set from the sidecars a crash left
+        intact (docmap/roster rows vanish LAST)."""
+        if not _fs_exists(spark, self._docmap_path):
+            return 0
+        victims = sorted({int(i) for i in doc_ids})
+        ids_df = spark.createDataFrame([(v,) for v in victims],
+                                       "doc_id long")
+        map_paths = [
+            p for p in
+            (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
+             for v in sorted({v % self.num_buckets for v in victims}))
+            if _fs_exists(spark, p)]
+        if not map_paths:
+            return 0
+        vic = (spark.read.option("basePath", self._docmap_path)
+               .parquet(*map_paths)
+               .join(F.broadcast(ids_df), "doc_id", "left_semi")
+               .select("doc_id", "gp").distinct())
+        gps = sorted({r["gp"] for r in vic.select("gp")
+                      .distinct().collect()})
+        if not gps:
+            return 0
+        roster = self._read_sidecar(spark, self._roster_path, gps)
+        roster = (roster.distinct() if roster is not None
+                  else spark.createDataFrame(
+                      [], f"gk1 long, gk2 long, doc_id long, "
+                          f"{GROUP_PART_COL} int"))
+        vic_groups = (roster.join(F.broadcast(ids_df), "doc_id",
+                                  "left_semi")
+                      .select("gk1", "gk2").distinct()
+                      .localCheckpoint(eager=True))
+        roster_kept = (roster.join(F.broadcast(ids_df), "doc_id",
+                                   "left_anti")
+                       .localCheckpoint(eager=True))
+        surv = (roster_kept.join(F.broadcast(vic_groups),
+                                 ["gk1", "gk2"], "left_semi")
+                .groupBy("gk1", "gk2")
+                .agg(F.min("doc_id").alias("new_rep")))
+        groups_cur = self._read_sidecar(spark, self._groups_path, gps)
+        groups_cur = (groups_cur.distinct() if groups_cur is not None
+                      else None)
+        aff = []
+        if groups_cur is not None:
+            # bounded by the caller's victim list (≤ one group per
+            # victim doc) — same driver footprint class as doc_ids
+            aff = (groups_cur
+                   .join(F.broadcast(vic_groups), ["gk1", "gk2"],
+                         "left_semi")
+                   .join(F.broadcast(surv), ["gk1", "gk2"], "left")
+                   .collect())
+        vic_set = set(victims)
+        dead = [r for r in aff if r["new_rep"] is None]
+        relabel = [(r["gk1"], r["gk2"], int(r["new_rep"]))
+                   for r in aff
+                   if r["new_rep"] is not None and r["rep"] in vic_set]
+        # 1. band rows of groups that lost their last member
+        if dead:
+            buckets = sorted({int(b) for r in dead
+                              for b in (r["buckets"] or [])})
+            dead_df = spark.createDataFrame(
+                [(int(r["gk1"]), int(r["gk2"])) for r in dead],
+                "gk1 long, gk2 long")
+            dead_ids = dead_df.select(
+                F.struct("gk1", "gk2").alias("doc_id"))
+            paths = [p for p in
+                     (os.path.join(self.index_path, f"{BUCKET_COL}={b}")
+                      for b in buckets)
+                     if _fs_exists(spark, p)]
+            if paths:
+                kept = (spark.read.option("basePath", self.index_path)
+                        .parquet(*paths)
+                        .join(F.broadcast(dead_ids), "doc_id",
+                              "left_anti")
+                        .withColumn(BATCH_COL, F.lit(COMPACTED_TIER))
+                        .repartition(F.col(BUCKET_COL))
+                        .localCheckpoint(eager=True))
+                kept_buckets = {r[0] for r in
+                                kept.select(BUCKET_COL)
+                                .distinct().collect()}
+                if kept_buckets:
+                    self._overwrite_dynamic(spark, kept,
+                                            [BUCKET_COL, BATCH_COL],
+                                            self.index_path)
+                for p in paths:
+                    b = int(p.rsplit("=", 1)[1])
+                    if b not in kept_buckets:
+                        _fs_delete(spark, p)
+                        continue
+                    for name in _fs_list_names(spark, p):
+                        if (name.startswith(f"{BATCH_COL}=")
+                                and name !=
+                                f"{BATCH_COL}={COMPACTED_TIER}"):
+                            _fs_delete(spark, os.path.join(p, name))
+        # 2. _groups: drop dead rows, re-elect purged reps
+        if (dead or relabel) and groups_cur is not None:
+            dead_df = spark.createDataFrame(
+                [(int(r["gk1"]), int(r["gk2"])) for r in dead]
+                or [(None, None)],
+                "gk1 long, gk2 long").dropna()
+            rel_df = spark.createDataFrame(
+                relabel or [(None, None, None)],
+                "gk1 long, gk2 long, _new_rep long").dropna()
+            new_groups = (groups_cur
+                          .join(F.broadcast(dead_df), ["gk1", "gk2"],
+                                "left_anti")
+                          .join(F.broadcast(rel_df), ["gk1", "gk2"],
+                                "left")
+                          .withColumn("rep", F.coalesce("_new_rep",
+                                                        "rep"))
+                          .drop("_new_rep")
+                          .repartition(F.col(GROUP_PART_COL))
+                          .localCheckpoint(eager=True))
+            self._rewrite_gparts(spark, self._groups_path, new_groups,
+                                 gps)
+        # 3. roster: drop the victims' member rows
+        roster_kept = roster_kept.repartition(F.col(GROUP_PART_COL))
+        self._rewrite_gparts(spark, self._roster_path,
+                             roster_kept.localCheckpoint(eager=True),
+                             gps)
+        # 4. docmap: drop the victims' pruning rows (LAST — they are
+        # how a crashed retry finds everything above)
+        kept_map = (spark.read.option("basePath", self._docmap_path)
+                    .parquet(*map_paths)
+                    .join(F.broadcast(ids_df), "doc_id", "left_anti")
+                    .repartition(F.col(DOC_PART_COL))
+                    .localCheckpoint(eager=True))
+        kept_parts = {r[0] for r in
+                      kept_map.select(DOC_PART_COL).distinct().collect()}
+        if kept_parts:
+            self._overwrite_dynamic(spark, kept_map, [DOC_PART_COL],
+                                    self._docmap_path)
+        for p in map_paths:
+            if int(p.rsplit("=", 1)[1]) not in kept_parts:
+                _fs_delete(spark, p)
+        return len(gps)
+
+    def _rewrite_gparts(self, spark: SparkSession, base: str,
+                        rows: DataFrame, gps: list[int]) -> None:
+        """Overwrite the given ``_g_part`` partitions with ``rows``
+        (already checkpointed) and delete read partitions the
+        overwrite did not re-emit (a dynamic overwrite only replaces
+        partitions present in its output)."""
+        emitted = {r[0] for r in
+                   rows.select(GROUP_PART_COL).distinct().collect()}
+        if emitted:
+            self._overwrite_dynamic(spark, rows, [GROUP_PART_COL], base)
+        for v in gps:
+            p = os.path.join(base, f"{GROUP_PART_COL}={v}")
+            if v not in emitted and _fs_exists(spark, p):
+                _fs_delete(spark, p)
+
+    def _compact_sidecar(self, spark: SparkSession, base: str) -> int:
+        """Size-tiered fold for the ``_g_part`` sidecars (_groups /
+        _roster) — same APPEND-then-DELETE discipline as the docmap
+        (a torn overwrite could lose rows; duplicate rows are benign
+        under the readers' ``distinct()``)."""
+        from ..fs import fs_total_file_count as _fs_total
+        if not _fs_exists(spark, base):
+            return 0
+        names = [n for n in _fs_list_names(spark, base)
+                 if n.startswith(f"{GROUP_PART_COL}=")]
+        if not names or (_fs_total(spark, base)
+                         <= self.compact_file_threshold * len(names)):
+            return 0
+        due: list[str] = []
+        old_files: dict[str, list[str]] = {}
+        for name in names:
+            pdir = os.path.join(base, name)
+            files = [f for f in _fs_list_names(spark, pdir)
+                     if f.endswith(".parquet")]
+            if len(files) > self.compact_file_threshold:
+                due.append(name)
+                old_files[name] = files
+        if not due:
+            return 0
+        paths = [os.path.join(base, n) for n in due]
+        folded = (spark.read.option("basePath", base).parquet(*paths)
+                  .distinct()
+                  .repartition(F.col(GROUP_PART_COL))
+                  .localCheckpoint(eager=True))
+        (folded.write.partitionBy(GROUP_PART_COL)
+               .mode("append").parquet(base))
+        for n in due:
+            pdir = os.path.join(base, n)
+            for f in old_files[n]:
+                _fs_delete(spark, os.path.join(pdir, f))
+        return len(due)
+
     def purge_docs(self, spark: SparkSession, doc_ids: list[int]) -> int:
         """Remove every band row of the given documents from the index
         — the near-dup-index half of right-to-be-forgotten erasure
@@ -276,6 +769,8 @@ class StreamingLshIndex:
         if not doc_ids or not _fs_exists(spark, self.index_path):
             return 0
         docmap_complete = self._resolve_buckets(spark)
+        if self.collapse_exact:
+            return self._purge_docs_collapsed(spark, doc_ids)
         ids_df = spark.createDataFrame([(int(i),) for i in doc_ids],
                                        "doc_id long")
         map_paths = []
@@ -389,6 +884,11 @@ class StreamingLshIndex:
         if not _fs_exists(spark, self.index_path):
             return 0
         self._resolve_buckets(spark)
+        if self.collapse_exact:
+            raise ValueError(
+                "migrate_docmap: collapse-mode stores write their meta "
+                "and sidecars from batch one — no pre-sidecar era "
+                "exists to migrate")
         full = (spark.read.option("basePath", self.index_path)
                 .parquet(self.index_path))
         self._rebuild_docmap(spark, full)
