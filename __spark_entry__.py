@@ -35,16 +35,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle (S2-S8, K1-K5, P3/P4/P7, F8/F10, T1/T3/T6/T8), the UDF
 # surface (§2.10), and one flagship per LLM-pipeline operator family.
 # Everything else still runs under scripts/check_oracle.py + pytest.
-# Round-8 rotation (VERDICT r7 #2, third rotation): the 25 flagship
+# Round-9 rotation (VERDICT r8 #2, fourth rotation): the 25 flagship
 # slots stay pinned; the other 25 rotate — exclusively queries that
 # have NEVER earned a driver row in any round (computed from
-# CORRECTNESS_r01..r07 ∪ vs queries(); contract-tested in
+# CORRECTNESS_r01..r08 vs queries(); contract-tested in
 # tests/test_r7_window.py against ROTATION_BASE_ROUND below). Leads
-# with the 5 round-7 newcomers per the verdict; the rotated-out r07
-# batch all earned green r07 rows and stays covered by the full
-# hostile self gate + pytest. ~26 queries remain never-rowed — one
-# more rotation from full coverage.
-ROTATION_BASE_ROUND = 8     # rotation slots never rowed in rounds < 8
+# with dedup_groups_cdc_sync and the two r8 curation newcomers per
+# the verdict; the rotated-out r08 batch all earned green r08 rows
+# and stays covered by the full hostile self gate + pytest. 4 queries
+# remain never-rowed (q10_returned_revenue, greatest_least_scalar,
+# bitwise_aggs, rank_fractions) — the trivial round-10 tail.
+ROTATION_BASE_ROUND = 9     # rotation slots never rowed in rounds < 9
 DRIVER_WINDOW = [
     # pinned flagships: CDC core + lifecycle essentials
     "cdc_dedup_latest", "cdc_append", "cdc_chunked_dedup",
@@ -58,26 +59,25 @@ DRIVER_WINDOW = [
     # pinned flagships: LLM pipeline
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
-    # rotated in (first-ever driver rows): the 5 round-7 newcomers
-    "hybrid_dedup_keep", "streaming_dedup_groups",
-    "curation_pipeline_keep", "curation_funnel_counts",
-    "lsh_incremental_verified_pairs",
-    # rotated in: dedup / ANN family closure
-    "lsh_dup_groups", "semantic_dup_groups",
-    "embedding_int8_ann_recall",
-    # rotated in: curation / quality / training pipeline
-    "decontaminate_train_docs", "quality_filter_chain",
-    "char_entropy_quality", "train_split_assign",
-    "training_mix_caps", "pack_sequences",
-    # rotated in: text analysis
-    "vocab_topk", "repetition_stats",
-    # rotated in: event analytics / profiling
-    "events_anomaly_zscore", "events_hourly_heatmap",
-    "value_histogram_bins", "profile_orders",
-    # rotated in: relational surface tail
-    "grouping_sets_orders", "range_join_value_bands",
-    "relational_division", "q15_top_supplier",
-    "q16_parts_supplier_relationship",
+    # rotated in (first-ever driver rows): the r8 newcomers the
+    # verdict directed — the CDC-fed dedup-groups end-to-end and the
+    # two curation additions
+    "dedup_groups_cdc_sync", "boilerplate_ngrams", "domain_cap_keep",
+    # rotated in: curation / sampling / feature export
+    "quality_weighted_sample", "source_overlap_matrix",
+    "topk_sample_per_group", "multi_eval_decontaminate",
+    "user_feature_export", "doc_feature_join",
+    # rotated in: window / aggregate surface
+    "first_last_window", "argmax_per_group", "range_frame_running_sum",
+    "string_agg_per_group", "null_semantics",
+    "conditional_ratio_promo", "unpivot_lineitem_measures",
+    # rotated in: scan / join strategy surface
+    "disjunctive_pushdown", "bucketed_join_revenue",
+    # rotated in: TPC-H relational tail
+    "q10_returned_items", "q12_priority_by_quantity_band",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q20_potential_promotion",
 ]
 
 
