@@ -186,61 +186,89 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
                            cfg: "BoundedStreamConfig") -> None:
     """One epoch of dedup-groups side maintenance (runs AFTER the
     compaction merge, so the compacted state already reflects this
-    batch). Tier scheme on the groups store's batch_id sequence:
-    ``2·epoch`` for the purge (replaced/deleted doc versions) and
-    ``2·epoch+1`` for the ingest — monotone across epochs, so later
-    ingest merges always outrank purge relabels. TWO markers gate the
-    epoch: the INGEST marker (``2e+1``, touched inside process_batch)
-    skips a fully-committed epoch's replay, and the PURGE marker
-    (``2e``, touched here after the purge) skips the purge alone — a
-    crash INSIDE process_batch (after the LSH index already appended
-    this batch's bands and committed its sub-marker) must not re-run
-    the purge on replay: that purge would erase the bands the crashed
-    attempt committed, and the index's replay contract would then skip
-    the re-append, silently un-indexing the batch's docs forever. A
-    crash BEFORE the purge marker replays the purge, which is
-    idempotent against pre-epoch state (no index rows of this batch
-    exist yet — the purge runs before the append). The purge marker
-    doubles as the store fingerprint purge_between_runs uses to refuse
-    CDC-fed stores."""
+    batch). Tier scheme on the groups store's batch_id sequence
+    (mode ``cdc3``, pinned at first write): ``3·epoch`` for the purge
+    (replaced/deleted doc versions), ``3·epoch+1`` for the ingest, and
+    ``3·epoch+2`` left FREE as the between-runs erasure slot
+    (``purge_between_runs`` consumes it) — monotone across epochs, so
+    later ingest merges always outrank purge relabels and a
+    between-runs erasure outranks everything up to its gap while the
+    next epoch's purge outranks IT. Stores built by pre-r9 code are
+    pinned ``cdc`` (2·e/2·e+1, no erasure slot) and keep that scheme —
+    mixing residue schemes mid-stream would let a crashed epoch's
+    partial tiers escape the in-flight exclusion. TWO markers gate the
+    epoch: the INGEST marker (touched inside process_batch) skips a
+    fully-committed epoch's replay, and the PURGE marker (touched here
+    after the purge) skips the purge alone — a crash INSIDE
+    process_batch (after the LSH index already appended this batch's
+    bands and committed its sub-marker) must not re-run the purge on
+    replay: that purge would erase the bands the crashed attempt
+    committed, and the index's replay contract would then skip the
+    re-append, silently un-indexing the batch's docs forever. A crash
+    BEFORE the purge marker replays the purge, which is idempotent
+    against pre-epoch state (no index rows of this batch exist yet —
+    the purge runs before the append)."""
     import os as _os
 
-    from ..fs import fs_exists, fs_touch
+    from ..fs import fs_exists, fs_read_text, fs_touch
     from ..operators.dedup import dedup_latest
 
-    ingest_tier = 2 * epoch + 1
+    mode = fs_read_text(spark, groups._tier_mode_path)
+    stride = 2 if mode == "cdc" else 3
+    ingest_tier = stride * epoch + 1
     if fs_exists(spark, _os.path.join(groups._manifest_path,
                                       str(ingest_tier))):
         return
     idc, txc = cfg.dedup_doc_id_col, cfg.dedup_text_col
-    latest = dedup_latest(batch_df.drop("_snapshot_phase"), [idc])
+    # keyed envelope: a composite PK (list of columns) — the
+    # reference-shaped table — concatenates into ONE string doc key
+    # (unit-separator joined, the F1 concat_ws pattern); the groups
+    # store then runs string-keyed (hash-partitioned, pinned in its
+    # meta). A single integral column keeps the historical long keys.
+    id_cols = [idc] if isinstance(idc, str) else list(idc)
+    from pyspark.sql import types as T
+    composite = (len(id_cols) > 1
+                 or isinstance(batch_df.schema[id_cols[0]].dataType,
+                               T.StringType))
+    if composite:
+        key_expr = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in id_cols])
+    else:
+        key_expr = F.col(id_cols[0]).cast("long")
+    latest = dedup_latest(batch_df.drop("_snapshot_phase"), id_cols)
     batch_ids = [r[0] for r in
-                 latest.select(idc).distinct().collect()]
+                 latest.select(key_expr.alias("k"))
+                 .distinct().collect()]
     if not batch_ids:
         return
-    groups._set_tier_mode(spark, "cdc")
-    purge_marker = _os.path.join(groups._manifest_path, str(2 * epoch))
+    groups._set_tier_mode(spark, "cdc" if mode == "cdc" else "cdc3")
+    purge_marker = _os.path.join(groups._manifest_path,
+                                 str(stride * epoch))
     if not fs_exists(spark, purge_marker):
         # purge every batch-touched id: replaced versions and
         # tombstones lose their old bands/claims; never-indexed ids
         # are a pruned no-op
-        groups.purge_docs(spark, batch_ids, purge_batch_id=2 * epoch)
+        groups.purge_docs(spark, batch_ids,
+                          purge_batch_id=stride * epoch)
         fs_touch(spark, purge_marker)
     live = (latest
             .filter(~F.coalesce(F.col(SC.deleted), F.lit(False)))
-            .select(F.col(idc).cast("long").alias("doc_id"),
+            .select(key_expr.alias("doc_id"),
                     F.col(txc).alias("text")))
-    # explicit 3-column schema, not compactor.read(): the corpus is
-    # only ever read pruned to pair-involved docs, and the mergeSchema
-    # footer pass over every bucket (the drift-safe general read)
-    # would otherwise run per epoch — the three columns used here are
-    # guaranteed present from epoch one (they come off the stream)
+    # explicit schema, not compactor.read(): the corpus is only ever
+    # read pruned to pair-involved docs, and the mergeSchema footer
+    # pass over every bucket (the drift-safe general read) would
+    # otherwise run per epoch — these columns are guaranteed present
+    # from epoch one (they come off the stream, types taken from it)
+    id_fields = ", ".join(
+        f"{c} {batch_df.schema[c].dataType.simpleString()}"
+        for c in id_cols)
     corpus = (spark.read
-              .schema(f"{idc} long, {txc} string, "
+              .schema(f"{id_fields}, {txc} string, "
                       f"{SC.deleted} boolean")
               .parquet(compactor.state_path)
               .filter(~F.coalesce(F.col(SC.deleted), F.lit(False)))
-              .select(F.col(idc).cast("long").alias("doc_id"),
+              .select(key_expr.alias("doc_id"),
                       F.col(txc).alias("text")))
     groups.process_batch(spark, live, corpus=corpus,
                          batch_id=ingest_tier)

@@ -119,11 +119,27 @@ class StreamingDedupGroups:
     index: StreamingLshIndex = field(init=False)
 
     def __post_init__(self) -> None:
+        # collapse merges text-identical docs BEFORE verification —
+        # sound only for valid Jaccard bounds in [0, 1] (intra-group
+        # Jaccard is exactly 1); reject unsatisfiable thresholds
+        # loudly, the hybrid_dedup_keep precedent
+        if (self.jaccard_den <= 0
+                or not 0 <= self.jaccard_num <= self.jaccard_den):
+            raise ValueError(
+                f"threshold {self.jaccard_num}/{self.jaccard_den} is "
+                f"not a valid Jaccard bound in [0, 1]")
         self.index = StreamingLshIndex(
             os.path.join(self.state_path, "index"),
             num_buckets=self.num_buckets,
             compact_file_threshold=self.compact_file_threshold,
             collapse_exact=self.collapse_exact)
+
+    @property
+    def _id_t(self) -> str:
+        return self.index._id_sql_type
+
+    def _id_part(self, col):
+        return self.index._id_part(col)
 
     def _resolve_buckets(self, spark: SparkSession) -> None:
         """Partition counts are physical layout for labels/node_map
@@ -173,11 +189,13 @@ class StreamingDedupGroups:
     def _set_tier_mode(self, spark: SparkSession, mode: str) -> None:
         """Record which epoch→tier discipline drives this sequenced
         store — ``"facade"`` (dedup_groups_sync: ingest on odd tiers,
-        even slots free for between-runs erasure) or ``"cdc"``
-        (bounded_sync side state: the inline purge owns the even
-        slots). Explicit metadata, not parity inference: both
+        even slots free for between-runs erasure), ``"cdc3"``
+        (bounded_sync side state, round-9 scheme: inline purge 3e,
+        ingest 3e+1, between-runs erasure 3e+2), or legacy ``"cdc"``
+        (pre-r9 bounded_sync: purge 2e / ingest 2e+1, no free
+        residue). Explicit metadata, not parity inference: the
         disciplines leave similar-looking manifests, and erasure
-        safety depends on knowing which one owns the even slots.
+        safety depends on knowing which residue each driver owns.
         First writer pins the mode; a conflicting driver raises."""
         cur = _fs_read_text(spark, self._tier_mode_path)
         if cur is None:
@@ -239,13 +257,13 @@ class StreamingDedupGroups:
                        exclude_batch: int | None) -> dict[int, int]:
         if not nodes or not _fs_exists(spark, self._node_map_path):
             return {}
-        parts = {n % self.num_buckets for n in nodes}
+        parts = self.index._id_parts_of(spark, nodes)
         df = self._read_parts(spark, self._node_map_path, NODE_PART,
                               parts, exclude_batch)
         if df is None:
             return {}
-        nodes_df = spark.createDataFrame([(int(n),) for n in nodes],
-                                         "node long")
+        nodes_df = spark.createDataFrame([(n,) for n in nodes],
+                                         f"node {self._id_t}")
         rows = (self._latest(
                     df.join(F.broadcast(nodes_df), "node", "left_semi"))
                 .select("node", "component").collect())
@@ -262,17 +280,16 @@ class StreamingDedupGroups:
         against the node_map's current claim via a semi-join."""
         if not comps or not _fs_exists(spark, self._labels_path):
             return None
-        parts = {c % self.num_buckets for c in comps}
+        parts = self.index._id_parts_of(spark, comps)
         df = self._read_parts(spark, self._labels_path, COMP_PART,
                               parts, exclude_batch)
         if df is None:
             return None
-        cand = (df.filter(F.col("component").isin([int(c) for c in comps]))
+        cand = (df.filter(F.col("component").isin(list(comps)))
                 .select("node", "component", "n_tokens"))
         # node partitions the candidates hash into: ≤num_buckets values
         nparts = {r[0] for r in
-                  cand.select(F.pmod("node", F.lit(self.num_buckets))
-                              .cast("int").alias("p"))
+                  cand.select(self._id_part(F.col("node")).alias("p"))
                       .distinct().collect()}
         nm = self._read_parts(spark, self._node_map_path, NODE_PART,
                               nparts, exclude_batch)
@@ -297,9 +314,8 @@ class StreamingDedupGroups:
         if not _fs_exists(spark, self._labels_path):
             return None
         cparts = {r[0] for r in
-                  comps_df.select(F.pmod("component",
-                                         F.lit(self.num_buckets))
-                                  .cast("int").alias("p"))
+                  comps_df.select(self._id_part(F.col("component"))
+                                  .alias("p"))
                   .distinct().collect()}
         df = self._read_parts(spark, self._labels_path, COMP_PART,
                               cparts, exclude_batch)
@@ -308,8 +324,7 @@ class StreamingDedupGroups:
         cand = (df.join(comps_df, "component", "left_semi")
                 .select("node", "component", "n_tokens"))
         nparts = {r[0] for r in
-                  cand.select(F.pmod("node", F.lit(self.num_buckets))
-                              .cast("int").alias("p"))
+                  cand.select(self._id_part(F.col("node")).alias("p"))
                       .distinct().collect()}
         nm = self._read_parts(spark, self._node_map_path, NODE_PART,
                               nparts, exclude_batch)
@@ -343,15 +358,29 @@ class StreamingDedupGroups:
                          self._manifest_path, str(batch_id))))
         pairs = self.index.process_batch(spark, batch_docs,
                                          batch_id=batch_id)
+        # collapse-mode attach pairs are text-identical by
+        # construction (exact Jaccard 1 ≥ any valid threshold — the
+        # constructor rejects >1 thresholds): they skip the shingle
+        # verification entirely, so a dup-heavy batch's verify cost is
+        # ∝ its LSH candidates, not its duplicate volume
+        if "exact" in pairs.columns:
+            to_verify = (pairs.filter(~F.col("exact"))
+                         .select("doc_a", "doc_b"))
+            certain = pairs.filter("exact").select("doc_a", "doc_b")
+        else:
+            to_verify = pairs.select("doc_a", "doc_b")
+            certain = None
         # pinned: consumed by the bounded probe AND (over-threshold)
         # the distributed merge — never recomputed, never collected
         # wholesale
         verified_df = (verify_jaccard_pairs(
-                           corpus, pairs.select("doc_a", "doc_b"),
+                           corpus, to_verify,
                            threshold_num=self.jaccard_num,
                            threshold_den=self.jaccard_den)
-                       .filter("verified").select("doc_a", "doc_b")
-                       .localCheckpoint(eager=True))
+                       .filter("verified").select("doc_a", "doc_b"))
+        if certain is not None:
+            verified_df = verified_df.unionByName(certain)
+        verified_df = verified_df.localCheckpoint(eager=True)
         # bounded EDGE probe (the same probe-else-distributed
         # discipline the member fetch uses): a batch fanning out
         # against a huge indexed neighborhood — the collapse guard
@@ -436,7 +465,8 @@ class StreamingDedupGroups:
                        for n in parent
                        if members.get(n, (None, None))[0] != new_label[n]]
             changed_df = spark.createDataFrame(
-                changed, "node long, component long, n_tokens long")
+                changed, f"node {self._id_t}, component {self._id_t}, "
+                         f"n_tokens long")
             n_relabeled = len(changed)
         else:
             merge_path = "distributed"
@@ -444,7 +474,7 @@ class StreamingDedupGroups:
             # reads (the lsh_index read-then-overwrite discipline)
             members_df = members_df.localCheckpoint(eager=True)
             edge_df = spark.createDataFrame(
-                edges, "src long, dst long")
+                edges, f"src {self._id_t}, dst {self._id_t}")
             # a stored component's members connect through its label
             # node (component ids are always a current member's id, so
             # member→label edges are node–node edges); components()
@@ -501,8 +531,7 @@ class StreamingDedupGroups:
                                                 .alias("node")))
                 .distinct().localCheckpoint(eager=True))
         nparts = {r[0] for r in
-                  ends.select(F.pmod("node", F.lit(self.num_buckets))
-                              .cast("int").alias("p"))
+                  ends.select(self._id_part(F.col("node")).alias("p"))
                       .distinct().collect()}
         nm = self._read_parts(spark, self._node_map_path, NODE_PART,
                               nparts, batch_id)
@@ -511,7 +540,7 @@ class StreamingDedupGroups:
                       .select("node", "component"))
         else:
             cur_df = spark.createDataFrame(
-                [], "node long, component long")
+                [], f"node {self._id_t}, component {self._id_t}")
         comps_df = (ends.join(cur_df, "node", "left")
                     .select(F.coalesce("component", "node")
                             .alias("component"))
@@ -519,7 +548,8 @@ class StreamingDedupGroups:
         members_df = self._members_df_dist(spark, comps_df, batch_id)
         if members_df is None:
             members_df = spark.createDataFrame(
-                [], "node long, component long, n_tokens long")
+                [], f"node {self._id_t}, component {self._id_t}, "
+                    f"n_tokens long")
         # pin: the writes below replace the very tiers this plan reads
         members_df = members_df.localCheckpoint(eager=True)
         edge_df = verified_df.select(F.col("doc_a").alias("src"),
@@ -575,25 +605,27 @@ class StreamingDedupGroups:
         # lsh_index append discipline — unpacked writes emit up to
         # shuffle-partitions files per partition per batch and trip
         # compaction every batch)
-        labels = (rows.withColumn(
-                      COMP_PART,
-                      F.pmod("component", F.lit(self.num_buckets))
-                      .cast("int"))
-                  .repartition(F.col(COMP_PART)))
-        nmap = (rows.withColumn(
-                    NODE_PART, F.pmod("node", F.lit(self.num_buckets))
-                    .cast("int"))
-                .repartition(F.col(NODE_PART)))
+        labels = (rows.withColumn(COMP_PART,
+                                  self._id_part(F.col("component")))
+                  .repartition(self.num_buckets, F.col(COMP_PART)))
+        nmap = (rows.withColumn(NODE_PART,
+                                self._id_part(F.col("node")))
+                .repartition(self.num_buckets, F.col(NODE_PART)))
+        from .lsh_index import run_concurrent
         if batch_id is None:
-            (labels.write.partitionBy(COMP_PART, BATCH_COL)
-                   .mode("append").parquet(self._labels_path))
-            (nmap.write.partitionBy(NODE_PART, BATCH_COL)
-                 .mode("append").parquet(self._node_map_path))
+            run_concurrent(
+                lambda: (labels.write.partitionBy(COMP_PART, BATCH_COL)
+                         .mode("append").parquet(self._labels_path)),
+                lambda: (nmap.write.partitionBy(NODE_PART, BATCH_COL)
+                         .mode("append").parquet(self._node_map_path)))
         else:
-            self.index._overwrite_dynamic(
-                spark, labels, [COMP_PART, BATCH_COL], self._labels_path)
-            self.index._overwrite_dynamic(
-                spark, nmap, [NODE_PART, BATCH_COL], self._node_map_path)
+            run_concurrent(
+                lambda: self.index._overwrite_dynamic(
+                    spark, labels, [COMP_PART, BATCH_COL],
+                    self._labels_path),
+                lambda: self.index._overwrite_dynamic(
+                    spark, nmap, [NODE_PART, BATCH_COL],
+                    self._node_map_path))
             _fs_touch(spark, os.path.join(self._manifest_path,
                                           str(batch_id)))
         self._compact(spark, self._labels_path, COMP_PART)
@@ -630,16 +662,16 @@ class StreamingDedupGroups:
         self.index.purge_docs(spark, doc_ids)
         if not _fs_exists(spark, self._node_map_path):
             return 0
-        victims = sorted(int(i) for i in doc_ids)
+        victims = sorted(set(doc_ids))
         ids_df = spark.createDataFrame([(v,) for v in victims],
-                                       "node long")
+                                       f"node {self._id_t}")
         # ALL components the victims ever claimed (every historical
         # claim of a node lives in its ONE node_map partition, so this
         # is a pruned read) — the complete set of labels partitions
         # holding any victim row, current or stale
         vmap = self._read_parts(
             spark, self._node_map_path, NODE_PART,
-            {v % self.num_buckets for v in victims}, None)
+            self.index._id_parts_of(spark, victims), None)
         if vmap is None:
             return 0
         claims = (vmap.join(F.broadcast(ids_df), "node", "left_semi")
@@ -655,7 +687,8 @@ class StreamingDedupGroups:
         members_df = self._members_df(spark, comps, None)
         if members_df is None:
             members_df = spark.createDataFrame(
-                [], "node long, component long, n_tokens long")
+                [], f"node {self._id_t}, component {self._id_t}, "
+                    f"n_tokens long")
         surv = (members_df.join(F.broadcast(ids_df), "node", "left_anti")
                 .localCheckpoint(eager=True))
         # components whose min surviving member changed get relabeled
@@ -675,22 +708,21 @@ class StreamingDedupGroups:
                 else self._next_tier(spark))
         relabel_cparts = {r[0] for r in
                           new_rows.select(
-                              F.pmod("component",
-                                     F.lit(self.num_buckets))
-                              .cast("int")).distinct().collect()}
+                              self._id_part(F.col("component")))
+                          .distinct().collect()}
         relabel_nparts = {r[0] for r in
                           new_rows.select(
-                              F.pmod("node", F.lit(self.num_buckets))
-                              .cast("int")).distinct().collect()}
+                              self._id_part(F.col("node")))
+                          .distinct().collect()}
         n_rewritten = 0
         for base, part_col, key in (
                 (self._labels_path, COMP_PART, "component"),
                 (self._node_map_path, NODE_PART, "node")):
             if key == "component":
-                touched = ({c % self.num_buckets for c in all_claimed}
+                touched = (self.index._id_parts_of(spark, all_claimed)
                            | relabel_cparts)
             else:
-                touched = ({v % self.num_buckets for v in victims}
+                touched = (self.index._id_parts_of(spark, victims)
                            | relabel_nparts)
             paths = [p for p in
                      (os.path.join(base, f"{part_col}={v}")
@@ -701,9 +733,7 @@ class StreamingDedupGroups:
             kept = (spark.read.option("basePath", base).parquet(*paths)
                     .join(F.broadcast(ids_df), "node", "left_anti"))
             add = (new_rows.withColumn(BATCH_COL, F.lit(tier))
-                   .withColumn(part_col,
-                               F.pmod(key, F.lit(self.num_buckets))
-                               .cast("int")))
+                   .withColumn(part_col, self._id_part(F.col(key))))
             out = (kept.unionByName(add)
                    .repartition(F.col(part_col))
                    .localCheckpoint(eager=True))
@@ -745,29 +775,52 @@ class StreamingDedupGroups:
         permanently outrank — a future epoch's tier, so it raises
         (batch the doc_ids into one call, or run a sync in between).
         Must not race a concurrently-running sync of the same store.
-        ``"cdc"`` stores (bounded_sync side state) are refused: their
-        inline purge owns the even slots — erase via tombstone events,
-        the CDC-native route."""
+
+        ``"cdc3"`` stores (bounded_sync side state, round-9 scheme:
+        purge 3e / ingest 3e+1 / erasure 3e+2) get the same one slot
+        per gap at ``3e+2`` — it outranks everything the last epoch
+        wrote while the NEXT epoch's inline purge (3e+3) outranks it.
+        Requires the last manifest slot to be a committed INGEST: a
+        pending epoch (purge marker without its ingest) will REPLAY at
+        a lower tier on resume and would re-add rows the erasure just
+        removed, so that state refuses. Legacy ``"cdc"`` stores
+        (2e/2e+1, no free residue) are still refused: erase via
+        tombstone events, the CDC-native route."""
         if not _fs_exists(spark, self._manifest_path):
             raise ValueError(
                 "purge_between_runs: no committed ingest epochs — use "
                 "purge_docs directly on an unsequenced store")
         mode = _fs_read_text(spark, self._tier_mode_path)
-        if mode != "facade":
+        if mode not in ("facade", "cdc3"):
             raise ValueError(
-                f"purge_between_runs: store tier mode is {mode!r}, "
-                "not 'facade' — on a CDC-fed store the inline purge "
-                "owns the even slots; erase via tombstone events")
+                f"purge_between_runs: store tier mode is {mode!r} — "
+                "a legacy 'cdc' store has no free tier residue; erase "
+                "via tombstone events")
         tiers = [int(x) for x in
                  _fs_list_names(spark, self._manifest_path)]
         top = max(tiers)
-        if top % 2 == 0:
-            raise ValueError(
-                "purge_between_runs: the last manifest slot is "
-                "already a purge tier — one erasure slot per ingest "
-                "gap (batch doc_ids into one call, or run a sync "
-                "between erasures)")
-        tier = top + 1
+        if mode == "facade":
+            if top % 2 == 0:
+                raise ValueError(
+                    "purge_between_runs: the last manifest slot is "
+                    "already a purge tier — one erasure slot per "
+                    "ingest gap (batch doc_ids into one call, or run "
+                    "a sync between erasures)")
+            tier = top + 1
+        else:
+            if top % 3 == 2:
+                raise ValueError(
+                    "purge_between_runs: the last manifest slot is "
+                    "already this gap's erasure tier — one erasure "
+                    "slot per ingest gap (batch doc_ids into one "
+                    "call, or run a sync between erasures)")
+            if top % 3 == 0:
+                raise ValueError(
+                    "purge_between_runs: the last epoch's ingest is "
+                    "pending — its replay would re-add rows at a "
+                    "lower tier than this erasure; resume the sync "
+                    "first")
+            tier = top + 1
         n = self.purge_docs(spark, doc_ids, purge_batch_id=tier)
         _fs_touch(spark, os.path.join(self._manifest_path, str(tier)))
         return n
@@ -784,13 +837,13 @@ class StreamingDedupGroups:
         this touches O(queried docs + their components' footprint)
         whatever the corpus size. Docs with no claim (never ingested,
         or erased) are absent from the result."""
-        out_schema = ("doc_id long, component long, keep_doc_id long, "
-                      "keep_n_tokens long, cluster_size long")
+        out_schema = (f"doc_id {self._id_t}, component {self._id_t}, "
+                      f"keep_doc_id {self._id_t}, "
+                      f"keep_n_tokens long, cluster_size long")
         if not doc_ids or not _fs_exists(spark, self._node_map_path):
             return spark.createDataFrame([], out_schema)
         self._resolve_buckets(spark)
-        cur = self._current_comps(spark,
-                                  sorted(int(i) for i in doc_ids), None)
+        cur = self._current_comps(spark, sorted(set(doc_ids)), None)
         if not cur:
             return spark.createDataFrame([], out_schema)
         members = self._members_df(spark, set(cur.values()), None)
@@ -810,8 +863,8 @@ class StreamingDedupGroups:
                            F.col("cluster_size").cast("long")
                            .alias("cluster_size")))
         asked = spark.createDataFrame(
-            [(int(d), int(c)) for d, c in cur.items()],
-            "doc_id long, component long")
+            [(d, c) for d, c in cur.items()],
+            f"doc_id {self._id_t}, component {self._id_t}")
         return asked.join(F.broadcast(keepers), "component").select(
             "doc_id", "component", "keep_doc_id", "keep_n_tokens",
             "cluster_size")
@@ -823,8 +876,9 @@ class StreamingDedupGroups:
         from pyspark.sql import Window
         if not _fs_exists(spark, self._node_map_path):
             return spark.createDataFrame(
-                [], "component long, keep_doc_id long, "
-                    "keep_n_tokens long, cluster_size long")
+                [], f"component {self._id_t}, "
+                    f"keep_doc_id {self._id_t}, "
+                    f"keep_n_tokens long, cluster_size long")
         df = (spark.read.option("basePath", self._node_map_path)
               .parquet(self._node_map_path))
         latest = self._latest(df)
@@ -927,9 +981,7 @@ class StreamingDedupGroups:
             return 0
         rebuilt = (current
                    .withColumn(COMP_PART,
-                               F.pmod("component",
-                                      F.lit(self.num_buckets))
-                               .cast("int"))
+                               self._id_part(F.col("component")))
                    .filter(F.col(COMP_PART).isin(due))
                    .withColumn(BATCH_COL, F.lit(COMPACTED_TIER))
                    .repartition(F.col(COMP_PART))

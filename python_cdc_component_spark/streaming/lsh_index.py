@@ -85,6 +85,24 @@ GROUP_PART_COL = "_g_part"
 COMPACTED_TIER = -1
 
 
+def run_concurrent(*thunks) -> None:
+    """Submit independent write jobs from worker threads so their
+    fixed per-job costs overlap (Spark schedules jobs from concurrent
+    threads independently). Only for writes to DISJOINT paths with no
+    ordering constraint between them — the commit marker must still be
+    touched strictly after ``run_concurrent`` returns. Exceptions
+    propagate (first one wins), so a failed write still fails the
+    batch before any marker lands."""
+    from concurrent.futures import ThreadPoolExecutor
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 @dataclass
 class StreamingLshIndex:
     """Persistent LSH band index with batch-probe-then-append flow.
@@ -109,17 +127,24 @@ class StreamingLshIndex:
     # emitted at unique-text-GROUP granularity, translated back to the
     # groups' representative doc ids. Physical layout (pinned in the
     # meta like num_buckets — a store never changes mode):
-    #   _groups/ (gk1, gk2, rep, buckets) by _g_part=pmod(xxhash64(
-    #       gk1,gk2),N): text-key → current rep + the group's fixed
-    #       band buckets;
-    #   _roster/ (gk1, gk2, doc_id) by _g_part: the member sidecar —
-    #       group→doc expansion and rep re-election on a rep's purge;
+    #   _groups/ (gk1, gk2, doc_id, rep, buckets) by _g_part=pmod(
+    #       xxhash64(gk1,gk2),N): ONE fused sidecar — a member row per
+    #       doc, where a group's representative row doubles as the
+    #       group DEFINITION (rep + the group's fixed band buckets
+    #       non-null); serves text-key → rep lookup, group→doc
+    #       expansion, and rep re-election on a rep's purge;
     #   _docmap/ (doc_id, _g_part) by _doc_part: victim → group
     #       partition, the erasure pruning map.
     # Docs under 3 tokens have no shingles (hence no bands) and an
     # undefined-empty Jaccard: they never enter the index in either
     # mode, so identical short docs stay singletons.
     collapse_exact: bool = False
+    # doc-id kind, pinned in the meta at first build: "integral" (the
+    # historical layout, doc partitions = id mod N) or "string" (a
+    # composite-PK envelope key, partitions = xxhash64(id) mod N).
+    # String ids require collapse mode (the uncollapsed docmap layout
+    # is integral-only).
+    id_kind: str = "integral"
 
     @property
     def _docmap_path(self) -> str:
@@ -128,10 +153,6 @@ class StreamingLshIndex:
     @property
     def _groups_path(self) -> str:
         return os.path.join(self.index_path, "_groups")
-
-    @property
-    def _roster_path(self) -> str:
-        return os.path.join(self.index_path, "_roster")
 
     @property
     def _manifest_path(self) -> str:
@@ -158,16 +179,19 @@ class StreamingLshIndex:
         if raw is not None:
             meta = json.loads(raw)
             self.num_buckets = int(meta["num_buckets"])
-            # the collapse mode is physical layout exactly like N (a
-            # collapsed store's band rows are group-keyed structs, an
-            # uncollapsed store's are doc ids) — the stored mode wins
-            # over the constructor arg
+            # the collapse mode and the doc-id kind are physical layout
+            # exactly like N (a collapsed store's band rows are
+            # group-keyed structs; a string-keyed store's doc
+            # partitions hash instead of taking the value mod N) — the
+            # stored values win over the constructor args
             self.collapse_exact = bool(meta.get("collapse_exact", False))
+            self.id_kind = meta.get("id_kind", "integral")
             return bool(meta.get("docmap_complete", False))
         if _fs_exists(spark, self.index_path):
             # legacy index built before the meta existed: necessarily
             # uncollapsed (collapse stores write a meta at first build)
             self.collapse_exact = False
+            self.id_kind = "integral"
             self._write_meta(spark, docmap_complete=False)
             return False
         return True     # fresh build: the sidecar grows with the index
@@ -178,11 +202,55 @@ class StreamingLshIndex:
         _fs_write_text(spark, self._meta_path,
                        json.dumps({"num_buckets": self.num_buckets,
                                    "docmap_complete": docmap_complete,
-                                   "collapse_exact": self.collapse_exact}))
+                                   "collapse_exact": self.collapse_exact,
+                                   "id_kind": self.id_kind}))
 
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("bv")),
                       F.lit(self.num_buckets)).cast("int")
+
+    # -- doc-id kind (integral | string) ------------------------------
+
+    @property
+    def _id_sql_type(self) -> str:
+        return "string" if self.id_kind == "string" else "long"
+
+    def _id_part(self, col) -> F.Column:
+        """Doc partition: value mod N for integral ids (the historical
+        layout — computable driver-side), hash mod N for string ids
+        (e.g. a composite-PK envelope key)."""
+        if self.id_kind == "string":
+            return F.pmod(F.xxhash64(col),
+                          F.lit(self.num_buckets)).cast("int")
+        return F.pmod(col, F.lit(self.num_buckets)).cast("int")
+
+    def _id_parts_of(self, spark: SparkSession, values) -> set[int]:
+        """Victim partition ids for a driver-side id list — python
+        modulo for integral ids (no job), one tiny Spark select for
+        string ids (xxhash64 has no python twin)."""
+        if self.id_kind != "string":
+            return {int(v) % self.num_buckets for v in values}
+        df = spark.createDataFrame([(v,) for v in values],
+                                   "doc_id string")
+        return {r[0] for r in
+                df.select(self._id_part(F.col("doc_id")).alias("p"))
+                .distinct().collect()}
+
+    def _adopt_id_kind(self, spark: SparkSession,
+                       batch_docs: DataFrame) -> None:
+        """Pin the id kind from the FIRST batch's schema; later batches
+        must match the stored kind (a silent flip would mis-prune every
+        doc-partition lookup)."""
+        from pyspark.sql import types as T
+        dt = batch_docs.schema["doc_id"].dataType
+        kind = "string" if isinstance(dt, T.StringType) else "integral"
+        if _fs_read_text(spark, self._meta_path) is None:
+            self.id_kind = kind
+        elif kind != self.id_kind:
+            raise ValueError(
+                f"store at {self.index_path} is keyed by "
+                f"{self.id_kind} doc ids; this batch's doc_id is "
+                f"{dt.simpleString()}")
 
     def _overwrite_dynamic(self, spark: SparkSession, df: DataFrame,
                            cols: list[str], path: str) -> None:
@@ -209,6 +277,12 @@ class StreamingLshIndex:
         if self.collapse_exact:
             return self._process_batch_collapsed(spark, batch_docs,
                                                  batch_id)
+        from pyspark.sql import types as T
+        if isinstance(batch_docs.schema["doc_id"].dataType,
+                      T.StringType):
+            raise ValueError(
+                "string doc ids require collapse_exact=True (the "
+                "uncollapsed docmap layout partitions by id mod N)")
         committed = (batch_id is not None
                      and _fs_exists(spark, os.path.join(
                          self._manifest_path, str(batch_id))))
@@ -261,24 +335,31 @@ class StreamingLshIndex:
             # EVERY batch). One file per touched bucket per batch keeps
             # compaction amortized at threshold⁻¹ per batch.
             out = (bands.withColumn(BATCH_COL, F.lit(tier))
-                   .repartition(F.col(BUCKET_COL)))
+                   .repartition(self.num_buckets, F.col(BUCKET_COL)))
             if batch_id is None:
-                (out.write.partitionBy(BUCKET_COL, BATCH_COL)
-                    .mode("append").parquet(self.index_path))
+                band_write = (lambda: (out.write
+                                       .partitionBy(BUCKET_COL,
+                                                    BATCH_COL)
+                                       .mode("append")
+                                       .parquet(self.index_path)))
             else:
                 # deterministic per-batch partitions: a replay after a
                 # crashed half-append REPLACES the partial files
-                self._overwrite_dynamic(spark, out,
-                                        [BUCKET_COL, BATCH_COL],
-                                        self.index_path)
+                band_write = (lambda: self._overwrite_dynamic(
+                    spark, out, [BUCKET_COL, BATCH_COL],
+                    self.index_path))
             docmap = (bands.select("doc_id", BUCKET_COL).distinct()
                       .withColumn(DOC_PART_COL,
                                   F.pmod("doc_id",
                                          F.lit(self.num_buckets))
                                   .cast("int"))
-                      .repartition(F.col(DOC_PART_COL)))
-            (docmap.write.partitionBy(DOC_PART_COL)
-                   .mode("append").parquet(self._docmap_path))
+                      .repartition(self.num_buckets, F.col(DOC_PART_COL)))
+            # disjoint paths, no mutual ordering — only the marker
+            # below orders against the pair
+            run_concurrent(
+                band_write,
+                lambda: (docmap.write.partitionBy(DOC_PART_COL)
+                         .mode("append").parquet(self._docmap_path)))
             if _fs_read_text(spark, self._meta_path) is None:
                 # pin the layout at first append; only a fresh build
                 # reaches here (a legacy index got its meta — stamped
@@ -345,8 +426,10 @@ class StreamingLshIndex:
         needs no special-casing). Batches that introduce a group band
         it; later exact dups of the text attach without banding."""
         from ..operators.llm.minhash import LSH_BANDS
+        self._adopt_id_kind(spark, batch_docs)
+        t = self._id_sql_type
         empty = spark.createDataFrame(
-            [], "doc_a long, doc_b long, n_bands long")
+            [], f"doc_a {t}, doc_b {t}, n_bands long, exact boolean")
         committed = (batch_id is not None
                      and _fs_exists(spark, os.path.join(
                          self._manifest_path, str(batch_id))))
@@ -356,23 +439,6 @@ class StreamingLshIndex:
         try:
             bg = (keyed.groupBy("gk1", "gk2", GROUP_PART_COL)
                   .agg(F.min("doc_id").alias("brep")))
-            gparts = [r[0] for r in
-                      bg.select(GROUP_PART_COL).distinct().collect()]
-            if not gparts:
-                return empty
-            stored = self._read_sidecar(spark, self._groups_path, gparts)
-            if stored is not None:
-                hits = (stored.select("gk1", "gk2", "rep").distinct()
-                        .join(F.broadcast(bg.select("gk1", "gk2")),
-                              ["gk1", "gk2"], "left_semi")
-                        .withColumnRenamed("rep", "srep"))
-                groups = bg.join(F.broadcast(hits),
-                                 ["gk1", "gk2"], "left")
-            else:
-                groups = bg.withColumn("srep", F.lit(None).cast("long"))
-            in_batch = (keyed.select("doc_id").distinct()
-                        .withColumnRenamed("doc_id", "srep")
-                        .withColumn("_in_batch", F.lit(True)))
             # `mine`: groups THIS batch introduces. A stored row whose
             # rep is one of this batch's docs was written by this
             # batch's own earlier (crashed or committed) attempt — rep
@@ -381,6 +447,25 @@ class StreamingLshIndex:
             # — so they re-band: the dynamic overwrite replaces a
             # crashed partial band append, and a committed replay
             # recomputes the identical probe for identical pairs.
+            gparts = [r[0] for r in
+                      bg.select(GROUP_PART_COL).distinct().collect()]
+            if not gparts:
+                return empty
+            stored = self._read_sidecar(spark, self._groups_path,
+                                        gparts)
+            if stored is not None:
+                hits = (stored.filter(F.col("rep").isNotNull())
+                        .select("gk1", "gk2", "rep").distinct()
+                        .join(F.broadcast(bg.select("gk1", "gk2")),
+                              ["gk1", "gk2"], "left_semi")
+                        .withColumnRenamed("rep", "srep"))
+                groups = bg.join(F.broadcast(hits),
+                                 ["gk1", "gk2"], "left")
+            else:
+                groups = bg.withColumn("srep", F.lit(None).cast(t))
+            in_batch = (keyed.select("doc_id").distinct()
+                        .withColumnRenamed("doc_id", "srep")
+                        .withColumn("_in_batch", F.lit(True)))
             groups = (groups.join(F.broadcast(in_batch), "srep", "left")
                       .withColumn("rep", F.coalesce("srep", "brep"))
                       .withColumn("mine",
@@ -400,7 +485,11 @@ class StreamingLshIndex:
                       .select(F.least("doc_id", "rep").alias("doc_a"),
                               F.greatest("doc_id", "rep").alias("doc_b"),
                               F.lit(int(LSH_BANDS)).cast("long")
-                              .alias("n_bands"))
+                              .alias("n_bands"),
+                              # text-identical by construction: exact
+                              # Jaccard 1 — consumers may skip their
+                              # verification stage for these
+                              F.lit(True).alias("exact"))
                       .distinct())
             mine_g = groups.filter("mine")
             new_texts = (keyed
@@ -459,11 +548,19 @@ class StreamingLshIndex:
                           pkeys.select(self._gpart("gk1", "gk2"))
                           .distinct().collect()]
                 gmap = mine_g.select("gk1", "gk2", "rep")
-                st2 = self._read_sidecar(spark, self._groups_path,
-                                         pparts)
+                # collision partners usually live in the batch's own
+                # partitions (already read as `stored`) — only re-read
+                # when a pair key hashes outside them
+                if set(pparts) <= set(gparts):
+                    st2 = stored
+                else:
+                    st2 = self._read_sidecar(spark, self._groups_path,
+                                             sorted(set(pparts)
+                                                    | set(gparts)))
                 if st2 is not None:
                     gmap = (gmap.unionByName(
-                                st2.select("gk1", "gk2", "rep"))
+                                st2.filter(F.col("rep").isNotNull())
+                                .select("gk1", "gk2", "rep"))
                             .join(F.broadcast(pkeys),
                                   ["gk1", "gk2"], "left_semi")
                             .distinct())
@@ -479,7 +576,8 @@ class StreamingLshIndex:
                              .select(F.least("ra", "rb").alias("doc_a"),
                                      F.greatest("ra", "rb")
                                      .alias("doc_b"),
-                                     "n_bands"))
+                                     "n_bands",
+                                     F.lit(False).alias("exact")))
             pairs = (attach.unionByName(lsh_pairs)
                      .localCheckpoint(eager=True))
             if committed:
@@ -492,56 +590,70 @@ class StreamingLshIndex:
                 # — the sidecar grows with the index from batch one)
                 self._write_meta(spark, docmap_complete=True)
             tier = COMPACTED_TIER if batch_id is None else int(batch_id)
+            writes = []
             if touched:
                 out = (bands.withColumn(BATCH_COL, F.lit(tier))
-                       .repartition(F.col(BUCKET_COL)))
+                       .repartition(self.num_buckets, F.col(BUCKET_COL)))
                 if batch_id is None:
-                    (out.write.partitionBy(BUCKET_COL, BATCH_COL)
-                        .mode("append").parquet(self.index_path))
+                    writes.append(
+                        lambda: (out.write
+                                 .partitionBy(BUCKET_COL, BATCH_COL)
+                                 .mode("append")
+                                 .parquet(self.index_path)))
                 else:
-                    self._overwrite_dynamic(spark, out,
-                                            [BUCKET_COL, BATCH_COL],
-                                            self.index_path)
-                # one _groups row per new group, carrying the group's
-                # FIXED band-bucket set (bands are a pure function of
-                # the text) — the erasure path never probes for them
-                gbuckets = (bands.groupBy("doc_id")
-                            .agg(F.array_sort(
-                                F.collect_set(BUCKET_COL))
-                                .alias("buckets"))
-                            .select(F.col("doc_id.gk1").alias("gk1"),
-                                    F.col("doc_id.gk2").alias("gk2"),
-                                    "buckets"))
-                grows = (mine_g.select("gk1", "gk2", GROUP_PART_COL,
-                                       "rep")
-                         .join(gbuckets, ["gk1", "gk2"])
-                         .repartition(F.col(GROUP_PART_COL)))
-                (grows.write.partitionBy(GROUP_PART_COL)
-                      .mode("append").parquet(self._groups_path))
-            # member sidecar: one roster row per batch doc (duplicate
-            # rows from crashed at-least-once appends are benign —
-            # re-election mins over distinct members)
-            (keyed.select("gk1", "gk2", "doc_id", GROUP_PART_COL)
-                  .repartition(F.col(GROUP_PART_COL))
-                  .write.partitionBy(GROUP_PART_COL)
-                  .mode("append").parquet(self._roster_path))
+                    writes.append(
+                        lambda: self._overwrite_dynamic(
+                            spark, out, [BUCKET_COL, BATCH_COL],
+                            self.index_path))
+                # the group's FIXED band-bucket set (bands are a pure
+                # function of the text) rides the new rep's member row
+                defs = (bands.groupBy("doc_id")
+                        .agg(F.array_sort(F.collect_set(BUCKET_COL))
+                             .alias("buckets"))
+                        .select(F.col("doc_id.gk1").alias("gk1"),
+                                F.col("doc_id.gk2").alias("gk2"),
+                                "buckets"))
+            else:
+                defs = spark.createDataFrame(
+                    [], "gk1 long, gk2 long, buckets array<int>")
+            # ONE fused sidecar write: a member row per batch doc; the
+            # row of a NEW group's rep doubles as the group-definition
+            # row (rep + the band-bucket set non-null) — duplicate rows
+            # from crashed at-least-once appends are benign, readers
+            # fold under distinct()
+            mine_reps = mine_g.select(
+                "gk1", "gk2", F.col("rep").alias("doc_id"))
+            grows = (keyed.select("gk1", "gk2", "doc_id",
+                                  GROUP_PART_COL)
+                     .join(F.broadcast(
+                         mine_reps.join(defs, ["gk1", "gk2"])),
+                           ["gk1", "gk2", "doc_id"], "left")
+                     .withColumn("rep",
+                                 F.when(F.col("buckets").isNotNull(),
+                                        F.col("doc_id")))
+                     .repartition(self.num_buckets,
+                                  F.col(GROUP_PART_COL)))
+            writes.append(
+                lambda: (grows.write.partitionBy(GROUP_PART_COL)
+                         .mode("append").parquet(self._groups_path)))
             docmap = (keyed.select("doc_id",
                                    F.col(GROUP_PART_COL).alias("gp"))
                       .distinct()
                       .withColumn(DOC_PART_COL,
-                                  F.pmod("doc_id",
-                                         F.lit(self.num_buckets))
-                                  .cast("int"))
-                      .repartition(F.col(DOC_PART_COL)))
-            (docmap.write.partitionBy(DOC_PART_COL)
-                   .mode("append").parquet(self._docmap_path))
+                                  self._id_part(F.col("doc_id")))
+                      .repartition(self.num_buckets, F.col(DOC_PART_COL)))
+            writes.append(
+                lambda: (docmap.write.partitionBy(DOC_PART_COL)
+                         .mode("append").parquet(self._docmap_path)))
+            # all three land on disjoint paths with no mutual ordering —
+            # only the marker below orders against them
+            run_concurrent(*writes)
             if batch_id is not None:
                 _fs_touch(spark, os.path.join(self._manifest_path,
                                               str(batch_id)))
             self._compact(spark, touched)
             self._compact_docmap(spark)
             self._compact_sidecar(spark, self._groups_path)
-            self._compact_sidecar(spark, self._roster_path)
             return pairs
         finally:
             keyed.unpersist()
@@ -551,25 +663,25 @@ class StreamingLshIndex:
     def _purge_docs_collapsed(self, spark: SparkSession,
                               doc_ids: list[int]) -> int:
         """Collapse-mode erasure. Non-rep members never banded, so
-        their erasure is pure sidecar hygiene (roster + docmap rows).
-        A purged REP re-elects: the group's min surviving member takes
-        over in ``_groups`` — a metadata rewrite of the victims' group
-        partitions only, NO band rewrite (bands are keyed by the text
-        group, not the rep). A group losing its last member dies: its
-        band rows are dropped from exactly the buckets its ``_groups``
-        row recorded. Step order is crash-retryable — bands, then
-        ``_groups``, then roster, then docmap — because each retry
-        re-derives the victim set from the sidecars a crash left
-        intact (docmap/roster rows vanish LAST)."""
+        their erasure is pure sidecar hygiene (their ``_groups`` member
+        row + docmap row). A purged REP re-elects: the group-definition
+        payload (rep + bucket set) moves to the min surviving member's
+        row — a metadata rewrite of the victims' group partitions only,
+        NO band rewrite (bands are keyed by the text group, not the
+        rep). A group losing its last member dies: its band rows are
+        dropped from exactly the buckets its definition row recorded.
+        Step order is crash-retryable — bands, then ``_groups``, then
+        docmap — because each retry re-derives the victim set from the
+        sidecars a crash left intact (docmap rows vanish LAST)."""
         if not _fs_exists(spark, self._docmap_path):
             return 0
-        victims = sorted({int(i) for i in doc_ids})
-        ids_df = spark.createDataFrame([(v,) for v in victims],
-                                       "doc_id long")
+        victims = sorted(set(doc_ids))
+        ids_df = spark.createDataFrame(
+            [(v,) for v in victims], f"doc_id {self._id_sql_type}")
         map_paths = [
             p for p in
             (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
-             for v in sorted({v % self.num_buckets for v in victims}))
+             for v in sorted(self._id_parts_of(spark, victims)))
             if _fs_exists(spark, p)]
         if not map_paths:
             return 0
@@ -581,10 +693,13 @@ class StreamingLshIndex:
                       .distinct().collect()})
         if not gps:
             return 0
-        roster = self._read_sidecar(spark, self._roster_path, gps)
+        roster = self._read_sidecar(spark, self._groups_path, gps)
         roster = (roster.distinct() if roster is not None
                   else spark.createDataFrame(
-                      [], f"gk1 long, gk2 long, doc_id long, "
+                      [], f"gk1 long, gk2 long, "
+                          f"doc_id {self._id_sql_type}, "
+                          f"buckets array<int>, "
+                          f"rep {self._id_sql_type}, "
                           f"{GROUP_PART_COL} int"))
         vic_groups = (roster.join(F.broadcast(ids_df), "doc_id",
                                   "left_semi")
@@ -597,21 +712,18 @@ class StreamingLshIndex:
                                  ["gk1", "gk2"], "left_semi")
                 .groupBy("gk1", "gk2")
                 .agg(F.min("doc_id").alias("new_rep")))
-        groups_cur = self._read_sidecar(spark, self._groups_path, gps)
-        groups_cur = (groups_cur.distinct() if groups_cur is not None
-                      else None)
-        aff = []
-        if groups_cur is not None:
-            # bounded by the caller's victim list (≤ one group per
-            # victim doc) — same driver footprint class as doc_ids
-            aff = (groups_cur
-                   .join(F.broadcast(vic_groups), ["gk1", "gk2"],
-                         "left_semi")
-                   .join(F.broadcast(surv), ["gk1", "gk2"], "left")
-                   .collect())
+        groups_cur = roster.filter(F.col("rep").isNotNull())
+        # bounded by the caller's victim list (≤ one group per victim
+        # doc) — same driver footprint class as doc_ids
+        aff = (groups_cur
+               .join(F.broadcast(vic_groups), ["gk1", "gk2"],
+                     "left_semi")
+               .join(F.broadcast(surv), ["gk1", "gk2"], "left")
+               .collect())
         vic_set = set(victims)
         dead = [r for r in aff if r["new_rep"] is None]
-        relabel = [(r["gk1"], r["gk2"], int(r["new_rep"]))
+        relabel = [(r["gk1"], r["gk2"], r["new_rep"],
+                    list(r["buckets"] or []))
                    for r in aff
                    if r["new_rep"] is not None and r["rep"] in vic_set]
         # 1. band rows of groups that lost their last member
@@ -652,33 +764,34 @@ class StreamingLshIndex:
                                 and name !=
                                 f"{BATCH_COL}={COMPACTED_TIER}"):
                             _fs_delete(spark, os.path.join(p, name))
-        # 2. _groups: drop dead rows, re-elect purged reps
-        if (dead or relabel) and groups_cur is not None:
-            dead_df = spark.createDataFrame(
-                [(int(r["gk1"]), int(r["gk2"])) for r in dead]
-                or [(None, None)],
-                "gk1 long, gk2 long").dropna()
+        # 2. _groups: drop the victims' member rows (a dead group's
+        # definition row is a victim's row — gone with them) and move
+        # the definition payload of a relabeled group onto its min
+        # surviving member's row
+        if relabel:
             rel_df = spark.createDataFrame(
-                relabel or [(None, None, None)],
-                "gk1 long, gk2 long, _new_rep long").dropna()
-            new_groups = (groups_cur
-                          .join(F.broadcast(dead_df), ["gk1", "gk2"],
-                                "left_anti")
-                          .join(F.broadcast(rel_df), ["gk1", "gk2"],
-                                "left")
-                          .withColumn("rep", F.coalesce("_new_rep",
-                                                        "rep"))
-                          .drop("_new_rep")
-                          .repartition(F.col(GROUP_PART_COL))
-                          .localCheckpoint(eager=True))
-            self._rewrite_gparts(spark, self._groups_path, new_groups,
-                                 gps)
-        # 3. roster: drop the victims' member rows
-        roster_kept = roster_kept.repartition(F.col(GROUP_PART_COL))
-        self._rewrite_gparts(spark, self._roster_path,
-                             roster_kept.localCheckpoint(eager=True),
-                             gps)
-        # 4. docmap: drop the victims' pruning rows (LAST — they are
+                [(k1, k2, nr, bk) for k1, k2, nr, bk in relabel],
+                f"gk1 long, gk2 long, doc_id {self._id_sql_type}, "
+                f"_nb array<int>")
+            rewritten = (roster_kept
+                         .join(F.broadcast(rel_df),
+                               ["gk1", "gk2", "doc_id"], "left")
+                         .withColumn(
+                             "rep",
+                             F.when(F.col("_nb").isNotNull(),
+                                    F.col("doc_id"))
+                             .otherwise(F.col("rep")))
+                         .withColumn("buckets",
+                                     F.coalesce("_nb", "buckets"))
+                         .drop("_nb"))
+        else:
+            rewritten = roster_kept
+        rewritten = (rewritten
+                     .repartition(self.num_buckets,
+                                  F.col(GROUP_PART_COL))
+                     .localCheckpoint(eager=True))
+        self._rewrite_gparts(spark, self._groups_path, rewritten, gps)
+        # 3. docmap: drop the victims' pruning rows (LAST — they are
         # how a crashed retry finds everything above)
         kept_map = (spark.read.option("basePath", self._docmap_path)
                     .parquet(*map_paths)
@@ -711,8 +824,8 @@ class StreamingLshIndex:
                 _fs_delete(spark, p)
 
     def _compact_sidecar(self, spark: SparkSession, base: str) -> int:
-        """Size-tiered fold for the ``_g_part`` sidecars (_groups /
-        _roster) — same APPEND-then-DELETE discipline as the docmap
+        """Size-tiered fold for the ``_g_part`` sidecar (_groups)
+        — same APPEND-then-DELETE discipline as the docmap
         (a torn overwrite could lose rows; duplicate rows are benign
         under the readers' ``distinct()``)."""
         from ..fs import fs_total_file_count as _fs_total

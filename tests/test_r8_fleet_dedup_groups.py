@@ -159,12 +159,12 @@ def test_append_mode_rejects_dedup_groups_cfg(spark, tmp_path):
                      str(tmp_path / "ck"), cfg)
 
 
-def test_purge_between_runs_refuses_cdc_fed_store(spark, sf_dir,
-                                                  tmp_path):
-    """The CDC-fed path's inline purge owns the even tier slots, so
-    between-runs erasure there must go through tombstone events —
-    purge_between_runs recognizes the store by the even purge markers
-    the fleet path records and refuses."""
+def test_purge_between_runs_on_cdc3_store(spark, sf_dir, tmp_path):
+    """Round-9 (VERDICT r8 #6): new CDC-fed stores reserve a third
+    tier residue (purge 3e / ingest 3e+1 / erasure 3e+2), so direct
+    between-runs erasure works there too — the victim leaves the
+    keep-list, one slot per ingest gap, and a second sync keeps
+    working at higher tiers."""
     from python_cdc_component_spark.streaming.dedup_state import (
         StreamingDedupGroups)
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -175,11 +175,50 @@ def test_purge_between_runs_refuses_cdc_fed_store(spark, sf_dir,
     _write_events(spark, rows, w1)
     work = str(tmp_path)
     cfg = _cfg(work)
-    bounded_sync(spark, w1, os.path.join(work, "state"),
+    src = str(tmp_path / "src")
+    _stage(src, w1)
+    bounded_sync(spark, src, os.path.join(work, "state"),
                  os.path.join(work, "ckpt"), cfg)
     groups = StreamingDedupGroups(cfg.dedup_groups_path, num_buckets=8)
+    victim = int(rows[0][1])
+    before = {r["keep_doc_id"] for r in
+              groups.read_groups(spark).collect()}
+    assert before                      # store is live
+    groups.purge_between_runs(spark, [victim])
+    nodes = {r["keep_doc_id"] for r in
+             groups.read_groups(spark).collect()}
+    assert victim not in nodes
+    # one erasure slot per ingest gap
+    with pytest.raises(ValueError, match="one erasure slot"):
+        groups.purge_between_runs(spark, [int(rows[1][1])])
+    # a second sync wave still works (its tiers outrank the erasure)
+    rows2 = [(len(rows) + 1, 999_001, "signup",
+              " ".join(f"fresh{i}" for i in range(30)))]
+    w2 = str(tmp_path / "w2")
+    _write_events(spark, rows2, w2)
+    _stage(src, w2)
+    bounded_sync(spark, src, os.path.join(work, "state"),
+                 os.path.join(work, "ckpt"), cfg)
+    nodes2 = {r["keep_doc_id"] for r in
+              groups.read_groups(spark).collect()}
+    assert victim not in nodes2 and 999_001 in nodes2
+    # ... and opens a fresh erasure slot
+    groups.purge_between_runs(spark, [999_001])
+    assert 999_001 not in {r["keep_doc_id"] for r in
+                           groups.read_groups(spark).collect()}
+
+
+def test_purge_between_runs_refuses_legacy_cdc_store(spark, tmp_path):
+    """Stores pinned with the pre-r9 'cdc' mode (2e/2e+1, no free
+    residue) are still refused — erasure there is tombstone events."""
+    from python_cdc_component_spark.fs import fs_touch, fs_write_text
+    from python_cdc_component_spark.streaming.dedup_state import (
+        StreamingDedupGroups)
+    st = StreamingDedupGroups(str(tmp_path / "legacy"), num_buckets=8)
+    fs_write_text(spark, st._tier_mode_path, "cdc")
+    fs_touch(spark, os.path.join(st._manifest_path, "1"))
     with pytest.raises(ValueError, match="tombstone events"):
-        groups.purge_between_runs(spark, [rows[0][1]])
+        st.purge_between_runs(spark, [1])
 
 
 def test_crash_inside_epoch_replay_does_not_unindex_batch(
@@ -221,3 +260,50 @@ def test_crash_inside_epoch_replay_does_not_unindex_batch(
     # doc 2's bands were erased on replay and it stays a singleton
     got = _groups_set(groups, spark)
     assert got == {(1, 1, 3)}, got
+
+
+def test_composite_pk_dedup_groups_parity(spark, tmp_path):
+    """Round-9 (VERDICT r8 #5): a reference-shaped table with a
+    TWO-COLUMN primary key feeds dedup_groups_path through the keyed
+    envelope — the PK columns concatenate into one string doc key
+    (unit-separator joined) and the groups store runs string-keyed.
+    Keep-list parity vs batch hybrid on the concatenated key; a
+    tombstone purges the composite-keyed doc."""
+    from python_cdc_component_spark.streaming.dedup_state import (
+        StreamingDedupGroups)
+    other = " ".join(f"z{i}" for i in range(40))
+    # (event_id, user_id, event_type, text): PK = (user_id, event_type)
+    rows1 = [(1, 1, "signup", BASE + " a"),
+             (2, 1, "page", BASE + " a b"),       # same user, new doc
+             (3, 2, "signup", other)]
+    rows2 = [(4, 2, "page", BASE + " a c"),
+             (5, 1, "signup", other + " q")]      # update of (1,signup)
+    w1, w2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    _write_events(spark, rows1, w1)
+    _write_events(spark, rows2, w2)
+    work = str(tmp_path)
+    cfg = _cfg(work, dedup_doc_id_col=["user_id", "event_type"])
+    cfg.primary_keys = ["user_id", "event_type"]
+    src = str(tmp_path / "src")
+    _stage(src, w1, w2)
+    bounded_sync(spark, src, os.path.join(work, "state"),
+                 os.path.join(work, "ckpt"), cfg)
+    groups = StreamingDedupGroups(cfg.dedup_groups_path, num_buckets=8)
+    # parity vs batch hybrid over the CURRENT table state on the
+    # concatenated key
+    state = spark.read.parquet(os.path.join(work, "state"))
+    docs = (state.filter(~F.col(SC.deleted))
+            .select(F.concat_ws("\x1f",
+                                F.col("user_id").cast("string"),
+                                F.col("event_type")).alias("doc_id"),
+                    F.col("props").alias("text")))
+    assert _groups_set(groups, spark) == _hybrid_set(docs)
+    # the composite keys are the node identities
+    nodes = {r["keep_doc_id"] for r in
+             groups.read_groups(spark).collect()}
+    assert all("\x1f" in n for n in nodes)
+    # between-runs erasure on the composite key (cdc3 store)
+    victim = "1\x1fpage"
+    groups.purge_between_runs(spark, [victim])
+    assert victim not in {r["keep_doc_id"] for r in
+                          groups.read_groups(spark).collect()}

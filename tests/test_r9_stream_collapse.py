@@ -228,3 +228,52 @@ def test_collapse_mode_pinned_in_meta(spark, tmp_path):
     reopened2.process_batch(spark, _docs(spark, [(3, BOILER)]),
                             batch_id=1)
     assert reopened2.collapse_exact is False
+
+
+def test_string_doc_ids_groups_parity_and_purge(spark, tmp_path):
+    """String doc ids (the composite-PK envelope's key type): the
+    state layer hash-partitions instead of taking id mod N (pinned in
+    the meta), min-label components order strings exactly like Spark
+    does, keep-list parity with batch hybrid holds, and purge +
+    re-election work on string keys."""
+    rows = [("u1\x1fsignup", BOILER), ("u2\x1fsignup", BOILER),
+            ("u3\x1fpage", NEAR), ("u4\x1fpage", _uniq(4)),
+            ("u5\x1fpage", "hi there"), ("u6\x1fpage", "hi there")]
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+    st = StreamingDedupGroups(str(tmp_path / "st"), num_buckets=8)
+    for i, chunk in enumerate((rows[:2], rows[2:4], rows[4:])):
+        st.process_batch(
+            spark,
+            spark.createDataFrame(chunk, "doc_id string, text string"),
+            corpus=corpus, batch_id=i)
+    assert _keep(st.read_groups(spark)) == _keep(
+        hybrid_dedup_keep(corpus))
+    # reopening adopts the stored string kind; feeding longs raises
+    st2 = StreamingDedupGroups(str(tmp_path / "st"), num_buckets=8)
+    with pytest.raises(ValueError, match="keyed by string"):
+        st2.process_batch(
+            spark, _docs(spark, [(99, BOILER)]), corpus=corpus,
+            batch_id=3)
+    # purge the boilerplate group's rep: the surviving member takes
+    # over and a future exact dup attaches to it
+    st.purge_docs(spark, ["u1\x1fsignup"], purge_batch_id=3)
+    nodes = {r["keep_doc_id"] for r in st.read_groups(spark).collect()}
+    assert "u1\x1fsignup" not in nodes
+    s4 = st.process_batch(
+        spark,
+        spark.createDataFrame([("u9\x1fsignup", BOILER)],
+                              "doc_id string, text string"),
+        corpus=corpus.unionByName(spark.createDataFrame(
+            [("u9\x1fsignup", BOILER)], "doc_id string, text string")),
+        batch_id=4)
+    assert s4["n_verified_edges"] == 1
+    lookup = st.read_group_of(spark, ["u9\x1fsignup"]).collect()
+    assert lookup and lookup[0]["keep_doc_id"] == "u2\x1fsignup"
+
+
+def test_uncollapsed_index_rejects_string_ids(spark, tmp_path):
+    idx = StreamingLshIndex(str(tmp_path / "plain"), num_buckets=8)
+    docs = spark.createDataFrame([("a", BOILER)],
+                                 "doc_id string, text string")
+    with pytest.raises(ValueError, match="collapse_exact"):
+        idx.process_batch(spark, docs, batch_id=0)
