@@ -227,8 +227,11 @@ class StreamingLshIndex:
     def _id_parts_of(self, spark: SparkSession, values) -> set[int]:
         """Victim partition ids for a driver-side id list — python
         modulo for integral ids (no job), one tiny Spark select for
-        string ids (xxhash64 has no python twin)."""
-        if self.id_kind != "string":
+        string ids (xxhash64 has no python twin). Value-robust: string
+        values take the hash path even if the resolved kind is stale
+        (a metaless store), so a mismatch can never mis-prune."""
+        if (self.id_kind != "string"
+                and not any(isinstance(v, str) for v in values)):
             return {int(v) % self.num_buckets for v in values}
         df = spark.createDataFrame([(v,) for v in values],
                                    "doc_id string")
@@ -450,6 +453,15 @@ class StreamingLshIndex:
             gparts = [r[0] for r in
                       bg.select(GROUP_PART_COL).distinct().collect()]
             if not gparts:
+                # still pin the layout: an all-short first batch must
+                # not leave the id kind unpinned — the state layer has
+                # already partitioned its singleton rows by this kind,
+                # and a reopened store would otherwise fall back to
+                # the constructor default and mis-prune
+                if (not committed
+                        and _fs_read_text(spark, self._meta_path)
+                        is None):
+                    self._write_meta(spark, docmap_complete=True)
                 return empty
             stored = self._read_sidecar(spark, self._groups_path,
                                         gparts)

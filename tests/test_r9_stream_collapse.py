@@ -277,3 +277,27 @@ def test_uncollapsed_index_rejects_string_ids(spark, tmp_path):
                                  "doc_id string, text string")
     with pytest.raises(ValueError, match="collapse_exact"):
         idx.process_batch(spark, docs, batch_id=0)
+
+
+def test_all_short_first_batch_still_pins_string_kind(spark, tmp_path):
+    """Review hardening: an all-short first batch returns before any
+    band/sidecar write, but must STILL pin the id kind — the state
+    layer has already partitioned its singleton rows by it, and a
+    reopened store falling back to the constructor default would
+    mis-prune string-keyed lookups."""
+    st = StreamingDedupGroups(str(tmp_path / "st"), num_buckets=8)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id string, text string")
+    corpus = mk([("a", "hi"), ("b", "hi"),
+                 ("c", BOILER), ("d", BOILER)])
+    st.process_batch(spark, mk([("a", "hi"), ("b", "hi")]),
+                     corpus=corpus, batch_id=0)
+    # reopened store (fresh object, constructor default integral)
+    st2 = StreamingDedupGroups(str(tmp_path / "st"), num_buckets=8)
+    st2.process_batch(spark, mk([("c", BOILER), ("d", BOILER)]),
+                      corpus=corpus, batch_id=1)
+    assert st2.index.id_kind == "string"
+    got = st2.read_group_of(spark, ["d"]).collect()
+    assert got and got[0]["keep_doc_id"] == "c"
+    assert _keep(st2.read_groups(spark)) == _keep(
+        hybrid_dedup_keep(corpus))
