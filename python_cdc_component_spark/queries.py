@@ -7075,13 +7075,16 @@ def streaming_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stage_docs_as_event_waves(spark: SparkSession, docs: DataFrame,
-                               root: str, n_waves: int) -> str:
+                               root: str, n_waves: int,
+                               event_type_col=None) -> str:
     """Write a (doc_id, text) frame as CDC INSERT events in
     ``n_waves`` parquet files (one per wave — doc_id mod n_waves) and
     return the flat source directory a bounded_sync can drain with
     ``maxFilesPerTrigger=1``. Shared by the ``dedup_groups_cdc_sync``
     oracle query and ``bench.bench_dedup_groups_sync`` so the bench
-    prices exactly the pipeline the query pins."""
+    prices exactly the pipeline the query pins. ``event_type_col``
+    overrides the constant event type — the composite-PK query uses
+    it to carry the second key component."""
     import glob
     import os
     import shutil
@@ -7090,7 +7093,8 @@ def _stage_docs_as_event_waves(spark: SparkSession, docs: DataFrame,
               F.col("doc_id").alias("event_id"),
               (F.col("doc_id") * 1_000_000).alias("ts"),
               F.col("doc_id").alias("user_id"),
-              F.lit("signup").alias("event_type"),
+              (event_type_col if event_type_col is not None
+               else F.lit("signup")).alias("event_type"),
               F.lit(0.0).alias("value"),
               F.col("text").alias("props"),
               F.pmod("doc_id", F.lit(int(n_waves))).alias("w"))
@@ -7134,6 +7138,64 @@ def dedup_groups_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat = _stage_docs_as_event_waves(s, docs, work, 2)
         cfg = BoundedStreamConfig(
             mode="DEDUPE", primary_keys=["user_id"],
+            max_files_per_trigger=1, max_wait_s=5.0,
+            dedup_groups_path=f"{work}/groups",
+            dedup_groups_buckets=16)
+        bounded_sync(s, flat, f"{work}/state", f"{work}/ckpt", cfg)
+        st = StreamingDedupGroups(f"{work}/groups", num_buckets=16)
+        return st.read_groups(s).localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the hybrid keep-list oracle over a COMPOSITE-keyed corpus: the
+# documents table re-keyed by concat(doc_id, US, 'k', doc_id % 3) —
+# the exact string the keyed envelope builds from a two-column PK.
+# String MIN / ORDER BY / '<' agree between Spark (UTF8 binary order)
+# and DuckDB for these ASCII keys, so the whole pipeline is
+# type-transparent.
+_HYBRID_COMPOSITE_ORACLE = _HYBRID_ORACLE.replace(
+    "FROM documents", "FROM docs2").replace(
+    "WITH RECURSIVE toks AS",
+    "WITH RECURSIVE docs2 AS (\n"
+    "  SELECT concat(CAST(doc_id AS VARCHAR), chr(31), 'k',\n"
+    "                CAST(doc_id % 3 AS VARCHAR)) AS doc_id, text\n"
+    "  FROM documents),\ntoks AS")
+
+
+@query("dedup_groups_composite_sync", _HYBRID_COMPOSITE_ORACLE)
+def dedup_groups_composite_sync(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Composite-PK CDC sync × dedup groups (round 9, VERDICT r8 #5):
+    the documents corpus arrives as CDC INSERT events on a TABLE WITH A
+    TWO-COLUMN PRIMARY KEY — (user_id, event_type), the second
+    component synthesized as 'k'||(doc_id%3) — and the keyed envelope
+    concatenates the PK columns (unit separator) into ONE string doc
+    key for the side groups state, which runs string-keyed
+    (hash-partitioned, pinned in its meta). The oracle is the batch
+    hybrid keep-list over the same composite-keyed corpus: the groups
+    state must reproduce it exactly, component ids and keepers being
+    the composite key strings."""
+    import shutil
+    import tempfile
+    from .streaming.bounded import BoundedStreamConfig, bounded_sync
+    from .streaming.dedup_state import StreamingDedupGroups
+
+    s = _spark(spark)
+    docs = read_table(s, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sparkcdc_dgcomp_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    s.conf.set(pkey, "32")
+    try:
+        et = F.concat(F.lit("k"),
+                      F.pmod("doc_id", F.lit(3)).cast("string"))
+        flat = _stage_docs_as_event_waves(s, docs, work, 2,
+                                          event_type_col=et)
+        cfg = BoundedStreamConfig(
+            mode="DEDUPE", primary_keys=["user_id", "event_type"],
+            dedup_doc_id_col=["user_id", "event_type"],
             max_files_per_trigger=1, max_wait_s=5.0,
             dedup_groups_path=f"{work}/groups",
             dedup_groups_buckets=16)
