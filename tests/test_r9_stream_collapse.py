@@ -301,3 +301,25 @@ def test_all_short_first_batch_still_pins_string_kind(spark, tmp_path):
     assert got and got[0]["keep_doc_id"] == "c"
     assert _keep(st2.read_groups(spark)) == _keep(
         hybrid_dedup_keep(corpus))
+
+
+def test_exact_skip_respects_strict_threshold(spark, tmp_path):
+    """Attach pairs bypass verification (Jaccard 1 by construction) —
+    at the STRICTEST valid threshold (1/1) they must still merge while
+    near-dup LSH pairs fail verification, exactly like batch hybrid at
+    the same threshold."""
+    rows = [(1, BOILER), (2, BOILER), (3, NEAR), (4, _uniq(1))]
+    corpus = _docs(spark, rows)
+    st = StreamingDedupGroups(str(tmp_path / "st"), num_buckets=8,
+                              jaccard_num=1, jaccard_den=1)
+    for i, chunk in enumerate((rows[:2], rows[2:])):
+        st.process_batch(spark, _docs(spark, chunk), corpus=corpus,
+                         batch_id=i)
+    got = _keep(st.read_groups(spark))
+    want = _keep(hybrid_dedup_keep(corpus, threshold_num=1,
+                                   threshold_den=1))
+    assert got == want
+    # the exact-dup pair merged; the near-dup did NOT
+    comps = {r["component"]: r["cluster_size"]
+             for r in st.read_groups(spark).collect()}
+    assert comps[1] == 2 and comps[3] == 1 and comps[4] == 1
