@@ -44,29 +44,38 @@ def _scenario(draw):
     n_batches = draw(st.integers(1, 3))
     assignment = {d: draw(st.integers(0, n_batches - 1)) for d in docs}
     threshold = draw(st.sampled_from([0, 2, 100_000]))
+    # r9: the verified-edge collect has its own bounded probe, and doc
+    # ids may be strings (the composite-PK envelope's key type) — both
+    # drawn so every merge path × id kind combination gets exercised
+    edge_threshold = draw(st.sampled_from([0, 2, 100_000]))
+    string_keys = draw(st.booleans())
     sequenced = draw(st.booleans())
-    return docs, n_batches, assignment, threshold, sequenced
+    return (docs, n_batches, assignment, threshold, edge_threshold,
+            string_keys, sequenced)
 
 
 @settings(max_examples=5, deadline=None)
 @given(_scenario())
 def test_any_split_any_threshold_matches_batch_hybrid(
         spark_global, scenario):
-    docs, n_batches, assignment, threshold, sequenced = scenario
+    (docs, n_batches, assignment, threshold, edge_threshold,
+     string_keys, sequenced) = scenario
     spark = spark_global
+    key = (lambda i: f"d{i:03d}") if string_keys else (lambda i: i)
     d = spark.createDataFrame(
-        [(i, " ".join(w)) for i, w in docs.items()],
-        "doc_id long, text string")
+        [(key(i), " ".join(w)) for i, w in docs.items()],
+        f"doc_id {'string' if string_keys else 'long'}, text string")
     want = {(r["component"], r["keep_doc_id"], r["keep_n_tokens"],
              r["cluster_size"])
             for r in hybrid_dedup_keep(d).collect()}
     work = tempfile.mkdtemp(prefix="dedup_props_")
     try:
-        st_ = StreamingDedupGroups(os.path.join(work, "st"),
-                                   num_buckets=8,
-                                   driver_merge_max_members=threshold)
+        st_ = StreamingDedupGroups(
+            os.path.join(work, "st"), num_buckets=8,
+            driver_merge_max_members=threshold,
+            driver_merge_max_edges=edge_threshold)
         for b in range(n_batches):
-            ids = [i for i, a in assignment.items() if a == b]
+            ids = [key(i) for i, a in assignment.items() if a == b]
             batch = d.filter(d.doc_id.isin(ids)) if ids \
                 else d.filter("false")
             st_.process_batch(spark, batch, corpus=d,
@@ -75,6 +84,6 @@ def test_any_split_any_threshold_matches_batch_hybrid(
                 r["cluster_size"])
                for r in st_.read_groups(spark).collect()}
         assert got == want, (n_batches, assignment, threshold,
-                             sequenced)
+                             edge_threshold, string_keys, sequenced)
     finally:
         shutil.rmtree(work, ignore_errors=True)
