@@ -35,17 +35,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle (S2-S8, K1-K5, P3/P4/P7, F8/F10, T1/T3/T6/T8), the UDF
 # surface (§2.10), and one flagship per LLM-pipeline operator family.
 # Everything else still runs under scripts/check_oracle.py + pytest.
-# Round-9 rotation (VERDICT r8 #2, fourth rotation): the 25 flagship
-# slots stay pinned; the other 25 rotate — exclusively queries that
-# have NEVER earned a driver row in any round (computed from
-# CORRECTNESS_r01..r08 vs queries(); contract-tested in
-# tests/test_r7_window.py against ROTATION_BASE_ROUND below). Leads
-# with dedup_groups_cdc_sync and the two r8 curation newcomers per
-# the verdict; the rotated-out r08 batch all earned green r08 rows
-# and stays covered by the full hostile self gate + pytest. 4 queries
-# remain never-rowed (q10_returned_revenue, greatest_least_scalar,
-# bitwise_aggs, rank_fractions) — the trivial round-10 tail.
-ROTATION_BASE_ROUND = 9     # rotation slots never rowed in rounds < 9
+# Round-10 rotation (VERDICT r9 #1, fifth rotation): the 25 flagship
+# slots stay pinned.  Only 5 queries have never earned a driver row
+# (computed from CORRECTNESS_r01..r09 vs queries()); rotating them in
+# completes the full-course rotation discipline — after this round,
+# EVERY registered query has held a green driver row.  The rotation
+# contract therefore extends (tests/test_r7_window.py): all never-rowed
+# queries must occupy rotation slots, and the remaining slots re-verify
+# the STALEST queries — smallest last-rowed round, ties broken by name —
+# so driver evidence keeps refreshing oldest-first instead of wasting
+# slots on recently-rowed queries.
+ROTATION_BASE_ROUND = 10    # rotation = never-rowed before r10 + stalest
 DRIVER_WINDOW = [
     # pinned flagships: CDC core + lifecycle essentials
     "cdc_dedup_latest", "cdc_append", "cdc_chunked_dedup",
@@ -59,25 +59,20 @@ DRIVER_WINDOW = [
     # pinned flagships: LLM pipeline
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
-    # rotated in (first-ever driver rows): the r8 newcomers the
-    # verdict directed — the CDC-fed dedup-groups end-to-end and the
-    # two curation additions
-    "dedup_groups_cdc_sync", "boilerplate_ngrams", "domain_cap_keep",
-    # rotated in: curation / sampling / feature export
-    "quality_weighted_sample", "source_overlap_matrix",
-    "topk_sample_per_group", "multi_eval_decontaminate",
-    "user_feature_export", "doc_feature_join",
-    # rotated in: window / aggregate surface
-    "first_last_window", "argmax_per_group", "range_frame_running_sum",
-    "string_agg_per_group", "null_semantics",
-    "conditional_ratio_promo", "unpivot_lineitem_measures",
-    # rotated in: scan / join strategy surface
-    "disjunctive_pushdown", "bucketed_join_revenue",
-    # rotated in: TPC-H relational tail
-    "q10_returned_items", "q12_priority_by_quantity_band",
-    "q13_customer_distribution", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q19_discounted_revenue",
-    "q20_potential_promotion",
+    # rotated in (first-ever driver rows): the 5-query tail — after
+    # these, all 203 registered queries have held a green driver row
+    "q10_returned_revenue", "greatest_least_scalar", "bitwise_aggs",
+    "rank_fractions", "dedup_groups_composite_sync",
+    # rotated in (staleness refresh): the 20 stalest driver rows —
+    # all last rowed in r3, alphabetical within the tier
+    "anti_join_unreturned_orders", "array_funcs", "bpeish_token_count",
+    "correlated_min_order", "cube_lineitem", "date_funcs",
+    "distinct_users_per_type", "full_outer_nation_counts",
+    "having_above_avg_customers", "percentiles_by_status",
+    "pivot_event_counts", "q3_shipping_priority", "q4_order_priority",
+    "q5_nation_revenue", "q6_revenue_delta", "regexp_funcs",
+    "rollup_orders", "salted_join_segments", "semi_join_returned_orders",
+    "set_ops_customers",
 ]
 
 

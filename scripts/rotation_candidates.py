@@ -22,7 +22,7 @@ sys.path.insert(0, ".")
 
 def main() -> None:
     rowed = set()
-    for f in sorted(glob.glob("CORRECTNESS_r0*.json")):
+    for f in sorted(glob.glob("CORRECTNESS_r[0-9]*.json")):
         rowed |= set(json.load(open(f)).keys())
     spec = importlib.util.spec_from_file_location(
         "se", os.path.join(os.getcwd(), "__spark_entry__.py"))
@@ -41,6 +41,24 @@ def main() -> None:
     for q in candidates:
         tag = "" if q in ORACLES else "  [NO ORACLE]"
         print(f"  {q}{tag}")
+
+    # Post-completion discipline (round 10+): once never-rowed runs
+    # dry, filler slots refresh the STALEST rows (smallest last-rowed
+    # round, alphabetical within a tier; pinned flagships excluded).
+    last = {}
+    for f in sorted(glob.glob("CORRECTNESS_r[0-9]*.json")):
+        rnd = int(os.path.basename(f)[len("CORRECTNESS_r"):-len(".json")])
+        for k in json.load(open(f)):
+            last[k] = max(last.get(k, 0), rnd)
+    pinned = set(window[:25])
+    pool = sorted((r, q) for q, r in last.items()
+                  if q in QUERIES and q not in pinned)
+    n_fill = 25 - len(candidates) - len(in_window)
+    if n_fill > 0:
+        print(f"\nstaleness filler for the NEXT window ({n_fill} of "
+              f"{len(pool)} rowed non-pinned):")
+        for r, q in pool[:n_fill]:
+            print(f"  r{r}  {q}")
 
 
 if __name__ == "__main__":

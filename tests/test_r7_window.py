@@ -34,13 +34,15 @@ def _window():
     return mod.DRIVER_WINDOW, mod.ROTATION_BASE_ROUND
 
 
-def _rowed_before(round_no):
-    rowed = set()
-    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
+def _last_rowed_before(round_no):
+    """name -> latest round (< round_no) with a driver row."""
+    last = {}
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r[0-9]*.json")):
         rnd = int(os.path.basename(f)[len("CORRECTNESS_r"):-len(".json")])
         if rnd < round_no:
-            rowed |= set(json.load(open(f)).keys())
-    return rowed
+            for k in json.load(open(f)):
+                last[k] = max(last.get(k, 0), rnd)
+    return last
 
 
 def test_window_is_50_pinned_plus_rotation():
@@ -51,17 +53,41 @@ def test_window_is_50_pinned_plus_rotation():
         "the 25 flagship slots are pinned across rounds"
 
 
-def test_rotation_slots_are_never_rowed():
-    """Every rotation slot must be a first-ever driver row as of the
-    round the rotation was set (ROTATION_BASE_ROUND) — re-running an
-    already-rowed query converts zero self-gate claims into driver
-    evidence."""
+def test_rotation_slots_never_rowed_then_stalest():
+    """Rotation contract as of ROTATION_BASE_ROUND: every query that has
+    never earned a driver row before the base round MUST occupy a
+    rotation slot (first-ever evidence beats any re-run), and the
+    remaining slots must be filled with the STALEST already-rowed
+    queries — smallest last-rowed round, ties broken by name — so
+    driver evidence refreshes oldest-first.  Pinned flagships are
+    excluded from the staleness pool (they re-row every round)."""
+    from python_cdc_component_spark.queries import QUERIES
     window, base_round = _window()
-    rotation = set(window[25:])
-    already = rotation & _rowed_before(base_round)
-    assert not already, (
-        f"rotation slots already driver-rowed before r{base_round}: "
-        f"{sorted(already)}")
+    rotation = window[25:]
+    last = _last_rowed_before(base_round)
+
+    never = sorted(q for q in QUERIES if q not in last)
+    missing = set(never) - set(rotation)
+    assert not missing, (
+        f"never-rowed queries (as of r{base_round}) left out of the "
+        f"rotation: {sorted(missing)}")
+
+    filler = [q for q in rotation if q in last]
+    n_fill = len(filler)
+    pool = sorted(
+        ((last[q], q) for q in QUERIES
+         if q in last and q not in PINNED),
+    )
+    expected = {q for _, q in pool[:n_fill]}
+    # Allow any filler whose staleness ties the cutoff round (the
+    # alphabetical tie-break inside one round tier is a convention,
+    # not evidence) — but never a fresher round than the cutoff.
+    cutoff = pool[n_fill - 1][0] if n_fill else 0
+    too_fresh = [q for q in filler
+                 if q not in expected and last[q] > cutoff]
+    assert not too_fresh, (
+        f"rotation filler fresher than the r{cutoff} staleness cutoff: "
+        f"{sorted((last[q], q) for q in too_fresh)}")
 
 
 def test_window_queries_all_registered_with_oracles():
