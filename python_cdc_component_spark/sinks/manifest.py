@@ -166,13 +166,20 @@ def _legacy_type(source_type: str,
     if source_type in _BARE_BASE_TYPES:
         return source_type, None
     t = source_type.strip().lower()
+    # MySQL attribute suffixes (UNSIGNED/ZEROFILL) are display/range
+    # attributes, not part of the type name — "int(10) unsigned" must
+    # resolve like "int(10)", not fall through to the STRING default
+    t = " ".join(w for w in t.split() if w not in ("unsigned",
+                                                   "zerofill"))
     # strip any parenthesized args, preserving multi-word bases both
-    # before ("character varying(10)") and after ("bit(10) varying"
-    # never occurs, but "timestamp(3) with time zone" does in pg DDL)
+    # before ("character varying(10)") and after — but a post-paren
+    # tail only joins the base when it is a RECOGNIZED pg type tail
+    # ("timestamp(3) with time zone"); anything else would turn
+    # unknown suffixes into unknown base types
     base = t.split("(")[0].strip()
     if "(" in t and ")" in t:
         tail = t[t.index(")") + 1:].strip()
-        if tail:
+        if tail in ("with time zone", "without time zone", "varying"):
             base = f"{base} {tail}"
     args = []
     if "(" in t and ")" in t:

@@ -231,14 +231,36 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
                  or isinstance(batch_df.schema[id_cols[0]].dataType,
                                T.StringType))
     if composite:
+        # The unit separator (U+001F) is RESERVED in composite doc
+        # keys: concat_ws would otherwise silently drop NULL
+        # components — PK tuples (NULL,'x') and ('x',NULL) both
+        # collapse to 'x' — and a component containing U+001F could
+        # alias another tuple. Both are malformed PKs for a CDC table
+        # (Debezium never emits NULL key fields), so fail LOUDLY at
+        # ingest instead of corrupting the groups store. The check
+        # rides the batch_ids collect below (no extra job).
+        from functools import reduce as _reduce
+        bad_expr = _reduce(
+            lambda a, b: a | b,
+            [F.col(c).isNull()
+             | F.col(c).cast("string").contains("\x1f")
+             for c in id_cols])
         key_expr = F.concat_ws(
             "\x1f", *[F.col(c).cast("string") for c in id_cols])
     else:
+        bad_expr = F.lit(False)
         key_expr = F.col(id_cols[0]).cast("long")
     latest = dedup_latest(batch_df.drop("_snapshot_phase"), id_cols)
-    batch_ids = [r[0] for r in
-                 latest.select(key_expr.alias("k"))
-                 .distinct().collect()]
+    key_rows = (latest.select(key_expr.alias("k"),
+                              bad_expr.alias("bad"))
+                .distinct().collect())
+    if any(r["bad"] for r in key_rows):
+        raise ValueError(
+            f"dedup-groups doc key: primary-key columns {id_cols} "
+            "contain a NULL component or the reserved U+001F "
+            "separator — composite doc keys would alias; reject the "
+            "malformed rows upstream")
+    batch_ids = sorted({r["k"] for r in key_rows})
     if not batch_ids:
         return
     groups._set_tier_mode(spark, "cdc" if mode == "cdc" else "cdc3")

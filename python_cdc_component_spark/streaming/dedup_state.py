@@ -111,6 +111,13 @@ class StreamingDedupGroups:
     # the driver (a batch fanning out against a huge indexed
     # neighborhood must not collect its edge list either)
     driver_merge_max_edges: int = 100_000
+    # above this many edge endpoints, batch-side endpoint filters run
+    # as a broadcast semi/anti-join instead of a literal Catalyst
+    # ``In`` — a near-threshold edge list would otherwise inline up to
+    # 2×driver_merge_max_edges literals into the plan (analysis-time
+    # bloat + a multi-MB plan broadcast) on the very path that exists
+    # to keep the driver light
+    isin_literal_max: int = 512
     # exact-text group collapse in the LSH front end (the streaming
     # boilerplate guard): K text-identical docs cost K−1 linear attach
     # pairs, never K²/2 banded pairs. Pinned in the store meta at
@@ -403,12 +410,30 @@ class StreamingDedupGroups:
 
         edges = [(r["doc_a"], r["doc_b"]) for r in eprobe]
         edge_nodes = sorted({n for e in edges for n in e})
+        # endpoint filters: literal In below the cutoff, broadcast
+        # semi/anti-join above it (see isin_literal_max)
+        if len(edge_nodes) > self.isin_literal_max:
+            _en_df = spark.createDataFrame(
+                [(n,) for n in edge_nodes], f"doc_id {self._id_t}")
+
+            def _endpoints(df: DataFrame) -> DataFrame:
+                return df.join(F.broadcast(_en_df), "doc_id", "semi")
+
+            def _non_endpoints(df: DataFrame) -> DataFrame:
+                return df.join(F.broadcast(_en_df), "doc_id", "anti")
+        else:
+            def _endpoints(df: DataFrame) -> DataFrame:
+                return (df.filter(F.col("doc_id").isin(edge_nodes))
+                        if edge_nodes else df.filter(F.lit(False)))
+
+            def _non_endpoints(df: DataFrame) -> DataFrame:
+                return (df.filter(~F.col("doc_id").isin(edge_nodes))
+                        if edge_nodes else df)
         # current components of every edge endpoint (absent → itself);
         # edge_nodes is O(batch × LSH fan-out) — bounded by design
         cur = self._current_comps(spark, edge_nodes, batch_id)
         batch_tok = {r["doc_id"]: r["n_tokens"] for r in
-                     batch_n.filter(F.col("doc_id").isin(edge_nodes))
-                     .collect()} if edge_nodes else {}
+                     _endpoints(batch_n).collect()} if edge_nodes else {}
         comps = {cur.get(n, n) for n in edge_nodes}
         members_df = self._members_df(spark, comps, batch_id)
         # bounded probe (the components.py discipline): the affected
@@ -489,8 +514,7 @@ class StreamingDedupGroups:
                 "node", F.col("component").alias("_old_c"))
             tok_all = (members_df.select("node", "n_tokens")
                        .unionByName(
-                           batch_n.filter(F.col("doc_id")
-                                          .isin(edge_nodes))
+                           _endpoints(batch_n)
                            .select(F.col("doc_id").alias("node"),
                                    "n_tokens"))
                        .groupBy("node")
@@ -507,9 +531,7 @@ class StreamingDedupGroups:
 
         # distributed singleton rows for the rest of the batch; the
         # edge-involved rows ride along from the merge's resolution
-        singles = (batch_n
-                   .filter(~F.col("doc_id").isin(edge_nodes)
-                           if edge_nodes else F.lit(True))
+        singles = (_non_endpoints(batch_n)
                    .select(F.col("doc_id").alias("node"),
                            F.col("doc_id").alias("component"),
                            "n_tokens"))
@@ -837,12 +859,19 @@ class StreamingDedupGroups:
         this touches O(queried docs + their components' footprint)
         whatever the corpus size. Docs with no claim (never ingested,
         or erased) are absent from the result."""
+        exists = _fs_exists(spark, self._node_map_path)
+        if exists:
+            # resolve the store's pinned id kind BEFORE building the
+            # result schema: a fresh handle over an existing
+            # string-keyed store must return empty results typed
+            # `doc_id string`, not the pre-resolution long default —
+            # callers union/join the empty frame
+            self._resolve_buckets(spark)
         out_schema = (f"doc_id {self._id_t}, component {self._id_t}, "
                       f"keep_doc_id {self._id_t}, "
                       f"keep_n_tokens long, cluster_size long")
-        if not doc_ids or not _fs_exists(spark, self._node_map_path):
+        if not doc_ids or not exists:
             return spark.createDataFrame([], out_schema)
-        self._resolve_buckets(spark)
         cur = self._current_comps(spark, sorted(set(doc_ids)), None)
         if not cur:
             return spark.createDataFrame([], out_schema)
@@ -875,6 +904,10 @@ class StreamingDedupGroups:
         the same rows) as batch ``hybrid_dedup_keep``."""
         from pyspark.sql import Window
         if not _fs_exists(spark, self._node_map_path):
+            # the index (and its id-kind meta) commits before the
+            # node_map inside an epoch — adopt the pinned kind if it
+            # exists so the empty frame is typed like the store
+            self._resolve_buckets(spark)
             return spark.createDataFrame(
                 [], f"component {self._id_t}, "
                     f"keep_doc_id {self._id_t}, "
