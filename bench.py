@@ -473,9 +473,17 @@ def main() -> None:
         extras["scale_ratios"] = scale_ratio_rows(
             spark, 3, sf_dir, targets=TARGETS + ["hybrid_dedup_keep"],
             reps=reps)
+        # collapse-mode streaming-groups scale curve (VERDICT r9 #2):
+        # the facade over the full documents corpus at 3× — the 10×
+        # point is pinned standalone in SCALING.md
+        from bench_stream_groups_scale import stream_groups_scale
+        extras["stream_groups_scale"] = stream_groups_scale(
+            spark, sf_dir, factor=3)
         doc["scale_ratio_violations"] = (
             extras["scale_ratios"].get("violations", [])
             if isinstance(extras["scale_ratios"], dict) else [])
+        if not extras["stream_groups_scale"].get("within_bound", True):
+            doc["scale_ratio_violations"].append("stream_groups_scale")
         print(json.dumps(extras, separators=(",", ":")))
     print(json.dumps(doc, separators=(",", ":")))
 
