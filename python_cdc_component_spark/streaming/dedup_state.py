@@ -363,8 +363,60 @@ class StreamingDedupGroups:
         committed = (batch_id is not None
                      and _fs_exists(spark, os.path.join(
                          self._manifest_path, str(batch_id))))
-        pairs = self.index.process_batch(spark, batch_docs,
-                                         batch_id=batch_id)
+        pairs, index_finish = self.index.process_batch_deferred(
+            spark, batch_docs, batch_id=batch_id)
+        # pipeline (VERDICT r9 #4, NOTES_r9 §9.2's lever): the index's
+        # write half — band append, fused sidecar, docmap, its batch
+        # marker, compaction gates — lands on paths DISJOINT from
+        # everything the verify+merge stages below read (corpus,
+        # labels, node_map) or write, so it runs on a worker thread
+        # concurrently with them. The marker order still holds:
+        # _commit_rows drains the thread before OUR marker/return, so
+        # a state commit always implies a durable index batch.
+        self._start_index_writes(index_finish)
+        try:
+            return self._merge_batch(spark, batch_docs, corpus,
+                                     batch_id, committed, pairs)
+        except BaseException:
+            # an error in verify/merge must not leave the write
+            # thread running into teardown; its own error (if any)
+            # must not mask the one propagating
+            self._drain_index_writes(swallow=True)
+            raise
+
+    def _start_index_writes(self, finish) -> None:
+        """Run the index's deferred write half on one worker thread
+        (``None`` — replay/all-short batch — is a no-op)."""
+        self._index_write_fut = None
+        self._index_write_pool = None
+        if finish is None:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        self._index_write_pool = ThreadPoolExecutor(max_workers=1)
+        self._index_write_fut = self._index_write_pool.submit(finish)
+
+    def _drain_index_writes(self, swallow: bool = False) -> None:
+        """Block until the deferred index writes are durable; their
+        exception propagates (a failed write must fail the batch
+        before any state marker lands) unless ``swallow``."""
+        fut = getattr(self, "_index_write_fut", None)
+        pool = getattr(self, "_index_write_pool", None)
+        self._index_write_fut = self._index_write_pool = None
+        if pool is None:
+            return
+        try:
+            fut.result()
+        except Exception:
+            if not swallow:
+                raise
+        finally:
+            pool.shutdown()
+
+    def _merge_batch(self, spark: SparkSession, batch_docs: DataFrame,
+                     corpus: DataFrame, batch_id: int | None,
+                     committed: bool, pairs: DataFrame) -> dict:
+        """Verify + merge half of :meth:`process_batch` (runs
+        concurrently with the index's deferred writes)."""
         # collapse-mode attach pairs are text-identical by
         # construction (exact Jaccard 1 ≥ any valid threshold — the
         # constructor rejects >1 thresholds): they skip the shingle
@@ -400,6 +452,7 @@ class StreamingDedupGroups:
             "doc_id", F.size(F.split("text", " ")).cast("long")
             .alias("n_tokens"))
         if committed:
+            self._drain_index_writes()
             return {"batch_id": batch_id, "replay": True,
                     "n_verified_edges": (len(eprobe) if edges_small
                                          else verified_df.count())}
@@ -640,6 +693,9 @@ class StreamingDedupGroups:
                          .mode("append").parquet(self._labels_path)),
                 lambda: (nmap.write.partitionBy(NODE_PART, BATCH_COL)
                          .mode("append").parquet(self._node_map_path)))
+            # unsequenced stores have no marker; the contract is
+            # "durable when process_batch returns" — drain here
+            self._drain_index_writes()
         else:
             run_concurrent(
                 lambda: self.index._overwrite_dynamic(
@@ -648,6 +704,10 @@ class StreamingDedupGroups:
                 lambda: self.index._overwrite_dynamic(
                     spark, nmap, [NODE_PART, BATCH_COL],
                     self._node_map_path))
+            # the pipelined index writes (and the index marker) must
+            # be durable BEFORE the state marker: a state commit
+            # implies the index batch committed
+            self._drain_index_writes()
             _fs_touch(spark, os.path.join(self._manifest_path,
                                           str(batch_id)))
         self._compact(spark, self._labels_path, COMP_PART)

@@ -276,10 +276,38 @@ class StreamingLshIndex:
         index append). With ``batch_id``, a replay of an
         already-committed batch returns the identical pairs and leaves
         the index bytes untouched."""
+        pairs, finish = self.process_batch_deferred(spark, batch_docs,
+                                                    batch_id=batch_id)
+        if finish is not None:
+            finish()
+        return pairs
+
+    def process_batch_deferred(
+            self, spark: SparkSession, batch_docs: DataFrame,
+            batch_id: int | None = None):
+        """:meth:`process_batch` with the WRITE half handed back to the
+        caller: returns ``(pairs, finish)`` where ``pairs`` is already
+        materialized (localCheckpoint) and ``finish`` — ``None`` when
+        the batch leaves no bytes to write (replay of a committed
+        batch, all-short batch) — performs the band/sidecar/docmap
+        appends, touches the batch marker, and runs the compaction
+        gates. The writes land on DISJOINT paths from everything a
+        verify/merge consumer of ``pairs`` reads, so the caller may run
+        ``finish`` concurrently with its own stages (VERDICT r9 #4's
+        pipelining lever) — but MUST complete it before committing any
+        state of its own that presumes the index batch durable (the
+        marker contract). ``finish`` must be called exactly once; it
+        owns the batch's cache unpersists."""
         self._resolve_buckets(spark)
         if self.collapse_exact:
             return self._process_batch_collapsed(spark, batch_docs,
                                                  batch_id)
+        return (self._process_batch_uncollapsed(spark, batch_docs,
+                                                batch_id), None)
+
+    def _process_batch_uncollapsed(self, spark: SparkSession,
+                                   batch_docs: DataFrame,
+                                   batch_id: int | None) -> DataFrame:
         from pyspark.sql import types as T
         if isinstance(batch_docs.schema["doc_id"].dataType,
                       T.StringType):
@@ -417,8 +445,7 @@ class StreamingLshIndex:
 
     def _process_batch_collapsed(self, spark: SparkSession,
                                  batch_docs: DataFrame,
-                                 batch_id: int | None = None
-                                 ) -> DataFrame:
+                                 batch_id: int | None = None):
         """Collapse-mode probe + append: K text-identical docs cost K
         roster/docmap rows, ONE banded group node, and K−1 linear
         (rep, member) attach pairs — never K²/2 candidate pairs. LSH
@@ -427,7 +454,12 @@ class StreamingLshIndex:
         so downstream consumers still see plain (doc_a, doc_b) pairs
         (attach pairs verify at exact Jaccard 1, so a verify stage
         needs no special-casing). Batches that introduce a group band
-        it; later exact dups of the text attach without banding."""
+        it; later exact dups of the text attach without banding.
+
+        Returns ``(pairs, finish)`` per the
+        :meth:`process_batch_deferred` contract — the probe half is
+        complete (pairs materialized) and ``finish`` carries the write
+        half."""
         from ..operators.llm.minhash import LSH_BANDS
         self._adopt_id_kind(spark, batch_docs)
         t = self._id_sql_type
@@ -439,6 +471,7 @@ class StreamingLshIndex:
         keyed = self._gkeyed(batch_docs)
         keyed.persist()
         bands = None
+        handed_off = False
         try:
             bg = (keyed.groupBy("gk1", "gk2", GROUP_PART_COL)
                   .agg(F.min("doc_id").alias("brep")))
@@ -462,7 +495,7 @@ class StreamingLshIndex:
                         and _fs_read_text(spark, self._meta_path)
                         is None):
                     self._write_meta(spark, docmap_complete=True)
-                return empty
+                return empty, None
             stored = self._read_sidecar(spark, self._groups_path,
                                         gparts)
             if stored is not None:
@@ -593,7 +626,7 @@ class StreamingLshIndex:
             pairs = (attach.unionByName(lsh_pairs)
                      .localCheckpoint(eager=True))
             if committed:
-                return pairs    # replay of a committed batch: no-op
+                return pairs, None  # replay of a committed batch: no-op
             if _fs_read_text(spark, self._meta_path) is None:
                 # pin the collapse layout BEFORE the first write: a
                 # crash between the band append and a later stamp
@@ -657,20 +690,32 @@ class StreamingLshIndex:
             writes.append(
                 lambda: (docmap.write.partitionBy(DOC_PART_COL)
                          .mode("append").parquet(self._docmap_path)))
-            # all three land on disjoint paths with no mutual ordering —
-            # only the marker below orders against them
-            run_concurrent(*writes)
-            if batch_id is not None:
-                _fs_touch(spark, os.path.join(self._manifest_path,
-                                              str(batch_id)))
-            self._compact(spark, touched)
-            self._compact_docmap(spark)
-            self._compact_sidecar(spark, self._groups_path)
-            return pairs
+            _keyed, _bands = keyed, bands
+
+            def finish() -> None:
+                # all three land on disjoint paths with no mutual
+                # ordering — only the marker orders against them
+                try:
+                    run_concurrent(*writes)
+                    if batch_id is not None:
+                        _fs_touch(spark,
+                                  os.path.join(self._manifest_path,
+                                               str(batch_id)))
+                    self._compact(spark, touched)
+                    self._compact_docmap(spark)
+                    self._compact_sidecar(spark, self._groups_path)
+                finally:
+                    _keyed.unpersist()
+                    if _bands is not None:
+                        _bands.unpersist()
+
+            handed_off = True
+            return pairs, finish
         finally:
-            keyed.unpersist()
-            if bands is not None:
-                bands.unpersist()
+            if not handed_off:
+                keyed.unpersist()
+                if bands is not None:
+                    bands.unpersist()
 
     def _purge_docs_collapsed(self, spark: SparkSession,
                               doc_ids: list[int]) -> int:
