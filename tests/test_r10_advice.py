@@ -209,6 +209,46 @@ def test_vacuum_string_keyed_store(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_failed_deferred_index_write_fails_batch_before_marker(
+        spark, tmp_path):
+    """Pipelining contract (VERDICT r9 #4): the index's deferred write
+    half runs concurrently with verify+merge, but a write failure must
+    still fail the batch BEFORE any state marker lands — and the next
+    attempt (the foreachBatch replay) must converge to the same state
+    a never-crashed run reaches."""
+    d = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " x"), (3, "totally different words "
+                                          + " ".join(f"y{i}" for i in
+                                                     range(12)))],
+        "doc_id long, text string")
+    st = StreamingDedupGroups(str(tmp_path / "st"), num_buckets=8)
+    boom = RuntimeError("simulated index write failure")
+    orig = st.index._compact
+
+    def failing_compact(*a, **kw):
+        raise boom
+
+    st.index._compact = failing_compact
+    with pytest.raises(RuntimeError, match="simulated index write"):
+        st.process_batch(spark, d, corpus=d, batch_id=0)
+    # no state marker: the batch is NOT committed
+    marker = os.path.join(st._manifest_path, "0")
+    assert os.path.basename(st._manifest_path) == "_batches"
+    assert not os.path.exists(marker)
+    # the replay (writes repaired) converges to the clean-run state
+    st.index._compact = orig
+    st2 = StreamingDedupGroups(str(tmp_path / "st"), num_buckets=8)
+    st2.process_batch(spark, d, corpus=d, batch_id=0)
+    assert os.path.exists(marker)      # the successful run commits
+    clean = StreamingDedupGroups(str(tmp_path / "clean"), num_buckets=8)
+    clean.process_batch(spark, d, corpus=d, batch_id=0)
+    got = {(r["component"], r["keep_doc_id"], r["cluster_size"])
+           for r in st2.read_groups(spark).collect()}
+    want = {(r["component"], r["keep_doc_id"], r["cluster_size"])
+            for r in clean.read_groups(spark).collect()}
+    assert got == want and got
+
+
 def test_merge_endpoint_semi_join_parity(spark, tmp_path):
     """VERDICT r9 #3: with isin_literal_max=0 every endpoint filter
     runs as a broadcast semi/anti-join; the keep-list equals the
