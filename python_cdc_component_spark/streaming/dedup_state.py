@@ -292,8 +292,19 @@ class StreamingDedupGroups:
                               parts, exclude_batch)
         if df is None:
             return None
-        cand = (df.filter(F.col("component").isin(list(comps)))
-                .select("node", "component", "n_tokens"))
+        # literal In below the cutoff; above it the same broadcast
+        # semi-join idiom as _members_df_dist (the comp set on the
+        # driver merge path is edge-endpoint-sized — up to
+        # 2×driver_merge_max_edges near the probe threshold)
+        if len(comps) > self.isin_literal_max:
+            comps_df = spark.createDataFrame(
+                [(c,) for c in comps], f"component {self._id_t}")
+            cand = (df.join(F.broadcast(comps_df), "component",
+                            "left_semi")
+                    .select("node", "component", "n_tokens"))
+        else:
+            cand = (df.filter(F.col("component").isin(list(comps)))
+                    .select("node", "component", "n_tokens"))
         # node partitions the candidates hash into: ≤num_buckets values
         nparts = {r[0] for r in
                   cand.select(self._id_part(F.col("node")).alias("p"))

@@ -48,10 +48,14 @@ def _scenario(draw):
     # ids may be strings (the composite-PK envelope's key type) — both
     # drawn so every merge path × id kind combination gets exercised
     edge_threshold = draw(st.sampled_from([0, 2, 100_000]))
+    # r10: endpoint/member filters switch from literal In to a
+    # broadcast semi/anti-join above isin_literal_max — draw the
+    # cutoff so both idioms run under every merge path
+    isin_max = draw(st.sampled_from([0, 512]))
     string_keys = draw(st.booleans())
     sequenced = draw(st.booleans())
     return (docs, n_batches, assignment, threshold, edge_threshold,
-            string_keys, sequenced)
+            isin_max, string_keys, sequenced)
 
 
 @settings(max_examples=5, deadline=None)
@@ -59,7 +63,7 @@ def _scenario(draw):
 def test_any_split_any_threshold_matches_batch_hybrid(
         spark_global, scenario):
     (docs, n_batches, assignment, threshold, edge_threshold,
-     string_keys, sequenced) = scenario
+     isin_max, string_keys, sequenced) = scenario
     spark = spark_global
     key = (lambda i: f"d{i:03d}") if string_keys else (lambda i: i)
     d = spark.createDataFrame(
@@ -73,7 +77,8 @@ def test_any_split_any_threshold_matches_batch_hybrid(
         st_ = StreamingDedupGroups(
             os.path.join(work, "st"), num_buckets=8,
             driver_merge_max_members=threshold,
-            driver_merge_max_edges=edge_threshold)
+            driver_merge_max_edges=edge_threshold,
+            isin_literal_max=isin_max)
         for b in range(n_batches):
             ids = [key(i) for i, a in assignment.items() if a == b]
             batch = d.filter(d.doc_id.isin(ids)) if ids \
@@ -84,6 +89,7 @@ def test_any_split_any_threshold_matches_batch_hybrid(
                 r["cluster_size"])
                for r in st_.read_groups(spark).collect()}
         assert got == want, (n_batches, assignment, threshold,
-                             edge_threshold, string_keys, sequenced)
+                             edge_threshold, isin_max, string_keys,
+                             sequenced)
     finally:
         shutil.rmtree(work, ignore_errors=True)
