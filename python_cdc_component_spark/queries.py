@@ -6386,6 +6386,96 @@ def multi_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.countDistinct("gh").alias("n_bad_grams")))
 
 
+@query("fuzzy_eval_decontaminate", """
+WITH sig AS ({sig}),
+b AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+               % 100 AS bucket
+      FROM documents),
+bands AS (
+  SELECT doc_id, 0 AS band, CONCAT_WS('|', h0, h1, h2, h3) AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, CONCAT_WS('|', h4, h5, h6, h7) FROM sig
+  UNION ALL SELECT doc_id, 2, CONCAT_WS('|', h8, h9, h10, h11) FROM sig
+  UNION ALL SELECT doc_id, 3, CONCAT_WS('|', h12, h13, h14, h15) FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, e.doc_id AS de
+  FROM bands a
+  JOIN b ba ON ba.doc_id = a.doc_id AND ba.bucket < 80
+  JOIN bands e ON a.band = e.band AND a.bv = e.bv
+  JOIN b be ON be.doc_id = e.doc_id AND be.bucket >= 90),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+              ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 7))
+                ::BIGINT AS v
+       FROM idx),
+inter AS (SELECT c.da, c.de, COUNT(*) AS ni
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.da
+          JOIN sh y ON y.doc_id = c.de AND y.v = x.v
+          GROUP BY c.da, c.de),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+hits AS (SELECT i.da, i.de
+         FROM inter i
+         JOIN cnt a ON a.doc_id = i.da
+         JOIN cnt e ON e.doc_id = i.de
+         WHERE 5 * i.ni >= 3 * (a.n + e.n - i.ni))
+SELECT da AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_dups,
+       MIN(de) AS closest_eval
+FROM hits GROUP BY da
+""".format(sig=_MINHASH_SIG_SQL.format(mins=_MINHASH_MINS)))
+def fuzzy_eval_decontaminate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """FUZZY decontamination — near-duplicate matching between the
+    train split and the eval holdout (the FineWeb/Dolma complement to
+    exact n-gram matching): flag every train doc whose word-3-gram
+    shingle Jaccard with ANY eval doc reaches the hybrid threshold
+    (3/5), with the matched-eval count and the closest (min-id) eval
+    doc as the audit signal. Catches paraphrase-level / lightly-edited
+    eval leakage that `ngram_decontaminate`'s exact 8-gram containment
+    misses once a few tokens are perturbed; completes the
+    decontamination family (whole-doc fingerprint → exact n-gram,
+    single + multi-eval → fuzzy Jaccard).
+
+    Scale shape: candidates come from the MinHash band join with the
+    EVAL side broadcast (eval sets are always tiny next to a 100 TB
+    train corpus — the train side never shuffles for candidates, same
+    asymmetry as the gram-based siblings); exact-Jaccard verification
+    touches only candidate pairs' shingle sets via
+    ``verify_jaccard_pairs`` (integer arithmetic, the
+    `hybrid_dedup_keep` contract), so false band collisions die
+    without a corpus-sized join anywhere."""
+    from .operators.llm.hybrid import verify_jaccard_pairs
+    s = _spark(spark)
+    d = _spread(read_table(s, sf_dir, "documents")
+                .select("doc_id", "text"), s)
+    sig = persist_once(_minhash_sig_df(s, sf_dir))
+    bands = union_epochs([
+        sig.select("doc_id", F.lit(bd).alias("band"),
+                   F.concat_ws("|", *[F.col(f"h{bd * 4 + i}")
+                                      for i in range(4)]).alias("bv"))
+        for bd in range(_LSH_BANDS)])
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                       .cast("binary")), 1, 7), 16, 10)
+              .cast("long") % 100)
+    train_b = bands.filter(bucket < 80).alias("a")
+    eval_b = bands.filter(bucket >= 90).alias("e")
+    cand = (train_b
+            .join(F.broadcast(eval_b),
+                  (F.col("a.band") == F.col("e.band"))
+                  & (F.col("a.bv") == F.col("e.bv")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("e.doc_id").alias("doc_b"))
+            .distinct())
+    return (verify_jaccard_pairs(d, cand, 3, 5)
+            .filter("verified")
+            .groupBy("doc_a")
+            .agg(F.count(F.lit(1)).alias("n_eval_dups"),
+                 F.min("doc_b").alias("closest_eval"))
+            .select(F.col("doc_a").alias("doc_id"),
+                    "n_eval_dups", "closest_eval"))
+
+
 @query("ann_index_probe", """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
