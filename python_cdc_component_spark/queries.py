@@ -6476,6 +6476,71 @@ def fuzzy_eval_decontaminate(spark: SparkSession,
                     "n_eval_dups", "closest_eval"))
 
 
+@query("semantic_eval_decontaminate", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+b AS (SELECT vec_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+               % 100 AS bucket
+      FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+t AS (SELECT n.* FROM n JOIN b ON b.vec_id = n.vec_id AND b.bucket < 80),
+ev AS (SELECT n.vec_id AS eid, n.e AS ee, n.nrm AS en
+       FROM n JOIN b ON b.vec_id = n.vec_id AND b.bucket >= 90),
+s AS (SELECT t.vec_id, ev.eid,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> t.e[i] * ev.ee[i])) / (t.nrm * ev.en),
+                   6) AS sim
+      FROM t, ev)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_near,
+       MAX(sim) AS max_sim
+FROM s WHERE sim >= 0.35 GROUP BY vec_id
+""")
+def semantic_eval_decontaminate(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement to the
+    token-space family: flag every train-split vector whose cosine with
+    ANY eval-split vector reaches 0.35, with the near-eval count and
+    the max (6dp-rounded) similarity as the audit signal. Catches
+    rewritten/translated eval leakage that shares no tokens at all —
+    the layer token n-grams (`ngram_decontaminate`) and shingle Jaccard
+    (`fuzzy_eval_decontaminate`) cannot see.
+
+    Scale shape: the EVAL side broadcasts (eval sets are tiny next to a
+    100 TB corpus) and the train side streams once through the
+    broadcast-NL scoring kernel — dot products as JVM higher-order
+    functions (`zip_with`/`aggregate`, no Python), the same deliberate
+    brute-force pattern as `embedding_topk`; the IVF/PQ variants
+    (`embedding_ivf_ann`, `embedding_pq_ann_recall`) are the documented
+    index path when the eval side outgrows a broadcast. Both engines
+    filter on the 6dp-rounded sim so boundary values agree."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    bucket = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")
+                                       .cast("binary")), 1, 7), 16, 10)
+              .cast("long") % 100)
+    n = emb.select(
+        "vec_id", "e", bucket.alias("bucket"),
+        F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                           F.lit(0.0), lambda a, x: a + x)).alias("nrm"))
+    t = n.filter(F.col("bucket") < 80).drop("bucket")
+    ev = (n.filter(F.col("bucket") >= 90)
+          .select(F.col("vec_id").alias("eid"), F.col("e").alias("ee"),
+                  F.col("nrm").alias("en")))
+    dot = F.aggregate(F.zip_with("e", "ee", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (t.crossJoin(F.broadcast(ev))
+              .select("vec_id",
+                      F.round(dot / (F.col("nrm") * F.col("en")), 6)
+                      .alias("sim")))
+    return (scored.filter(F.col("sim") >= 0.35)
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n_eval_near"),
+                 F.max("sim").alias("max_sim")))
+
+
 @query("ann_index_probe", """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
