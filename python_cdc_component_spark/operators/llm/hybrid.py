@@ -73,7 +73,8 @@ def verify_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                          threshold_num: int = 3,
                          threshold_den: int = 5,
                          id_a: str = "doc_a",
-                         id_b: str = "doc_b") -> DataFrame:
+                         id_b: str = "doc_b",
+                         precomputed: DataFrame | None = None) -> DataFrame:
     """Exact-Jaccard verdict for an ARBITRARY candidate pair list —
     the verification stage as a standalone operator, so candidates
     from any source (a StreamingLshIndex ``process_batch``, a SimHash
@@ -89,12 +90,32 @@ def verify_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
     scan is pruned with a left-semi join against the broadcast
     pair-id list BEFORE any shingling happens — at 100 TB with a
     day's candidates this reads only the candidate docs' rows (and
-    under a parquet/bucketed store, only their row groups)."""
+    under a parquet/bucketed store, only their row groups).
+
+    ``precomputed`` (optional) is a (doc_id, v) shingle table whose
+    per-doc shingle sets are COMPLETE and DISTINCT for every doc_id it
+    contains — docs covered there are served from it and excluded from
+    the corpus prune/shingle entirely (the NOTES_r9 §9.2 follow-on
+    lever: a streaming probe stage that already shingled the batch
+    hands the pair-involved slice here instead of having it re-derived
+    from the corpus). With every endpoint covered, the corpus scan's
+    semi-join build side is empty and AQE collapses the scan away."""
     pair_ids = (pairs.select(F.col(id_a).alias("doc_id"))
                 .unionByName(pairs.select(F.col(id_b).alias("doc_id")))
                 .distinct())
-    cand_docs = docs.join(F.broadcast(pair_ids), "doc_id", "left_semi")
-    sh = persist_once(shingle_hashes(cand_docs).distinct())
+    if precomputed is not None:
+        pre = precomputed.join(F.broadcast(pair_ids), "doc_id",
+                               "left_semi")
+        missing = pair_ids.join(precomputed.select("doc_id").distinct(),
+                                "doc_id", "left_anti")
+        cand_docs = docs.join(F.broadcast(missing), "doc_id",
+                              "left_semi")
+        sh = persist_once(shingle_hashes(cand_docs).distinct()
+                          .unionByName(pre))
+    else:
+        cand_docs = docs.join(F.broadcast(pair_ids), "doc_id",
+                              "left_semi")
+        sh = persist_once(shingle_hashes(cand_docs).distinct())
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (pairs.select(id_a, id_b)
              .join(sh.select(F.col("doc_id").alias(id_a), "v"), id_a)

@@ -374,8 +374,9 @@ class StreamingDedupGroups:
         committed = (batch_id is not None
                      and _fs_exists(spark, os.path.join(
                          self._manifest_path, str(batch_id))))
-        pairs, index_finish = self.index.process_batch_deferred(
-            spark, batch_docs, batch_id=batch_id)
+        pairs, index_finish, verify_sh = (
+            self.index.process_batch_deferred(
+                spark, batch_docs, batch_id=batch_id))
         # pipeline (VERDICT r9 #4, NOTES_r9 §9.2's lever): the index's
         # write half — band append, fused sidecar, docmap, its batch
         # marker, compaction gates — lands on paths DISJOINT from
@@ -387,7 +388,8 @@ class StreamingDedupGroups:
         self._start_index_writes(index_finish)
         try:
             return self._merge_batch(spark, batch_docs, corpus,
-                                     batch_id, committed, pairs)
+                                     batch_id, committed, pairs,
+                                     verify_sh)
         except BaseException:
             # an error in verify/merge must not leave the write
             # thread running into teardown; its own error (if any)
@@ -425,9 +427,14 @@ class StreamingDedupGroups:
 
     def _merge_batch(self, spark: SparkSession, batch_docs: DataFrame,
                      corpus: DataFrame, batch_id: int | None,
-                     committed: bool, pairs: DataFrame) -> dict:
+                     committed: bool, pairs: DataFrame,
+                     verify_sh: DataFrame | None = None) -> dict:
         """Verify + merge half of :meth:`process_batch` (runs
-        concurrently with the index's deferred writes)."""
+        concurrently with the index's deferred writes).
+        ``verify_sh`` — the probe stage's materialized shingle slice
+        for batch-side pair endpoints — feeds the verify as
+        ``precomputed`` so only previously-indexed endpoints re-read
+        corpus text (NOTES_r9 §9.3's lever)."""
         # collapse-mode attach pairs are text-identical by
         # construction (exact Jaccard 1 ≥ any valid threshold — the
         # constructor rejects >1 thresholds): they skip the shingle
@@ -446,7 +453,8 @@ class StreamingDedupGroups:
         verified_df = (verify_jaccard_pairs(
                            corpus, to_verify,
                            threshold_num=self.jaccard_num,
-                           threshold_den=self.jaccard_den)
+                           threshold_den=self.jaccard_den,
+                           precomputed=verify_sh)
                        .filter("verified").select("doc_a", "doc_b"))
         if certain is not None:
             verified_df = verified_df.unionByName(certain)

@@ -75,7 +75,8 @@ from ..fs import fs_list_names as _fs_list_names
 from ..fs import fs_read_text as _fs_read_text
 from ..fs import fs_touch as _fs_touch
 from ..fs import fs_write_text as _fs_write_text
-from ..operators.llm.minhash import band_table, minhash_signatures
+from ..operators.llm.minhash import (band_table, minhash_signatures,
+                                     shingle_hashes)
 from ..operators.schema_align import union_epochs
 
 BUCKET_COL = "_lsh_bucket"
@@ -276,8 +277,8 @@ class StreamingLshIndex:
         index append). With ``batch_id``, a replay of an
         already-committed batch returns the identical pairs and leaves
         the index bytes untouched."""
-        pairs, finish = self.process_batch_deferred(spark, batch_docs,
-                                                    batch_id=batch_id)
+        pairs, finish, _ = self.process_batch_deferred(
+            spark, batch_docs, batch_id=batch_id)
         if finish is not None:
             finish()
         return pairs
@@ -286,24 +287,32 @@ class StreamingLshIndex:
             self, spark: SparkSession, batch_docs: DataFrame,
             batch_id: int | None = None):
         """:meth:`process_batch` with the WRITE half handed back to the
-        caller: returns ``(pairs, finish)`` where ``pairs`` is already
-        materialized (localCheckpoint) and ``finish`` — ``None`` when
-        the batch leaves no bytes to write (replay of a committed
-        batch, all-short batch) — performs the band/sidecar/docmap
-        appends, touches the batch marker, and runs the compaction
-        gates. The writes land on DISJOINT paths from everything a
-        verify/merge consumer of ``pairs`` reads, so the caller may run
-        ``finish`` concurrently with its own stages (VERDICT r9 #4's
-        pipelining lever) — but MUST complete it before committing any
-        state of its own that presumes the index batch durable (the
-        marker contract). ``finish`` must be called exactly once; it
-        owns the batch's cache unpersists."""
+        caller: returns ``(pairs, finish, verify_sh)`` where ``pairs``
+        is already materialized (localCheckpoint) and ``finish`` —
+        ``None`` when the batch leaves no bytes to write (replay of a
+        committed batch, all-short batch) — performs the
+        band/sidecar/docmap appends, touches the batch marker, and runs
+        the compaction gates. The writes land on DISJOINT paths from
+        everything a verify/merge consumer of ``pairs`` reads, so the
+        caller may run ``finish`` concurrently with its own stages
+        (VERDICT r9 #4's pipelining lever) — but MUST complete it
+        before committing any state of its own that presumes the index
+        batch durable (the marker contract). ``finish`` must be called
+        exactly once; it owns the batch's cache unpersists.
+
+        ``verify_sh`` (collapse mode only, else ``None``) is a
+        materialized (doc_id, v) DISTINCT shingle table covering every
+        non-exact pair endpoint whose text arrived IN THIS BATCH (the
+        batch-side group reps) — handed to
+        ``verify_jaccard_pairs(precomputed=...)`` it spares the verify
+        stage re-deriving those docs' shingles from the corpus; only
+        previously-indexed endpoints still read corpus text."""
         self._resolve_buckets(spark)
         if self.collapse_exact:
             return self._process_batch_collapsed(spark, batch_docs,
                                                  batch_id)
         return (self._process_batch_uncollapsed(spark, batch_docs,
-                                                batch_id), None)
+                                                batch_id), None, None)
 
     def _process_batch_uncollapsed(self, spark: SparkSession,
                                    batch_docs: DataFrame,
@@ -495,7 +504,7 @@ class StreamingLshIndex:
                         and _fs_read_text(spark, self._meta_path)
                         is None):
                     self._write_meta(spark, docmap_complete=True)
-                return empty, None
+                return empty, None, None
             stored = self._read_sidecar(spark, self._groups_path,
                                         gparts)
             if stored is not None:
@@ -625,8 +634,33 @@ class StreamingLshIndex:
                                      F.lit(False).alias("exact")))
             pairs = (attach.unionByName(lsh_pairs)
                      .localCheckpoint(eager=True))
+            # verify-shingle handoff (NOTES_r9 §9.3's named lever): the
+            # non-exact pair endpoints whose text is IN THIS BATCH are
+            # exactly the `mine` reps (a mine group's rep is always a
+            # batch doc) — shingle them here from the in-memory keyed
+            # texts and hand the slice to the caller's verify stage, so
+            # it never re-derives batch-side shingle sets from the
+            # corpus. Pinned eagerly: the deferred write half unpersists
+            # `keyed` on its own thread, and the slice must outlive it.
+            verify_sh = None
+            if touched:
+                pend = (pairs.filter(~F.col("exact"))
+                        .select(F.col("doc_a").alias("doc_id"))
+                        .unionByName(pairs.filter(~F.col("exact"))
+                                     .select(F.col("doc_b")
+                                             .alias("doc_id")))
+                        .distinct())
+                hot = (keyed
+                       .join(F.broadcast(mine_g.select(
+                           "gk1", "gk2", F.col("rep").alias("doc_id"))),
+                             ["gk1", "gk2", "doc_id"])
+                       .join(F.broadcast(pend), "doc_id", "left_semi")
+                       .select("doc_id", "text"))
+                verify_sh = (shingle_hashes(hot).distinct()
+                             .localCheckpoint(eager=True))
             if committed:
-                return pairs, None  # replay of a committed batch: no-op
+                # replay of a committed batch: no writes, same pairs
+                return pairs, None, verify_sh
             if _fs_read_text(spark, self._meta_path) is None:
                 # pin the collapse layout BEFORE the first write: a
                 # crash between the band append and a later stamp
@@ -710,7 +744,7 @@ class StreamingLshIndex:
                         _bands.unpersist()
 
             handed_off = True
-            return pairs, finish
+            return pairs, finish, verify_sh
         finally:
             if not handed_off:
                 keyed.unpersist()
