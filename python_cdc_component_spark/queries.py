@@ -7377,3 +7377,153 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (QUERIES["curation_pipeline_keep"](spark, sf_dir)
             .groupBy("drop_reason")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation: filtered vector search + hard-negative mining —
+# the two embedding-side operators a retrieval/training pipeline still
+# needs beyond plain ANN (beyond-reference; the reference has no vector
+# surface).
+
+@query("embedding_filtered_ann", """
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 4),
+cd AS (SELECT vec_id, label, e, cent_id,
+              list_sum(list_transform(range(1, 65),
+                       i -> (e[i] - ce[i]) * (e[i] - ce[i]))) AS dist
+       FROM v, cent
+       WHERE vec_id >= 8 AND label % 3 = 0),
+assign AS (SELECT vec_id, label, e, cent_id FROM cd
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cent_id) = 1),
+c AS (SELECT vec_id AS cid, label, e AS ce, cent_id AS cc,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS cn
+      FROM assign),
+qd AS (SELECT vec_id, e, cent_id,
+              list_sum(list_transform(range(1, 65),
+                       i -> (e[i] - ce[i]) * (e[i] - ce[i]))) AS dist
+       FROM v, cent WHERE vec_id IN (5, 6, 7)),
+q AS (SELECT vec_id AS qid, e AS qe, cent_id AS qc,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+      FROM qd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY dist, cent_id) <= 2),
+s AS (SELECT qid, cid, label,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> qe[i] * ce[i])) / (qn * cn), 6) AS sim
+      FROM q JOIN c ON qc = cc)
+SELECT qid, cid, label, sim FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 5
+""")
+def embedding_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the RAG shape: "nearest docs
+    WHERE tenant/lang/license matches"): IVF cells + a label predicate,
+    probing nprobe=2 cells per query because filtering thins every cell
+    — the standard recall compensation for filtered IVF search.
+
+    Scale design: the label predicate is applied BEFORE quantization,
+    so it pushes into the parquet scan (`PushedFilters`) and only
+    matching rows are ever assigned/scored — filter-then-search, never
+    search-then-filter (post-filtering top-k under a selective
+    predicate returns < k rows and re-probes). Probes broadcast; the
+    candidate↔probe join hits only the probed cells' partitions. The
+    brute-force twin is `embedding_topk`; centroids are vecs 0..3 (the
+    `embedding_ivf_ann` convention)."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"))
+    cent = (emb.filter(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("cent_id"),
+                       F.col("e").alias("ce")))
+    sqdist = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x)
+    norm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    # candidates: predicate FIRST (scan-pruned), then cell assignment
+    cand = (emb.filter((F.col("vec_id") >= 8) & (F.col("label") % 3 == 0))
+               .crossJoin(F.broadcast(cent)).withColumn("dist", sqdist))
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    c = (cand.withColumn("rn", F.row_number().over(w_assign))
+             .filter(F.col("rn") == 1)
+             .select(F.col("vec_id").alias("cid"), "label",
+                     F.col("e").alias("ce"),
+                     F.col("cent_id").alias("cc"), norm.alias("cn")))
+    # probes: nprobe=2 nearest cells each
+    q = (emb.filter(F.col("vec_id").isin([5, 6, 7]))
+            .crossJoin(F.broadcast(cent)).withColumn("dist", sqdist)
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") <= 2)
+            .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                    F.col("cent_id").alias("qc"), norm.alias("qn")))
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    pairs = (c.join(F.broadcast(q), F.col("qc") == F.col("cc"))
+              .select("qid", "cid", "label",
+                      F.round(dot / (F.col("qn") * F.col("cn")), 6)
+                       .alias("sim")))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= 5).drop("rn"))
+
+
+@query("contrastive_hard_negatives", """
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+n AS (SELECT vec_id, label, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qn
+      FROM n WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, label AS neg_label, e AS ce, nrm AS cn
+      FROM n WHERE vec_id >= 8),
+s AS (SELECT qid, cid, neg_label,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> qe[i] * ce[i])) / (qn * cn), 6) AS sim
+      FROM q JOIN c ON qlabel <> neg_label)
+SELECT qid, cid, neg_label, sim FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 5
+""")
+def contrastive_hard_negatives(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor, the top-k most-similar vectors with a DIFFERENT label
+    — the negatives that actually move a contrastive loss (random
+    negatives are trivially separable; the hard ones sit just across
+    the decision boundary).
+
+    Scale design: the anchor set broadcasts (mining runs per
+    anchor-shard against the full corpus — the `embedding_topk`
+    pattern) and the label inequality rides the broadcast join
+    condition, so same-label pairs are dropped BEFORE any dot product
+    is computed. At corpus scale the exact scoring kernel swaps for the
+    IVF/PQ index path (`embedding_ivf_ann` / `embedding_pq_ann_recall`)
+    with the label filter applied cell-side, as in
+    `embedding_filtered_ann`."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"))
+    norm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    n = emb.withColumn("nrm", norm)
+    q = (n.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("label").alias("qlabel"),
+                  F.col("e").alias("qe"), F.col("nrm").alias("qn")))
+    c = (n.filter(F.col("vec_id") >= 8)
+          .select(F.col("vec_id").alias("cid"),
+                  F.col("label").alias("neg_label"),
+                  F.col("e").alias("ce"), F.col("nrm").alias("cn")))
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    pairs = (c.join(F.broadcast(q), F.col("qlabel") != F.col("neg_label"))
+              .select("qid", "cid", "neg_label",
+                      F.round(dot / (F.col("qn") * F.col("cn")), 6)
+                       .alias("sim")))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= 5).drop("rn"))
