@@ -72,6 +72,10 @@ AUDIT_EXTRA = ["embedding_dup_pairs", "stratified_sample_docs",
                # session-5 block 2: curation + feature assembly
                "multi_eval_decontaminate", "fuzzy_eval_decontaminate",
                "semantic_eval_decontaminate", "quality_keep_calibrated",
+               # round-10 continuation: filtered vector search (the
+               # scan-pushed label predicate is the exhibit) +
+               # hard-negative mining
+               "embedding_filtered_ann", "contrastive_hard_negatives",
                "doremi_mix_weights", "user_feature_export",
                "doc_feature_join", "hll_distinct_contract",
                # round-6: operator-extracted scale paths under their
