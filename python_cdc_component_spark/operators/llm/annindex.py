@@ -31,9 +31,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ...fs import fs_delete as _fs_delete
 from ...fs import fs_exists as _fs_exists
+from ...fs import fs_file_count as _fs_file_count
+from ...fs import fs_list_names as _fs_list_names
 
 CELL_COL = "_ivf_cell"
+VEC_PART_COL = "_vec_part"
 
 
 def _sq_fold(a, b):
@@ -52,10 +56,24 @@ class IvfVectorIndex:
     index_path: str
     n_cells: int | None = 8
     target_cell_size: int = 512
+    # vec_id → cell sidecar partition count (the lsh_index docmap
+    # discipline): erasure resolves a victim's cell by opening only
+    # `victims mod N` sidecar partitions, never the inverted file
+    num_map_parts: int = 16
 
     @property
     def _cent_path(self) -> str:
         return os.path.join(self.index_path, "_centroids.json")
+
+    @property
+    def _vecmap_path(self) -> str:
+        return os.path.join(self.index_path, "_vecmap")
+
+    def _vecmap_rows(self, assigned: DataFrame) -> DataFrame:
+        return assigned.select(
+            "vec_id", F.col(CELL_COL).alias("cell"),
+            F.pmod("vec_id", F.lit(self.num_map_parts)).cast("int")
+            .alias(VEC_PART_COL))
 
     def build(self, spark: SparkSession, emb: DataFrame,
               centroids: list[list[float]] | None = None) -> int:
@@ -77,12 +95,21 @@ class IvfVectorIndex:
             F.lit(i).alias("k")) for i, c in enumerate(centroids)]
         nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
                                  F.lit(0.0), lambda a, x: a + x))
-        assigned = emb.select(
-            "vec_id", "e", nrm.alias("nrm"),
-            F.array_min(F.array(*structs))["k"].alias(CELL_COL))
+        # withColumn, not select: metadata columns (label, lang,
+        # tenant, …) ride into the cell layout so filtered probes can
+        # push predicates into the pruned candidate scan
+        assigned = (emb.withColumn("nrm", nrm)
+                    .withColumn(CELL_COL,
+                                F.array_min(F.array(*structs))["k"]))
         (assigned.repartition(F.col(CELL_COL))
                  .write.partitionBy(CELL_COL)
                  .mode("overwrite").parquet(self.index_path))
+        # the vec→cell sidecar (after the overwrite above wiped the
+        # dir); hidden from cell scans by the underscore prefix
+        (self._vecmap_rows(assigned)
+             .repartition(self.num_map_parts, F.col(VEC_PART_COL))
+             .write.partitionBy(VEC_PART_COL)
+             .mode("overwrite").parquet(self._vecmap_path))
         with open(self._cent_path, "w") as fh:
             json.dump(centroids, fh)
         return len(centroids)
@@ -104,9 +131,9 @@ class IvfVectorIndex:
             F.lit(i).alias("k")) for i, c in enumerate(centroids)]
         nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
                                  F.lit(0.0), lambda a, x: a + x))
-        assigned = emb.select(
-            "vec_id", "e", nrm.alias("nrm"),
-            F.array_min(F.array(*structs))["k"].alias(CELL_COL))
+        assigned = (emb.withColumn("nrm", nrm)
+                    .withColumn(CELL_COL,
+                                F.array_min(F.array(*structs))["k"]))
         assigned.persist()
         try:
             n = assigned.count()
@@ -114,9 +141,131 @@ class IvfVectorIndex:
                 (assigned.repartition(F.col(CELL_COL))
                          .write.partitionBy(CELL_COL)
                          .mode("append").parquet(self.index_path))
+                (self._vecmap_rows(assigned)
+                     .repartition(self.num_map_parts,
+                                  F.col(VEC_PART_COL))
+                     .write.partitionBy(VEC_PART_COL)
+                     .mode("append").parquet(self._vecmap_path))
             return n
         finally:
             assigned.unpersist()
+
+    def purge_vectors(self, spark: SparkSession,
+                      vec_ids: list[int]) -> int:
+        """GDPR/right-to-be-forgotten erasure on the serving index:
+        drop the victims' rows, rewriting ONLY the cells they live in.
+        Victim cells resolve from the ``_vecmap`` sidecar (open
+        ``victims mod N`` partitions, never the inverted file); a
+        pre-sidecar index falls back to a one-off full scan — the
+        ``StreamingLshIndex.purge_docs`` discipline. Returns the number
+        of index rows erased.
+
+        Crash-retryable step order: cell rewrites land BEFORE sidecar
+        hygiene, so a retry re-derives the victim cells from the
+        still-intact sidecar and converges (re-purging an already-clean
+        cell is a no-op rewrite). Erasure is physical — dynamic
+        partition overwrite of the victim cells, plus directory
+        deletion for cells losing their last row."""
+        victims = sorted({int(v) for v in vec_ids})
+        if not victims or not _fs_exists(spark, self.index_path):
+            return 0
+        ids_df = spark.createDataFrame([(v,) for v in victims],
+                                       "vec_id long")
+        mparts = sorted({v % self.num_map_parts for v in victims})
+        mpaths = [p for p in
+                  (os.path.join(self._vecmap_path, f"{VEC_PART_COL}={x}")
+                   for x in mparts)
+                  if _fs_exists(spark, p)]
+        if _fs_exists(spark, self._vecmap_path):
+            if not mpaths:
+                return 0
+            cells = sorted({r["cell"] for r in
+                            (spark.read
+                             .option("basePath", self._vecmap_path)
+                             .parquet(*mpaths)
+                             .join(F.broadcast(ids_df), "vec_id",
+                                   "left_semi")
+                             .select("cell").distinct().collect())})
+        else:
+            cells = sorted({r[CELL_COL] for r in
+                            (spark.read.parquet(self.index_path)
+                             .join(F.broadcast(ids_df), "vec_id",
+                                   "left_semi")
+                             .select(CELL_COL).distinct().collect())})
+        if not cells:
+            return 0
+        cpaths = [p for p in
+                  (os.path.join(self.index_path, f"{CELL_COL}={c}")
+                   for c in cells)
+                  if _fs_exists(spark, p)]
+        n_erased = 0
+        if cpaths:
+            cur = (spark.read.option("basePath", self.index_path)
+                   .parquet(*cpaths))
+            n_erased = cur.join(F.broadcast(ids_df), "vec_id",
+                                "left_semi").count()
+            if n_erased:
+                # pin before overwriting the very dirs this plan reads
+                keep = (cur.join(F.broadcast(ids_df), "vec_id",
+                                 "left_anti")
+                        .localCheckpoint(eager=True))
+                kept = {r[CELL_COL] for r in
+                        keep.select(CELL_COL).distinct().collect()}
+                if kept:
+                    (keep.repartition(F.col(CELL_COL))
+                         .write.partitionBy(CELL_COL)
+                         .option("partitionOverwriteMode", "dynamic")
+                         .mode("overwrite").parquet(self.index_path))
+                for c in cells:
+                    if c not in kept:
+                        _fs_delete(spark, os.path.join(
+                            self.index_path, f"{CELL_COL}={c}"))
+        # sidecar hygiene LAST (the retry anchor)
+        if mpaths:
+            mcur = (spark.read.option("basePath", self._vecmap_path)
+                    .parquet(*mpaths))
+            mkeep = (mcur.join(F.broadcast(ids_df), "vec_id",
+                               "left_anti")
+                     .localCheckpoint(eager=True))
+            mkept = {r[VEC_PART_COL] for r in
+                     mkeep.select(VEC_PART_COL).distinct().collect()}
+            if mkept:
+                (mkeep.repartition(len(mparts), F.col(VEC_PART_COL))
+                      .write.partitionBy(VEC_PART_COL)
+                      .option("partitionOverwriteMode", "dynamic")
+                      .mode("overwrite").parquet(self._vecmap_path))
+            for x in mparts:
+                if x not in mkept:
+                    _fs_delete(spark, os.path.join(
+                        self._vecmap_path, f"{VEC_PART_COL}={x}"))
+        return n_erased
+
+    def compact_cells(self, spark: SparkSession,
+                      file_threshold: int = 8) -> int:
+        """Fold ``add_batch`` file accretion: cells holding more than
+        ``file_threshold`` parquet files are rewritten to one file each
+        (the size-tiered compaction argument of the streaming LSH
+        index, caller-scheduled because serving indexes batch their
+        maintenance). Returns the number of cells compacted."""
+        if not _fs_exists(spark, self.index_path):
+            return 0
+        over = []
+        for name in _fs_list_names(spark, self.index_path):
+            if not name.startswith(f"{CELL_COL}="):
+                continue
+            p = os.path.join(self.index_path, name)
+            if _fs_file_count(spark, p) > file_threshold:
+                over.append(p)
+        if not over:
+            return 0
+        cur = (spark.read.option("basePath", self.index_path)
+               .parquet(*over)
+               .localCheckpoint(eager=True))    # read-then-overwrite
+        (cur.repartition(F.col(CELL_COL))
+            .write.partitionBy(CELL_COL)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(self.index_path))
+        return len(over)
 
     def _probe_cells(self, qe: list[float],
                      centroids: list[list[float]], nprobe: int) -> list[int]:
@@ -134,12 +283,22 @@ class IvfVectorIndex:
 
     def probe(self, spark: SparkSession, probes: DataFrame,
               k: int = 5, nprobe: int = 2,
+              where: str | None = None,
               audit: dict | None = None) -> DataFrame:
         """Top-k cosine neighbors for each probe row (qid,
         qe: array<double>), reading only the union of the probes'
         ``nprobe`` nearest cell directories. Probe sets are small by
         definition (serving path) — they collect driver-side and
-        broadcast back over the pruned candidate scan."""
+        broadcast back over the pruned candidate scan.
+
+        ``where`` (optional SQL predicate over the index's metadata
+        columns, e.g. ``"label % 3 = 0"``) makes this a FILTERED
+        vector search: the predicate lands on the pruned candidate
+        scan BEFORE any scoring (filter-then-search — post-filtering a
+        top-k under a selective predicate returns < k rows). Widen
+        ``nprobe`` to compensate filter-thinned cells, the standard
+        filtered-IVF recall trade (`embedding_filtered_ann` is the
+        in-query twin)."""
         with open(self._cent_path) as fh:
             centroids = json.load(fh)
         rows = probes.select("qid", "qe").collect()
@@ -159,6 +318,8 @@ class IvfVectorIndex:
                 [], "qid long, cid long, sim double")
         cand = (spark.read.option("basePath", self.index_path)
                 .parquet(*paths))
+        if where is not None:
+            cand = cand.filter(where)
         probe_tbl = spark.createDataFrame(
             [(r["qid"], r["qe"], cells_by_qid[r["qid"]]) for r in rows],
             "qid long, qe array<double>, cells array<int>")

@@ -7527,3 +7527,66 @@ def contrastive_hard_negatives(spark: SparkSession,
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (pairs.withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") <= 5).drop("rn"))
+
+
+@query("ann_index_forget_probe", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 8),
+d AS (SELECT vec_id, e, cent_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> (e[i] - ce[i]) * (e[i] - ce[i]))) AS dist
+      FROM v, cent),
+assign AS (SELECT vec_id, e, cent_id FROM d
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cent_id) = 1),
+n AS (SELECT vec_id, e, cent_id,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM assign
+      WHERE vec_id NOT BETWEEN 10 AND 19),
+qcells AS (SELECT vec_id AS qid, cent_id FROM d
+           WHERE vec_id IN (5, 6, 7)
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cent_id) <= 2),
+q AS (SELECT vec_id AS qid, e AS qe,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+      FROM v WHERE vec_id IN (5, 6, 7)),
+s AS (SELECT qc.qid, n.vec_id AS cid,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> q.qe[i] * n.e[i])) / (q.qn * n.nrm), 6)
+               AS sim
+      FROM qcells qc JOIN n ON n.cent_id = qc.cent_id
+                     JOIN q ON q.qid = qc.qid
+      WHERE n.vec_id <> qc.qid)
+SELECT qid, cid, sim FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 5
+""")
+def ann_index_forget_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure ON THE SERVING VECTOR INDEX (the lifecycle piece
+    `ann_index_probe` lacks): build the persistent IVF file, purge
+    vectors 10-19 (`IvfVectorIndex.purge_vectors` — victim cells
+    resolved from the `_vecmap` sidecar, only those cell dirs
+    rewritten), then probe. The oracle replays the full pipeline with
+    the victims excluded from the candidate set — physically erased
+    rows can never surface as neighbors, and survivors' results are
+    untouched."""
+    import shutil
+    import tempfile
+    from .operators.llm.annindex import IvfVectorIndex
+
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    work = tempfile.mkdtemp(prefix="sparkcdc_ivf_forget_")
+    try:
+        idx = IvfVectorIndex(index_path=f"{work}/index", n_cells=8)
+        idx.build(s, emb)
+        idx.purge_vectors(s, list(range(10, 20)))
+        probes = (emb.filter(F.col("vec_id").isin([5, 6, 7]))
+                     .select(F.col("vec_id").alias("qid"),
+                             F.col("e").alias("qe")))
+        out = idx.probe(s, probes, k=5, nprobe=2)
+        # pin before the tempdir vanishes
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

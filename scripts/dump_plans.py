@@ -74,8 +74,9 @@ AUDIT_EXTRA = ["embedding_dup_pairs", "stratified_sample_docs",
                "semantic_eval_decontaminate", "quality_keep_calibrated",
                # round-10 continuation: filtered vector search (the
                # scan-pushed label predicate is the exhibit) +
-               # hard-negative mining
+               # hard-negative mining + vector-index erasure
                "embedding_filtered_ann", "contrastive_hard_negatives",
+               "ann_index_forget_probe",
                "doremi_mix_weights", "user_feature_export",
                "doc_feature_join", "hll_distinct_contract",
                # round-6: operator-extracted scale paths under their
