@@ -138,14 +138,20 @@ class IvfVectorIndex:
         try:
             n = assigned.count()
             if n:
-                (assigned.repartition(F.col(CELL_COL))
-                         .write.partitionBy(CELL_COL)
-                         .mode("append").parquet(self.index_path))
+                # sidecar BEFORE cells — the mirror of purge_vectors'
+                # cells-before-sidecar order: a crashed half-append's
+                # rows stay discoverable (their map rows exist even if
+                # their cell rows don't all), so a purge of the batch's
+                # ids reverses the partial append and a marker-gated
+                # replay converges (streaming/bounded._maintain_ann_index)
                 (self._vecmap_rows(assigned)
                      .repartition(self.num_map_parts,
                                   F.col(VEC_PART_COL))
                      .write.partitionBy(VEC_PART_COL)
                      .mode("append").parquet(self._vecmap_path))
+                (assigned.repartition(F.col(CELL_COL))
+                         .write.partitionBy(CELL_COL)
+                         .mode("append").parquet(self.index_path))
             return n
         finally:
             assigned.unpersist()
@@ -256,16 +262,33 @@ class IvfVectorIndex:
             p = os.path.join(self.index_path, name)
             if _fs_file_count(spark, p) > file_threshold:
                 over.append(p)
-        if not over:
-            return 0
-        cur = (spark.read.option("basePath", self.index_path)
-               .parquet(*over)
-               .localCheckpoint(eager=True))    # read-then-overwrite
-        (cur.repartition(F.col(CELL_COL))
-            .write.partitionBy(CELL_COL)
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite").parquet(self.index_path))
-        return len(over)
+        if over:
+            cur = (spark.read.option("basePath", self.index_path)
+                   .parquet(*over)
+                   .localCheckpoint(eager=True))   # read-then-overwrite
+            (cur.repartition(F.col(CELL_COL))
+                .write.partitionBy(CELL_COL)
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").parquet(self.index_path))
+        # the vecmap sidecar accretes one file per touched partition
+        # per add_batch — fold it under the same threshold
+        mover = []
+        if _fs_exists(spark, self._vecmap_path):
+            for name in _fs_list_names(spark, self._vecmap_path):
+                if not name.startswith(f"{VEC_PART_COL}="):
+                    continue
+                p = os.path.join(self._vecmap_path, name)
+                if _fs_file_count(spark, p) > file_threshold:
+                    mover.append(p)
+        if mover:
+            mcur = (spark.read.option("basePath", self._vecmap_path)
+                    .parquet(*mover)
+                    .localCheckpoint(eager=True))
+            (mcur.repartition(len(mover), F.col(VEC_PART_COL))
+                 .write.partitionBy(VEC_PART_COL)
+                 .option("partitionOverwriteMode", "dynamic")
+                 .mode("overwrite").parquet(self._vecmap_path))
+        return len(over) + len(mover)
 
     def _probe_cells(self, qe: list[float],
                      centroids: list[list[float]], nprobe: int) -> list[int]:

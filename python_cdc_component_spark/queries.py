@@ -7243,6 +7243,7 @@ def _stage_docs_as_event_waves(spark: SparkSession, docs: DataFrame,
     import glob
     import os
     import shutil
+    import time
 
     ev = (docs.select(
               F.col("doc_id").alias("event_id"),
@@ -7258,9 +7259,18 @@ def _stage_docs_as_event_waves(spark: SparkSession, docs: DataFrame,
     flat = f"{root}/flat"
     os.makedirs(flat)
     n = 0
+    base = int(time.time()) - 3600
     for w in range(n_waves):
         for f in sorted(glob.glob(f"{root}/src/w={w}/*.parquet")):
-            shutil.copy(f, os.path.join(flat, f"p{n}.parquet"))
+            dst = os.path.join(flat, f"p{n}.parquet")
+            shutil.copy(f, dst)
+            # FileStreamSource orders by modification time; same-second
+            # copies tie and the drain order becomes arbitrary — force
+            # the wave order with strictly ascending mtimes (epoch
+            # composition must be deterministic: the dedup-groups tier
+            # sequence and the ANN sync's first-epoch centroid rule
+            # both key off which wave arrives first)
+            os.utime(dst, (base + n, base + n))
             n += 1
     return flat
 
@@ -7589,4 +7599,83 @@ def ann_index_forget_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pin before the tempdir vanishes
         return out.localCheckpoint(eager=True)
     finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("cdc_ann_index_sync", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, e AS ce FROM v
+         WHERE vec_id % 2 = 0
+         QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 4),
+d AS (SELECT vec_id, e, cent_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> (e[i] - ce[i]) * (e[i] - ce[i]))) AS dist
+      FROM v, cent),
+assign AS (SELECT vec_id, e, cent_id FROM d
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cent_id) = 1),
+n AS (SELECT vec_id, e, cent_id,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM assign),
+qcells AS (SELECT vec_id AS qid, cent_id FROM d
+           WHERE vec_id IN (5, 6, 7)
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cent_id) <= 2),
+q AS (SELECT vec_id AS qid, e AS qe,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+      FROM v WHERE vec_id IN (5, 6, 7)),
+s AS (SELECT qc.qid, n.vec_id AS cid,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> q.qe[i] * n.e[i])) / (q.qn * n.nrm), 6)
+               AS sim
+      FROM qcells qc JOIN n ON n.cent_id = qc.cent_id
+                     JOIN q ON q.qid = qc.qid
+      WHERE n.vec_id <> qc.qid)
+SELECT qid, cid, sim FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 5
+""")
+def cdc_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC sync feeding the vector-serving path end-to-end: the
+    embeddings table arrives as CDC INSERT events (vectors riding the
+    envelope as JSON array strings in `props` — the wire shape), and
+    `bounded_sync` maintains an `IvfVectorIndex` beside the compacted
+    state (`_maintain_ann_index`: epoch-marker exactly-once,
+    purge-then-add per batch, first-epoch build with seed centroids =
+    the 4 smallest-id vectors of wave one — the even ids under the
+    2-wave staging). The oracle replays the whole pipeline: IVF
+    assignment under those centroids over the table's current state,
+    nprobe=2 probes, top-5 cosine. Update/tombstone purge semantics
+    and crash/replay convergence are additionally pytest-pinned
+    (tests/test_r10_cdc_ann.py)."""
+    import shutil
+    import tempfile
+    from .operators.llm.annindex import IvfVectorIndex
+    from .streaming.bounded import BoundedStreamConfig, bounded_sync
+
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    work = tempfile.mkdtemp(prefix="sparkcdc_annsync_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    s.conf.set(pkey, "32")
+    try:
+        docs_like = emb.select(F.col("vec_id").alias("doc_id"),
+                               F.to_json(F.col("e")).alias("text"))
+        flat = _stage_docs_as_event_waves(s, docs_like, work, 2)
+        cfg = BoundedStreamConfig(
+            mode="DEDUPE", primary_keys=["user_id"],
+            max_files_per_trigger=1, max_wait_s=5.0,
+            ann_index_path=f"{work}/ann", ann_index_cells=4)
+        bounded_sync(s, flat, f"{work}/state", f"{work}/ckpt", cfg)
+        idx = IvfVectorIndex(f"{work}/ann", n_cells=4)
+        probes = (emb.filter(F.col("vec_id").isin([5, 6, 7]))
+                     .select(F.col("vec_id").alias("qid"),
+                             F.col("e").alias("qe")))
+        out = idx.probe(s, probes, k=5, nprobe=2)
+        # pin before the tempdir vanishes
+        return out.localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
         shutil.rmtree(work, ignore_errors=True)

@@ -90,6 +90,23 @@ class BoundedStreamConfig:
     dedup_doc_id_col: str = "user_id"
     dedup_text_col: str = "props"
     dedup_groups_buckets: int = 64
+    # Optional CDC-maintained ANN serving index (DEDUPE mode only):
+    # when ann_index_path is set, each micro-batch maintains an
+    # IvfVectorIndex beside the compacted state — the CDC sync feeding
+    # the vector-serving path directly. ann_vec_id_col names the
+    # integral PK; ann_vec_col a payload column carrying the vector as
+    # a JSON array string (the CDC-envelope shape). Semantics: an
+    # INSERT indexes the vector; an UPDATE purges the old version and
+    # re-indexes the new one UNDER THE STORED CENTROIDS (the codebook
+    # never moves on ingest — the serving contract; retraining is a
+    # rebuild); a tombstone purges. The first epoch builds the index
+    # with seed centroids = the ann_index_cells smallest-id vectors of
+    # that epoch's live set (deterministic, oracle-replayable).
+    ann_index_path: str | None = None
+    ann_vec_id_col: str = "user_id"
+    ann_vec_col: str = "props"
+    ann_index_cells: int = 8
+    ann_compact_threshold: int = 8
 
 
 def read_event_stream(spark: SparkSession, events_dir: str,
@@ -296,6 +313,64 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
                          batch_id=ingest_tier)
 
 
+def _maintain_ann_index(spark: SparkSession, idx, batch_df: DataFrame,
+                        epoch: int, cfg: "BoundedStreamConfig") -> None:
+    """One epoch of ANN-index side maintenance (the CDC sync feeding
+    the vector-serving path). Exactly-once: an ``_epochs/<id>`` marker
+    under the index path is touched only after the epoch's writes; the
+    replay of a marked epoch is a no-op. A crashed HALF-append is
+    self-healing because the purge precedes the add and targets every
+    batch-touched id — on replay it erases whatever rows the crashed
+    attempt managed to append (discoverable because ``add_batch``
+    writes the ``_vecmap`` sidecar BEFORE the cell rows — the append's
+    discovery anchor, the mirror of the purge's cells-before-sidecar
+    order) and the add then re-indexes cleanly."""
+    import os as _os
+
+    from ..fs import fs_exists, fs_touch
+
+    marker = _os.path.join(cfg.ann_index_path, "_epochs", str(epoch))
+    if fs_exists(spark, marker):
+        return
+    from ..operators.dedup import dedup_latest
+    idc, vc = cfg.ann_vec_id_col, cfg.ann_vec_col
+    latest = dedup_latest(batch_df.drop("_snapshot_phase"), [idc])
+    keyed = latest.select(
+        F.col(idc).cast("long").alias("vec_id"),
+        F.from_json(F.col(vc), "array<double>").alias("e"),
+        F.coalesce(F.col(SC.deleted), F.lit(False)).alias("_del"))
+    keyed.persist()
+    try:
+        # CDC batches are bounded (the poll-loop contract); the purge
+        # API takes the victim list driver-side like every erasure path
+        batch_ids = [r["vec_id"] for r in
+                     keyed.select("vec_id").distinct().collect()]
+        if not batch_ids:
+            fs_touch(spark, marker)
+            return
+        live = keyed.filter(~F.col("_del")).select("vec_id", "e")
+        if fs_exists(spark, idx._cent_path):
+            # purge EVERY batch-touched id (replaced versions,
+            # tombstones, and any crashed half-append rows); fresh
+            # inserts are a sidecar-pruned no-op
+            idx.purge_vectors(spark, batch_ids)
+            idx.add_batch(spark, live)
+            idx.compact_cells(spark,
+                              file_threshold=cfg.ann_compact_threshold)
+        else:
+            # first epoch: deterministic seed codebook — the n_cells
+            # smallest-id live vectors (an all-tombstone first epoch
+            # defers the build to the next epoch)
+            cents = [r["e"] for r in
+                     live.orderBy("vec_id").limit(idx.n_cells)
+                         .select("e").collect()]
+            if cents:
+                idx.build(spark, live, centroids=cents)
+        fs_touch(spark, marker)
+    finally:
+        keyed.unpersist()
+
+
 def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                  checkpoint_dir: str,
                  cfg: BoundedStreamConfig | None = None) -> dict:
@@ -310,6 +385,11 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
         raise ValueError(
             "dedup_groups_path requires DEDUPE mode — APPEND mode has "
             "no compacted current state to verify against")
+    if cfg.ann_index_path and cfg.mode.upper() != "DEDUPE":
+        raise ValueError(
+            "ann_index_path requires DEDUPE mode — the index mirrors "
+            "the table's CURRENT state (latest version per key), which "
+            "APPEND mode does not maintain")
     stream = read_event_stream(spark, events_dir, cfg.max_files_per_trigger)
 
     # snapshot-mode dispatch (stream flavor; batch twin in engine.sync).
@@ -363,6 +443,11 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                 groups = StreamingDedupGroups(
                     cfg.dedup_groups_path,
                     num_buckets=cfg.dedup_groups_buckets)
+            ann_idx = None
+            if cfg.ann_index_path:
+                from ..operators.llm.annindex import IvfVectorIndex
+                ann_idx = IvfVectorIndex(cfg.ann_index_path,
+                                         n_cells=cfg.ann_index_cells)
 
             def sink(batch_df: DataFrame, batch_id: int) -> None:
                 if cfg.live:
@@ -379,6 +464,9 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                     _maintain_dedup_groups(spark, groups, compactor,
                                            batch_df, int(batch_id),
                                            cfg)
+                if ann_idx is not None:
+                    _maintain_ann_index(spark, ann_idx, batch_df,
+                                        int(batch_id), cfg)
 
             writer = stream.writeStream.foreachBatch(sink)
         else:
@@ -508,6 +596,11 @@ def bounded_sync_multi_fused(spark: SparkSession,
         if c.dedup_groups_path:
             raise ValueError(
                 f"table {t!r}: dedup-groups side state is per-table "
+                "and not supported on the fused fleet path — run that "
+                "table through bounded_sync")
+        if c.ann_index_path:
+            raise ValueError(
+                f"table {t!r}: the ANN-index side state is per-table "
                 "and not supported on the fused fleet path — run that "
                 "table through bounded_sync")
 
