@@ -227,6 +227,54 @@ def bench_dedup_groups_sync(spark, sf_dir: str,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_ann_index_sync(spark, sf_dir: str, n_vecs: int = 1_000,
+                         n_waves: int = 4) -> dict:
+    """CDC sync with the ANN-index side state (round-10 continuation):
+    the embeddings table drained through ``bounded_sync`` with and
+    without ``ann_index_path`` — the row prices what maintaining the
+    serving vector index costs ON TOP of the compaction the sync pays
+    anyway (per batch: purge-then-add under stored centroids, epoch
+    marker, compaction gate)."""
+    import shutil
+    import tempfile
+
+    from python_cdc_component_spark.streaming.bounded import (
+        BoundedStreamConfig, bounded_sync)
+
+    root = tempfile.mkdtemp(prefix="bench_annsync_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        from python_cdc_component_spark.queries import (
+            _stage_docs_as_event_waves)
+        from pyspark.sql import functions as F
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .select(F.col("vec_id").alias("doc_id"),
+                       F.to_json(F.col("embedding").cast("array<double>"))
+                        .alias("text"))
+               .limit(n_vecs))
+        flat = _stage_docs_as_event_waves(spark, emb, root, n_waves)
+        out = {}
+        for label, ann_path in (("plain", None),
+                                ("with_ann", f"{root}/ann")):
+            cfg = BoundedStreamConfig(
+                mode="DEDUPE", primary_keys=["user_id"],
+                max_files_per_trigger=1, max_wait_s=5.0,
+                ann_index_path=ann_path, ann_index_cells=16)
+            t0 = time.time()
+            bounded_sync(spark, flat, f"{root}/state_{label}",
+                         f"{root}/ckpt_{label}", cfg)
+            out[f"{label}_sec"] = round(time.time() - t0, 3)
+        out["n_vecs"] = n_vecs
+        out["n_batches"] = n_waves
+        out["ann_premium_sec"] = round(
+            out["with_ann_sec"] - out["plain_sec"], 3)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_boilerplate_guard(spark, sf_dir: str,
                             n_copies: int = 3_000) -> dict:
     """Round-8 exact-duplicate collapse, priced per round: hybrid
@@ -459,6 +507,7 @@ def main() -> None:
             "streaming_fleet": bench_streaming_fleet(spark, sf_dir),
             "skew_join": bench_skew(spark),
             "dedup_groups_sync": bench_dedup_groups_sync(spark, sf_dir),
+            "ann_index_sync": bench_ann_index_sync(spark, sf_dir),
             "q1_decimal_probe": bench_q1_decimal_probe(spark, sf_dir),
             "boilerplate_guard": bench_boilerplate_guard(spark, sf_dir),
             "stream_boilerplate_guard":
