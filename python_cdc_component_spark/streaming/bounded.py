@@ -355,8 +355,16 @@ def _maintain_ann_index(spark: SparkSession, idx, batch_df: DataFrame,
             # inserts are a sidecar-pruned no-op
             idx.purge_vectors(spark, batch_ids)
             idx.add_batch(spark, live)
-            idx.compact_cells(spark,
-                              file_threshold=cfg.ann_compact_threshold)
+            # cheap gate before the per-directory listings: one
+            # recursive JVM-side count vs ~(cells + map parts) py4j
+            # round-trips per epoch (the lsh_index
+            # fs_total_file_count discipline)
+            from ..fs import fs_total_file_count
+            est_dirs = idx.n_cells + idx.num_map_parts
+            if (fs_total_file_count(spark, idx.index_path)
+                    > cfg.ann_compact_threshold * est_dirs):
+                idx.compact_cells(
+                    spark, file_threshold=cfg.ann_compact_threshold)
         else:
             # first epoch: deterministic seed codebook — the n_cells
             # smallest-id live vectors (an all-tombstone first epoch
