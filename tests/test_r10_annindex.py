@@ -179,3 +179,44 @@ def test_compact_cells_folds_append_files(spark, tmp_path):
     assert _probe_set(spark, idx, [(100, _axis(0)), (101, _axis(1))],
                       k=8, nprobe=1) == before
     assert idx.compact_cells(spark, file_threshold=2) == 0
+
+
+def test_purge_equals_survivor_rebuild_property(spark, tmp_path):
+    """Invariant, drawn over victim sets: purging S from an index
+    equals building a fresh index over the survivors under the SAME
+    codebook — same (vec_id, cell) content, same probe results.
+    Covers multi-cell victims, whole-cell death, repeated purges, and
+    purging ids that were never indexed."""
+    import random
+    rnd = random.Random(20260816)
+    rows = [(i, _axis(i % 4)) for i in range(4)] \
+        + [(i, _axis(i % 4, v=1.0 + 0.003 * i)) for i in range(10, 60)]
+    all_ids = [i for i, _ in rows]
+    emb = _emb(spark, rows)
+    cents = [r["e"] for r in
+             emb.filter("vec_id < 4").orderBy("vec_id")
+                .select("e").collect()]
+
+    def contents(path):
+        return sorted((r["vec_id"], r[CELL_COL]) for r in
+                      spark.read.parquet(path)
+                      .select("vec_id", CELL_COL).collect())
+
+    for draw in range(3):
+        k = rnd.choice([3, 17, len(all_ids) - 2])
+        victims = rnd.sample(all_ids, k) + [999, 1000]  # + never-indexed
+        ix = str(tmp_path / f"ix{draw}")
+        rb = str(tmp_path / f"rb{draw}")
+        idx = IvfVectorIndex(ix, n_cells=4)
+        idx.build(spark, emb, centroids=cents)
+        assert idx.purge_vectors(spark, victims) == k
+        ref = IvfVectorIndex(rb, n_cells=4)
+        ref.build(spark, emb.filter(~F.col("vec_id").isin(victims)),
+                  centroids=cents)
+        assert contents(ix) == contents(rb), f"draw {draw} diverged"
+        qs = [(100, _axis(0)), (101, _axis(2))]
+        assert _probe_set(spark, idx, qs, k=6, nprobe=2) \
+            == _probe_set(spark, ref, qs, k=6, nprobe=2)
+        # second purge of the same set: no-op
+        assert idx.purge_vectors(spark, victims) == 0
+        assert contents(ix) == contents(rb)
