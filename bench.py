@@ -269,6 +269,32 @@ def bench_ann_index_sync(spark, sf_dir: str, n_vecs: int = 1_000,
         out["n_batches"] = n_waves
         out["ann_premium_sec"] = round(
             out["with_ann_sec"] - out["plain_sec"], 3)
+        # scale pin (the stream_groups_scale discipline): the same
+        # pipeline at 3× vectors; per-epoch fixed cost amortizes, so
+        # the bound is the standard 1.3 × data ratio
+        root3 = tempfile.mkdtemp(prefix="bench_annsync3_")
+        try:
+            emb3 = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                    .select(F.col("vec_id").alias("doc_id"),
+                            F.to_json(F.col("embedding")
+                                      .cast("array<double>"))
+                             .alias("text"))
+                    .limit(3 * n_vecs))
+            flat3 = _stage_docs_as_event_waves(spark, emb3, root3,
+                                               n_waves)
+            cfg3 = BoundedStreamConfig(
+                mode="DEDUPE", primary_keys=["user_id"],
+                max_files_per_trigger=1, max_wait_s=5.0,
+                ann_index_path=f"{root3}/ann", ann_index_cells=16)
+            t0 = time.time()
+            bounded_sync(spark, flat3, f"{root3}/state",
+                         f"{root3}/ckpt", cfg3)
+            out["with_ann_x3_sec"] = round(time.time() - t0, 3)
+            out["time_ratio_x3"] = round(
+                out["with_ann_x3_sec"] / out["with_ann_sec"], 2)
+            out["within_bound"] = bool(out["time_ratio_x3"] <= 1.3 * 3)
+        finally:
+            shutil.rmtree(root3, ignore_errors=True)
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -533,6 +559,8 @@ def main() -> None:
             if isinstance(extras["scale_ratios"], dict) else [])
         if not extras["stream_groups_scale"].get("within_bound", True):
             doc["scale_ratio_violations"].append("stream_groups_scale")
+        if not extras["ann_index_sync"].get("within_bound", True):
+            doc["scale_ratio_violations"].append("ann_index_sync")
         print(json.dumps(extras, separators=(",", ":")))
     print(json.dumps(doc, separators=(",", ":")))
 
