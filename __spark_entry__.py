@@ -60,26 +60,26 @@ DRIVER_WINDOW = [
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
     # rotated in (first-ever driver rows): the 5-query r9 tail plus
-    # the six round-10 additions — after these, all 209 registered
+    # the seven round-10 additions — after these, all 210 registered
     # queries have held a green driver row
     "q10_returned_revenue", "greatest_least_scalar", "bitwise_aggs",
     "rank_fractions", "dedup_groups_composite_sync",
     "fuzzy_eval_decontaminate", "semantic_eval_decontaminate",
     "embedding_filtered_ann", "contrastive_hard_negatives",
     "ann_index_forget_probe", "cdc_ann_index_sync",
-    # rotated in (staleness refresh): the 14 stalest driver rows —
+    "semantic_groups_stream",
+    # rotated in (staleness refresh): the 13 stalest driver rows —
     # all last rowed in r3, alphabetical within the tier (never-rowed
-    # outranks staleness refresh, so the six new queries displaced
-    # the alphabetically-last r3 fillers, q6_revenue_delta,
-    # regexp_funcs, rollup_orders, salted_join_segments,
-    # semi_join_returned_orders and set_ops_customers — they re-row
-    # in a later refresh)
+    # outranks staleness refresh, so the seven new queries displaced
+    # the alphabetically-last r3 fillers, q5_nation_revenue,
+    # q6_revenue_delta, regexp_funcs, rollup_orders,
+    # salted_join_segments, semi_join_returned_orders and
+    # set_ops_customers — they re-row in a later refresh)
     "anti_join_unreturned_orders", "array_funcs", "bpeish_token_count",
     "correlated_min_order", "cube_lineitem", "date_funcs",
     "distinct_users_per_type", "full_outer_nation_counts",
     "having_above_avg_customers", "percentiles_by_status",
     "pivot_event_counts", "q3_shipping_priority", "q4_order_priority",
-    "q5_nation_revenue",
 ]
 
 

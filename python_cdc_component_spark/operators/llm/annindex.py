@@ -75,6 +75,45 @@ class IvfVectorIndex:
             F.pmod("vec_id", F.lit(self.num_map_parts)).cast("int")
             .alias(VEC_PART_COL))
 
+    @staticmethod
+    def assign_cells(emb: DataFrame,
+                     centroids: list[list[float]]) -> DataFrame:
+        """(vec_id, e, …) → the same rows + (nrm, _ivf_cell): the
+        shuffle-free array-literal-argmin assignment under a FIXED
+        codebook (ties break to the smallest cell id — the
+        `embedding_ivf_ann` ORDER BY dist, cent_id convention).
+        Shared by build/add_batch and external consumers (the
+        streaming semantic dedup's pair stage)."""
+        structs = [F.struct(
+            _sq_fold(F.col("e"),
+                     F.array(*[F.lit(v) for v in c])).alias("d"),
+            F.lit(i).alias("k")) for i, c in enumerate(centroids)]
+        nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                 F.lit(0.0), lambda a, x: a + x))
+        return (emb.withColumn("nrm", nrm)
+                .withColumn(CELL_COL,
+                            F.array_min(F.array(*structs))["k"]))
+
+    def load_centroids(self) -> list[list[float]] | None:
+        """The stored codebook, or None for a not-yet-built index."""
+        if not os.path.exists(self._cent_path):
+            return None
+        with open(self._cent_path) as fh:
+            return json.load(fh)
+
+    def read_cells(self, spark: SparkSession,
+                   cells: list[int]) -> DataFrame | None:
+        """Partition-pruned scan of the given cell directories (None
+        when none exist) — probe-side I/O ∝ the requested cells."""
+        paths = [p for p in
+                 (os.path.join(self.index_path, f"{CELL_COL}={c}")
+                  for c in sorted(set(cells)))
+                 if _fs_exists(spark, p)]
+        if not paths:
+            return None
+        return (spark.read.option("basePath", self.index_path)
+                .parquet(*paths))
+
     def build(self, spark: SparkSession, emb: DataFrame,
               centroids: list[list[float]] | None = None) -> int:
         """Materialize the inverted file from ``emb`` (vec_id,
@@ -90,17 +129,11 @@ class IvfVectorIndex:
             rows = (emb.filter(F.col("vec_id") < self.n_cells)
                        .orderBy("vec_id").select("e").collect())
             centroids = [r["e"] for r in rows]
-        structs = [F.struct(
-            _sq_fold(F.col("e"), F.array(*[F.lit(v) for v in c])).alias("d"),
-            F.lit(i).alias("k")) for i, c in enumerate(centroids)]
-        nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
-                                 F.lit(0.0), lambda a, x: a + x))
-        # withColumn, not select: metadata columns (label, lang,
-        # tenant, …) ride into the cell layout so filtered probes can
-        # push predicates into the pruned candidate scan
-        assigned = (emb.withColumn("nrm", nrm)
-                    .withColumn(CELL_COL,
-                                F.array_min(F.array(*structs))["k"]))
+        # withColumn inside assign_cells, not a narrowing select:
+        # metadata columns (label, lang, tenant, …) ride into the cell
+        # layout so filtered probes can push predicates into the
+        # pruned candidate scan
+        assigned = self.assign_cells(emb, centroids)
         (assigned.repartition(F.col(CELL_COL))
                  .write.partitionBy(CELL_COL)
                  .mode("overwrite").parquet(self.index_path))
@@ -126,14 +159,7 @@ class IvfVectorIndex:
         indexes batch their ingests)."""
         with open(self._cent_path) as fh:
             centroids = json.load(fh)
-        structs = [F.struct(
-            _sq_fold(F.col("e"), F.array(*[F.lit(v) for v in c])).alias("d"),
-            F.lit(i).alias("k")) for i, c in enumerate(centroids)]
-        nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
-                                 F.lit(0.0), lambda a, x: a + x))
-        assigned = (emb.withColumn("nrm", nrm)
-                    .withColumn(CELL_COL,
-                                F.array_min(F.array(*structs))["k"]))
+        assigned = self.assign_cells(emb, centroids)
         assigned.persist()
         try:
             n = assigned.count()

@@ -7679,3 +7679,71 @@ def cdc_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         s.conf.set(pkey, prev)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query("semantic_groups_stream", """
+WITH RECURSIVE v AS (SELECT vec_id,
+                            list_transform(embedding,
+                                           x -> CAST(x AS DOUBLE)) AS e
+                     FROM embeddings),
+cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ck, e AS ce
+         FROM v WHERE vec_id % 2 = 0
+         QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 4),
+d AS (SELECT vec_id, e, ck,
+             list_sum(list_transform(range(1, 65),
+                      i -> (e[i] - ce[i]) * (e[i] - ce[i]))) AS dist
+      FROM v, cent),
+assign AS (SELECT vec_id, e, ck FROM d
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, ck) = 1),
+n AS (SELECT vec_id, e, ck,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM assign),
+p AS (SELECT a.vec_id AS s, b.vec_id AS t
+      FROM n a JOIN n b ON a.ck = b.ck AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(range(1, 65),
+                  i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) >= 0.4),
+sym AS (SELECT s, t FROM p UNION SELECT t, s FROM p),
+reach AS (SELECT s AS nn, t AS m FROM sym
+          UNION
+          SELECT r.nn, e2.t FROM reach r JOIN sym e2 ON r.m = e2.s),
+lbl AS (SELECT nn, m FROM reach
+        UNION ALL SELECT vec_id, vec_id FROM v),
+comp AS (SELECT nn AS vec_id, MIN(m) AS component FROM lbl GROUP BY nn)
+SELECT component, component AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY component
+""")
+def semantic_groups_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup (round-10 continuation): the embeddings
+    corpus arrives in two batches (evens then odds) and
+    `StreamingSemanticGroups` maintains cosine near-dup components
+    incrementally — IVF cell assignment under the FIRST batch's seed
+    codebook (4 smallest even ids), same-cell round(cos,6) ≥ 0.4 pairs
+    against (indexed ∪ batch), `merge_pairs` component merge. The
+    union of per-batch pair sets is EXACTLY the all-pairs same-cell
+    set (evens×evens from batch one, odds×all from batch two), so the
+    oracle replays the whole pipeline batch-free: fixed-codebook
+    assignment → same-cell threshold pairs → recursive closure →
+    min-id keepers (keeper == component, since every member carries
+    n_tokens=1 through the groups state)."""
+    import shutil
+    import tempfile
+    from .streaming.semantic_state import StreamingSemanticGroups
+
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    work = tempfile.mkdtemp(prefix="sparkcdc_semstream_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    s.conf.set(pkey, "32")
+    try:
+        st = StreamingSemanticGroups(f"{work}/st", n_cells=4,
+                                     threshold=0.4, num_buckets=16)
+        st.process_batch(s, emb.filter("vec_id % 2 = 0"), batch_id=0)
+        st.process_batch(s, emb.filter("vec_id % 2 = 1"), batch_id=1)
+        return st.read_groups(s).localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
+        shutil.rmtree(work, ignore_errors=True)

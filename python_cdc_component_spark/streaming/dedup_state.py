@@ -397,6 +397,49 @@ class StreamingDedupGroups:
             self._drain_index_writes(swallow=True)
             raise
 
+    def merge_pairs(self, spark: SparkSession, batch_docs: DataFrame,
+                    pairs: DataFrame,
+                    corpus: DataFrame | None = None,
+                    batch_id: int | None = None) -> dict:
+        """Component-merge entry for EXTERNAL pair sources: merge
+        ``pairs`` (doc_a, doc_b[, exact boolean]) into the groups
+        state exactly as :meth:`process_batch` merges its own LSH
+        candidates — same markers, same bounded-probe-else-distributed
+        merge, same exactly-once replay contract — WITHOUT running the
+        text LSH front end. Callers: the streaming semantic twin
+        (cosine pairs, already verified → ``exact=True`` rows skip the
+        Jaccard check), an offline suspect list (no ``exact`` column →
+        verified against ``corpus`` text like LSH candidates).
+        ``batch_docs`` is (doc_id, text); payloads without real text
+        synthesize a constant — the keep window then degrades to
+        min-doc-id keepers, which the caller's oracle must mirror."""
+        self._resolve_buckets(spark)
+        self._check_mode(spark, batch_id, "merge_pairs")
+        committed = (batch_id is not None
+                     and _fs_exists(spark, os.path.join(
+                         self._manifest_path, str(batch_id))))
+        # pin the layout: labels/node_map partition counts and the id
+        # kind adopt the index meta, but a store fed only external
+        # pairs never writes bands — stamp the meta here so a reopen
+        # cannot mis-prune
+        if not committed:
+            self.index._adopt_id_kind(spark, batch_docs)
+            if _fs_read_text(spark, self.index._meta_path) is None:
+                self.index._write_meta(spark, docmap_complete=True)
+        self._start_index_writes(None)
+        # pin: the merge consumes pairs from several subtrees (verify
+        # split, edge probe, distributed path) — external callers'
+        # lazy pair plans must not recompute per consumer
+        pairs = pairs.localCheckpoint(eager=True)
+        try:
+            return self._merge_batch(
+                spark, batch_docs,
+                corpus if corpus is not None else batch_docs,
+                batch_id, committed, pairs)
+        except BaseException:
+            self._drain_index_writes(swallow=True)
+            raise
+
     def _start_index_writes(self, finish) -> None:
         """Run the index's deferred write half on one worker thread
         (``None`` — replay/all-short batch — is a no-op)."""

@@ -1,0 +1,190 @@
+"""Continuously-maintained SEMANTIC near-dup groups — the streaming
+state form of the batch `semantic_dup_groups` (SemDeDup) pipeline,
+composed from two proven parts:
+
+    ingest batch of vectors → IVF cell assignment under a FIXED
+    codebook → same-cell cosine pairs vs (indexed ∪ batch)
+    → StreamingDedupGroups.merge_pairs (incremental component merge)
+
+* the vector side is an :class:`IvfVectorIndex` (cell-partitioned
+  inverted file): pair candidates join only within a cell, so
+  per-batch pair work is Σ|batch∩cell|×|cell| — the SemDeDup
+  cell-blocking trade (cross-cell near-dups at the cell boundary are
+  sacrificed, exactly as the batch operator sacrifices them);
+* pairs arrive at the component state ALREADY verified (the cosine
+  threshold IS the verdict — there is no second-stage check to run),
+  so they ride :meth:`StreamingDedupGroups.merge_pairs` as
+  ``exact=True`` edges and the Jaccard verify stage never executes;
+* the codebook is pinned at the first batch (seed centroids = the
+  ``n_cells`` smallest-id vectors of that batch — deterministic, so a
+  SQL oracle can replay the assignment bit-exactly) and NEVER moves on
+  ingest: assignment stays a shuffle-free codegen projection at any
+  corpus size, and retraining is an explicit rebuild;
+* exactly-once rides the groups store's batch markers: the vector
+  index is maintained purge-then-add BEFORE the component merge, so a
+  marked batch implies durable vectors, and a crashed half-append is
+  reversed by the replay's purge (the CDC ANN-index discipline,
+  streaming/bounded._maintain_ann_index).
+
+Unlike the text twin there is no exact-duplicate collapse: K identical
+VECTORS in one cell cost K²/2 pairs (the batch SemDeDup kernel pays
+the same |cell|² term) — bounded by the cell, and the component
+merge's edge probe degrades to its distributed path above the
+threshold, never a driver collect.
+
+Keep rule: every vector carries n_tokens=1 through the groups state,
+so the keep window degrades to MIN doc_id per component — keeper ==
+component id, the SemDeDup "keep the lowest-id member" convention.
+
+Reference parity note: the reference engine has no vector surface
+(db_components/db_common has no embedding operators); this is a
+beyond-reference LLM-pipeline family member.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fs import fs_exists as _fs_exists
+from ..operators.llm.annindex import CELL_COL, IvfVectorIndex
+from .dedup_state import StreamingDedupGroups
+
+
+@dataclass
+class StreamingSemanticGroups:
+    """Persistent semantic (cosine) near-dup groups with per-batch
+    maintenance. Call :meth:`process_batch` once per (vec_id, e)
+    batch; read the keep-list with :meth:`read_groups`."""
+
+    state_path: str
+    n_cells: int = 8
+    # verified edge iff round(cosine, 6) >= threshold — the 6dp-rounded
+    # double compare BOTH engines evaluate identically (the
+    # semantic_dup_pairs convention: round first, compare second, so
+    # boundary values agree bit-for-bit with a SQL replay)
+    threshold: float = 0.4
+    num_buckets: int = 16
+    groups: StreamingDedupGroups = field(init=False)
+    index: IvfVectorIndex = field(init=False)
+
+    def __post_init__(self) -> None:
+        if not -1.0 <= self.threshold <= 1.0:
+            raise ValueError(
+                f"threshold {self.threshold} is not a cosine bound "
+                f"in [-1, 1]")
+        self.groups = StreamingDedupGroups(
+            os.path.join(self.state_path, "groups"),
+            num_buckets=self.num_buckets)
+        self.index = IvfVectorIndex(
+            os.path.join(self.state_path, "vectors"),
+            n_cells=self.n_cells)
+
+    # -- per-batch maintenance ----------------------------------------
+
+    def process_batch(self, spark: SparkSession, batch_vecs: DataFrame,
+                      batch_id: int | None = None) -> dict:
+        """Ingest one batch of (vec_id long, e array<double>) rows.
+        With ``batch_id``, replays of committed batches are no-ops and
+        crashed half-writes converge (exactly-once on the groups
+        store's marker; vector writes precede it)."""
+        committed = (batch_id is not None
+                     and _fs_exists(spark, os.path.join(
+                         self.groups._manifest_path, str(batch_id))))
+        batch = batch_vecs.select("vec_id", "e")
+        batch.persist()
+        try:
+            centroids = self.index.load_centroids()
+            fresh = centroids is None
+            if fresh:
+                # deterministic seed codebook: the n_cells smallest-id
+                # vectors of the FIRST batch (oracle-replayable)
+                centroids = [r["e"] for r in
+                             batch.orderBy("vec_id")
+                                  .limit(self.index.n_cells)
+                                  .select("e").collect()]
+                if not centroids:
+                    return {"batch_id": batch_id, "n_verified_edges": 0,
+                            "replay": committed}
+            assigned = (IvfVectorIndex
+                        .assign_cells(batch, centroids)
+                        .localCheckpoint(eager=True))
+            cells = [r[0] for r in
+                     assigned.select(CELL_COL).distinct().collect()]
+            # candidate side: the batch's own cells from the stored
+            # inverted file (pruned read) ∪ the batch itself. On a
+            # committed replay the stored side already holds the
+            # batch's rows — same-id pairs are excluded and same-pair
+            # duplicates collapse under the distinct, so the pair set
+            # replays identically.
+            stored = (self.index.read_cells(spark, cells)
+                      if not fresh else None)
+            cand = assigned.select("vec_id", "e", "nrm", CELL_COL)
+            if stored is not None:
+                cand = cand.unionByName(
+                    stored.select("vec_id", "e", "nrm", CELL_COL))
+            a = assigned.alias("a")
+            c = cand.alias("c")
+            dot = F.aggregate(
+                F.zip_with("a.e", "c.e", lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x)
+            sim = F.round(dot / (F.col("a.nrm") * F.col("c.nrm")), 6)
+            pairs = (a.join(c, (F.col(f"a.{CELL_COL}")
+                                == F.col(f"c.{CELL_COL}"))
+                            & (F.col("a.vec_id") != F.col("c.vec_id")))
+                     .filter(sim >= F.lit(float(self.threshold)))
+                     .select(F.least("a.vec_id", "c.vec_id")
+                             .alias("doc_a"),
+                             F.greatest("a.vec_id", "c.vec_id")
+                             .alias("doc_b"))
+                     .distinct()
+                     .select("doc_a", "doc_b",
+                             F.lit(1).cast("long").alias("n_bands"),
+                             # the cosine threshold IS the verdict —
+                             # merge_pairs skips the Jaccard verify
+                             F.lit(True).alias("exact"))
+                     # pin BEFORE the writes below replace the very
+                     # cell files the stored-side plan listed (the
+                     # lsh_index read-then-overwrite discipline)
+                     .localCheckpoint(eager=True))
+            # vector maintenance BEFORE the component merge: the groups
+            # marker (touched inside merge_pairs' commit) then implies
+            # durable vectors; a crash in between replays as
+            # purge-then-add (reversing any half-append) + an identical
+            # pair set
+            if not committed:
+                if fresh:
+                    self.index.build(spark, batch, centroids=centroids)
+                else:
+                    batch_ids = [r["vec_id"] for r in
+                                 batch.select("vec_id").distinct()
+                                      .collect()]
+                    self.index.purge_vectors(spark, batch_ids)
+                    self.index.add_batch(spark, batch)
+            docs_like = batch.select(
+                F.col("vec_id").alias("doc_id"),
+                F.lit("v").alias("text"))
+            return self.groups.merge_pairs(spark, docs_like, pairs,
+                                           batch_id=batch_id)
+        finally:
+            batch.unpersist()
+
+    # -- reads / erasure ----------------------------------------------
+
+    def read_groups(self, spark: SparkSession) -> DataFrame:
+        """(component, keep_doc_id, cluster_size) — keeper == the min
+        member id (all n_tokens are 1 in this store)."""
+        return (self.groups.read_groups(spark)
+                .select("component", "keep_doc_id", "cluster_size"))
+
+    def purge_docs(self, spark: SparkSession, vec_ids: list[int],
+                   purge_batch_id: int | None = None) -> int:
+        """GDPR erasure across BOTH sides: the vectors leave the
+        inverted file (cell-pruned) and the ids lose every group claim
+        (survivor re-election, the groups-store contract)."""
+        self.index.purge_vectors(spark, vec_ids)
+        return self.groups.purge_docs(spark, vec_ids,
+                                      purge_batch_id=purge_batch_id)
