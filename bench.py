@@ -380,6 +380,66 @@ def bench_stream_boilerplate_guard(spark, sf_dir: str,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_stream_semantic_guard(spark, sf_dir: str,
+                                n_copies: int = 800,
+                                n_corpus: int = 100) -> dict:
+    """Round-11 vector twin of ``stream_boilerplate_guard``: an
+    identical-VECTOR flood (n_copies copies of one embedding — the
+    re-crawled-page / default-vector corpus shape — plus n_corpus
+    distinct vectors, over two ingest batches) driven through
+    ``StreamingSemanticGroups`` with the vector-exact collapse ON vs
+    OFF. Unguarded, same-cell pairing pays K²/2 cosine pairs for the
+    flood; guarded, the flood groups under its min-id rep for K−1
+    attach edges. ``pairs_*`` pin the candidate-volume contract so a
+    regression is machine-detectable, not just slower; both modes must
+    reach identical groups (asserted here — the collapse is a cost
+    lever, never a semantics change)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from python_cdc_component_spark.streaming.semantic_state import (
+        StreamingSemanticGroups)
+
+    base = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("e"))
+            .limit(n_corpus))
+    dim = len(base.select("e").first()["e"])
+    flood_vec = F.array(*[F.lit(1.0 if i == 0 else 0.25)
+                          for i in range(dim)])
+    flood = spark.range(3_000_000, 3_000_000 + n_copies).select(
+        F.col("id").alias("vec_id"), flood_vec.alias("e"))
+    corpus = base.unionByName(flood).localCheckpoint(eager=True)
+    half = 3_000_000 + n_copies // 2
+    batches = [corpus.filter(F.col("vec_id") < half),
+               corpus.filter(F.col("vec_id") >= half)]
+    root = tempfile.mkdtemp(prefix="bench_ssg_")
+    out: dict = {"n_copies": n_copies, "n_corpus": n_corpus}
+    try:
+        groups = {}
+        for label, collapse in (("guarded", True), ("unguarded", False)):
+            st = StreamingSemanticGroups(
+                os.path.join(root, label), n_cells=8, threshold=0.9,
+                num_buckets=16, collapse_identical=collapse)
+            t0 = time.time()
+            n_pairs = 0
+            for i, b in enumerate(batches):
+                stats = st.process_batch(spark, b, batch_id=i)
+                n_pairs += int(stats["n_verified_edges"])
+            groups[label] = {
+                (r["component"], r["keep_doc_id"], r["cluster_size"])
+                for r in st.read_groups(spark).collect()}
+            out[f"{label}_sec"] = round(time.time() - t0, 3)
+            out[f"pairs_{label}"] = n_pairs
+        out["groups_equal"] = bool(
+            groups["guarded"] == groups["unguarded"])
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_skew(spark, n: int = 1_000_000, hot_frac: float = 0.5) -> dict:
     """Inline skew-strategy ladder (plain vs AQE skew-join vs salted vs
     broadcast) so the measured justification for operators/joins.py

@@ -35,6 +35,9 @@ from ...fs import fs_delete as _fs_delete
 from ...fs import fs_exists as _fs_exists
 from ...fs import fs_file_count as _fs_file_count
 from ...fs import fs_list_names as _fs_list_names
+from ...fs import fs_read_text as _fs_read_text
+from ...fs import fs_touch as _fs_touch
+from ...fs import fs_write_text as _fs_write_text
 
 CELL_COL = "_ivf_cell"
 VEC_PART_COL = "_vec_part"
@@ -69,6 +72,20 @@ class IvfVectorIndex:
     def _vecmap_path(self) -> str:
         return os.path.join(self.index_path, "_vecmap")
 
+    @property
+    def _vecmap_ok_path(self) -> str:
+        """Sidecar-COMPLETE marker (inside ``_vecmap``, so deleting the
+        sidecar dir atomically revokes the trust): ``purge_vectors``
+        resolves victim cells from the sidecar only while this marker
+        exists. Without it a sidecar created by an ``add_batch`` onto a
+        pre-sidecar index would hold ONLY the new rows, and a purge
+        trusting it would silently skip every legacy row — erasure
+        reporting 0 while the vectors keep serving (ADVICE r10,
+        medium). ``build`` sets it after the full sidecar write;
+        ``add_batch`` backfills the sidecar from the cell layout and
+        only then sets it."""
+        return os.path.join(self._vecmap_path, "_COMPLETE")
+
     def _vecmap_rows(self, assigned: DataFrame) -> DataFrame:
         return assigned.select(
             "vec_id", F.col(CELL_COL).alias("cell"),
@@ -94,12 +111,25 @@ class IvfVectorIndex:
                 .withColumn(CELL_COL,
                             F.array_min(F.array(*structs))["k"]))
 
-    def load_centroids(self) -> list[list[float]] | None:
-        """The stored codebook, or None for a not-yet-built index."""
-        if not os.path.exists(self._cent_path):
-            return None
-        with open(self._cent_path) as fh:
-            return json.load(fh)
+    def load_centroids(self,
+                       spark: SparkSession | None = None
+                       ) -> list[list[float]] | None:
+        """The stored codebook, or None for a not-yet-built index.
+
+        Routed through the Hadoop-FS helpers (fs.py), NOT
+        ``os.path.exists``/``open``: on a non-local store (hdfs://,
+        s3a://) a local-path check silently reports absence, the caller
+        takes the fresh-build path, and a mode-overwrite ``build``
+        destroys the existing remote index (ADVICE r10). ``spark``
+        defaults to the active session."""
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:          # no JVM: pure-local fallback
+            if not os.path.exists(self._cent_path):
+                return None
+            with open(self._cent_path) as fh:
+                return json.load(fh)
+        txt = _fs_read_text(spark, self._cent_path)
+        return None if txt is None else json.loads(txt)
 
     def read_cells(self, spark: SparkSession,
                    cells: list[int]) -> DataFrame | None:
@@ -143,8 +173,11 @@ class IvfVectorIndex:
              .repartition(self.num_map_parts, F.col(VEC_PART_COL))
              .write.partitionBy(VEC_PART_COL)
              .mode("overwrite").parquet(self._vecmap_path))
-        with open(self._cent_path, "w") as fh:
-            json.dump(centroids, fh)
+        # complete-marker AFTER the full sidecar write, centroids last
+        # (the "index exists" sentinel): a crash between the two leaves
+        # a buildable-but-unbuilt index, never a trusted partial sidecar
+        _fs_touch(spark, self._vecmap_ok_path)
+        _fs_write_text(spark, self._cent_path, json.dumps(centroids))
         return len(centroids)
 
     def add_batch(self, spark: SparkSession, emb: DataFrame) -> int:
@@ -157,8 +190,31 @@ class IvfVectorIndex:
         streaming LSH index (compact when a cell's file count grows —
         left to the caller's maintenance window here since serving
         indexes batch their ingests)."""
-        with open(self._cent_path) as fh:
-            centroids = json.load(fh)
+        centroids = self.load_centroids(spark)
+        if centroids is None:
+            raise FileNotFoundError(
+                f"no codebook at {self._cent_path} — build() first")
+        if not _fs_exists(spark, self._vecmap_ok_path):
+            # pre-marker index (or a crashed backfill): rebuild the
+            # FULL sidecar from the cell layout before appending, so
+            # the sidecar's existence always implies completeness and
+            # a later purge cannot silently skip legacy rows (ADVICE
+            # r10, medium). One-off per index; crash-retryable
+            # (delete → rebuild → marker, each step idempotent).
+            if _fs_exists(spark, self._vecmap_path):
+                _fs_delete(spark, self._vecmap_path)
+            has_cells = any(
+                name.startswith(f"{CELL_COL}=")
+                for name in _fs_list_names(spark, self.index_path))
+            if has_cells:
+                legacy = (spark.read.parquet(self.index_path)
+                          .select("vec_id", F.col(CELL_COL)))
+                (self._vecmap_rows(legacy)
+                     .repartition(self.num_map_parts,
+                                  F.col(VEC_PART_COL))
+                     .write.partitionBy(VEC_PART_COL)
+                     .mode("overwrite").parquet(self._vecmap_path))
+            _fs_touch(spark, self._vecmap_ok_path)
         assigned = self.assign_cells(emb, centroids)
         assigned.persist()
         try:
@@ -186,11 +242,35 @@ class IvfVectorIndex:
                       vec_ids: list[int]) -> int:
         """GDPR/right-to-be-forgotten erasure on the serving index:
         drop the victims' rows, rewriting ONLY the cells they live in.
-        Victim cells resolve from the ``_vecmap`` sidecar (open
-        ``victims mod N`` partitions, never the inverted file); a
-        pre-sidecar index falls back to a one-off full scan — the
-        ``StreamingLshIndex.purge_docs`` discipline. Returns the number
-        of index rows erased.
+        List-based entry for the erasure endpoints, where victim sets
+        are small and driver-resident by nature; the victims broadcast
+        into every pruning join. Hot per-epoch callers use
+        :meth:`purge_vectors_df` instead — same semantics, victims stay
+        a distributed frame. Returns the number of index rows erased."""
+        victims = sorted({int(v) for v in vec_ids})
+        if not victims:
+            return 0
+        ids_df = spark.createDataFrame([(v,) for v in victims],
+                                       "vec_id long")
+        return self.purge_vectors_df(spark, ids_df,
+                                     broadcast_victims=True)
+
+    def purge_vectors_df(self, spark: SparkSession, victims: DataFrame,
+                         broadcast_victims: bool = False) -> int:
+        """Erase every index row whose ``vec_id`` appears in
+        ``victims`` (any frame with a castable ``vec_id`` column) —
+        the DataFrame-native purge the per-epoch maintenance paths
+        ride (``_maintain_ann_index``,
+        ``StreamingSemanticGroups.process_batch``), where a
+        1M-row micro-batch must NOT materialize a 1M-element literal
+        list on the driver (VERDICT r10 #3). Victim cells resolve from
+        the ``_vecmap`` sidecar when its ``_COMPLETE`` marker attests
+        it (open ``victims mod N`` partitions, never the inverted
+        file); otherwise a one-off full scan — the
+        ``StreamingLshIndex.purge_docs`` discipline. Only bounded
+        artifacts ever reach the driver: the ≤ ``num_map_parts``
+        touched sidecar partitions and the ≤ ``n_cells`` victim cell
+        ids.
 
         Crash-retryable step order: cell rewrites land BEFORE sidecar
         hygiene, so a retry re-derives the victim cells from the
@@ -198,31 +278,40 @@ class IvfVectorIndex:
         cell is a no-op rewrite). Erasure is physical — dynamic
         partition overwrite of the victim cells, plus directory
         deletion for cells losing their last row."""
-        victims = sorted({int(v) for v in vec_ids})
-        if not victims or not _fs_exists(spark, self.index_path):
+        if not _fs_exists(spark, self.index_path):
             return 0
-        ids_df = spark.createDataFrame([(v,) for v in victims],
-                                       "vec_id long")
-        mparts = sorted({v % self.num_map_parts for v in victims})
+        # pin: the pruning joins below read the very directories the
+        # rewrites then replace — the victim set must not recompute
+        # from a plan over mutated state
+        ids_df = (victims
+                  .select(F.col("vec_id").cast("long").alias("vec_id"))
+                  .distinct().localCheckpoint(eager=True))
+        hint = F.broadcast if broadcast_victims else (lambda df: df)
+        mparts = sorted(
+            r["p"] for r in
+            ids_df.select(F.pmod("vec_id", F.lit(self.num_map_parts))
+                          .cast("int").alias("p")).distinct().collect())
+        if not mparts:
+            return 0
         mpaths = [p for p in
                   (os.path.join(self._vecmap_path, f"{VEC_PART_COL}={x}")
                    for x in mparts)
                   if _fs_exists(spark, p)]
-        if _fs_exists(spark, self._vecmap_path):
+        if _fs_exists(spark, self._vecmap_ok_path):
             if not mpaths:
                 return 0
             cells = sorted({r["cell"] for r in
                             (spark.read
                              .option("basePath", self._vecmap_path)
                              .parquet(*mpaths)
-                             .join(F.broadcast(ids_df), "vec_id",
-                                   "left_semi")
+                             .join(hint(ids_df), "vec_id", "left_semi")
                              .select("cell").distinct().collect())})
         else:
+            # legacy / untrusted sidecar: one-off full scan (the next
+            # add_batch backfills the sidecar and sets the marker)
             cells = sorted({r[CELL_COL] for r in
                             (spark.read.parquet(self.index_path)
-                             .join(F.broadcast(ids_df), "vec_id",
-                                   "left_semi")
+                             .join(hint(ids_df), "vec_id", "left_semi")
                              .select(CELL_COL).distinct().collect())})
         if not cells:
             return 0
@@ -234,12 +323,11 @@ class IvfVectorIndex:
         if cpaths:
             cur = (spark.read.option("basePath", self.index_path)
                    .parquet(*cpaths))
-            n_erased = cur.join(F.broadcast(ids_df), "vec_id",
+            n_erased = cur.join(hint(ids_df), "vec_id",
                                 "left_semi").count()
             if n_erased:
                 # pin before overwriting the very dirs this plan reads
-                keep = (cur.join(F.broadcast(ids_df), "vec_id",
-                                 "left_anti")
+                keep = (cur.join(hint(ids_df), "vec_id", "left_anti")
                         .localCheckpoint(eager=True))
                 kept = {r[CELL_COL] for r in
                         keep.select(CELL_COL).distinct().collect()}
@@ -256,8 +344,7 @@ class IvfVectorIndex:
         if mpaths:
             mcur = (spark.read.option("basePath", self._vecmap_path)
                     .parquet(*mpaths))
-            mkeep = (mcur.join(F.broadcast(ids_df), "vec_id",
-                               "left_anti")
+            mkeep = (mcur.join(hint(ids_df), "vec_id", "left_anti")
                      .localCheckpoint(eager=True))
             mkept = {r[VEC_PART_COL] for r in
                      mkeep.select(VEC_PART_COL).distinct().collect()}

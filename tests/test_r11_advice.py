@@ -1,0 +1,236 @@
+"""Round-11 directed fixes (VERDICT r10 #3/#4 + ADVICE r10):
+
+* sidecar-COMPLETE marker: a mixed-state index (legacy rows indexed
+  before the sidecar existed + a later ``add_batch``) must NOT let a
+  purge trust a partial sidecar and silently skip legacy rows — the
+  ADVICE r10 medium finding;
+* ``purge_vectors_df``: the DataFrame-victims purge the per-epoch hot
+  paths ride — parity with the list API, no driver materialization of
+  batch-sized id lists;
+* vector-exact collapse in ``StreamingSemanticGroups``: K identical
+  vectors cost K−1 attach edges, groups identical to the uncollapsed
+  path, zero-norm vectors exempt;
+* ANN compaction-gate debt signal excludes the per-epoch ``_epochs``
+  markers (ADVICE r10) and old markers are pruned.
+"""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from python_cdc_component_spark.operators.llm.annindex import (
+    CELL_COL, IvfVectorIndex)
+from python_cdc_component_spark.streaming.semantic_state import (
+    StreamingSemanticGroups)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, e array<double>")
+
+
+def _axis(i, dim=8, v=1.0):
+    e = [0.0] * dim
+    e[i % dim] = v
+    return e
+
+
+def _corpus(spark):
+    rows = [(i, _axis(i % 4)) for i in range(4)]
+    rows += [(i, _axis(i % 4, v=1.0 + 0.01 * i)) for i in range(10, 30)]
+    return _emb(spark, rows)
+
+
+# -- sidecar-complete marker (ADVICE r10, medium) ----------------------
+
+def test_mixed_state_purge_does_not_trust_partial_sidecar(spark,
+                                                          tmp_path):
+    """The ADVICE scenario verbatim: an index whose sidecar vanished
+    (pre-sidecar era) receives a NEW add_batch. The sidecar that
+    appears must cover the LEGACY rows too — a purge of a legacy id
+    must erase it, not report 0 while the vector keeps serving."""
+    ix = str(tmp_path / "ix")
+    idx = IvfVectorIndex(ix, n_cells=4)
+    idx.build(spark, _corpus(spark))
+    shutil.rmtree(f"{ix}/_vecmap")          # legacy: no sidecar at all
+    assert idx.add_batch(spark, _emb(
+        spark, [(40, _axis(0, v=1.2))])) == 1
+    # the backfilled sidecar covers legacy rows: victim 14 was indexed
+    # by build(), long before this sidecar existed
+    assert os.path.exists(f"{ix}/_vecmap/_COMPLETE")
+    assert idx.purge_vectors(spark, [14]) == 1
+    left = spark.read.parquet(ix)
+    assert left.filter(F.col("vec_id") == 14).count() == 0
+
+
+def test_partial_sidecar_without_marker_is_rebuilt(spark, tmp_path):
+    """A sidecar directory WITHOUT the _COMPLETE marker (a crashed
+    backfill, or one written by pre-marker code after a legacy
+    add_batch) is untrusted: purge falls back to the full scan, and
+    the next add_batch rebuilds it from the cell layout."""
+    ix = str(tmp_path / "ix")
+    idx = IvfVectorIndex(ix, n_cells=4)
+    idx.build(spark, _corpus(spark))
+    # simulate the pre-marker mixed state: sidecar holds ONLY id 40
+    shutil.rmtree(f"{ix}/_vecmap")
+    partial = idx._vecmap_rows(
+        IvfVectorIndex.assign_cells(
+            _emb(spark, [(40, _axis(0, v=1.2))]),
+            idx.load_centroids(spark)))
+    (partial.write.partitionBy("_vec_part")
+            .mode("overwrite").parquet(f"{ix}/_vecmap"))
+    # purge of a legacy id: full-scan fallback finds it
+    assert idx.purge_vectors(spark, [14]) == 1
+    # add_batch rebuilds the sidecar completely and sets the marker
+    assert idx.add_batch(spark, _emb(
+        spark, [(41, _axis(1, v=1.2))])) == 1
+    assert os.path.exists(f"{ix}/_vecmap/_COMPLETE")
+    vm = spark.read.parquet(f"{ix}/_vecmap")
+    have = {r["vec_id"] for r in vm.select("vec_id").collect()}
+    assert 18 in have and 41 in have, "backfill missed legacy rows"
+    assert 14 not in have
+
+
+# -- DataFrame-victims purge (VERDICT r10 #3) --------------------------
+
+def test_purge_vectors_df_parity_with_list_api(spark, tmp_path):
+    victims = [14, 18, 22, 999]          # multi-cell + never-indexed
+    ixa, ixb = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (ixa, ixb):
+        idx = IvfVectorIndex(p, n_cells=4)
+        idx.build(spark, _corpus(spark))
+    na = IvfVectorIndex(ixa, n_cells=4).purge_vectors(spark, victims)
+    nb = IvfVectorIndex(ixb, n_cells=4).purge_vectors_df(
+        spark, spark.createDataFrame([(v,) for v in victims],
+                                     "vec_id long"))
+    assert na == nb == 3
+
+    def contents(path):
+        return sorted((r["vec_id"], r[CELL_COL]) for r in
+                      spark.read.parquet(path)
+                      .select("vec_id", CELL_COL).collect())
+
+    assert contents(ixa) == contents(ixb)
+    vm = sorted(r["vec_id"] for r in spark.read
+                .parquet(f"{ixb}/_vecmap").select("vec_id").collect())
+    assert set(vm).isdisjoint(victims)
+
+
+def test_purge_vectors_df_accepts_castable_column(spark, tmp_path):
+    """Hot-path callers hand over whatever keyed frame they have —
+    an int vec_id column must cast, duplicates must collapse."""
+    ix = str(tmp_path / "ix")
+    idx = IvfVectorIndex(ix, n_cells=4)
+    idx.build(spark, _corpus(spark))
+    vic = spark.createDataFrame([(14,), (14,), (18,)], "vec_id int")
+    assert idx.purge_vectors_df(spark, vic) == 2
+    assert idx.purge_vectors_df(spark, vic) == 0     # idempotent
+
+
+# -- vector-exact collapse (VERDICT r10 #4) ----------------------------
+
+def _groups_set(spark, st):
+    return {(r["component"], r["keep_doc_id"], r["cluster_size"])
+            for r in st.read_groups(spark).collect()}
+
+
+def test_collapse_groups_equal_and_pairs_linear(spark, tmp_path):
+    """K identical vectors: guarded pair volume is ~K−1 (attach
+    edges), unguarded is K(K−1)/2 — and the groups are IDENTICAL
+    (collapse is a cost lever, never a semantics change)."""
+    k = 30
+    seeds = [(i, _axis(i)) for i in range(4)]
+    flood = [(100 + i, _axis(0, v=2.0)) for i in range(k)]
+    lone = [(500, _axis(2, v=1.5))]
+    rows = seeds + flood + lone
+    stats = {}
+    got = {}
+    for label, collapse in (("on", True), ("off", False)):
+        st = StreamingSemanticGroups(str(tmp_path / label), n_cells=4,
+                                     threshold=0.9, num_buckets=8,
+                                     collapse_identical=collapse)
+        s1 = st.process_batch(spark, _emb(spark, rows[:20]), batch_id=0)
+        s2 = st.process_batch(spark, _emb(spark, rows[20:]), batch_id=1)
+        stats[label] = (int(s1["n_verified_edges"])
+                        + int(s2["n_verified_edges"]))
+        got[label] = _groups_set(spark, st)
+    assert got["on"] == got["off"]
+    # flood family {0, 100..129} present under min id 0 (cos(axis,
+    # 2*axis) = 1); the k²/2 term only in the unguarded run
+    assert any(c == 0 and s == k + 1 for c, _, s in got["on"])
+    assert stats["off"] > k * (k - 1) / 4
+    assert stats["on"] < 4 * k
+
+
+def test_collapse_zero_vectors_stay_singletons(spark, tmp_path):
+    """Identical ZERO vectors must not group: their cosine is
+    undefined (NaN), the uncollapsed path never pairs them, and the
+    collapse must not invent the edge."""
+    rows = ([(i, _axis(i)) for i in range(4)]
+            + [(50, [0.0] * 8), (51, [0.0] * 8)])
+    st = StreamingSemanticGroups(str(tmp_path / "z"), n_cells=4,
+                                 threshold=0.9, num_buckets=8)
+    st.process_batch(spark, _emb(spark, rows), batch_id=0)
+    got = _groups_set(spark, st)
+    assert any(c == 50 and s == 1 for c, _, s in got)
+    assert any(c == 51 and s == 1 for c, _, s in got)
+
+
+def test_collapse_replay_and_crash_convergence(spark, tmp_path):
+    """The r10 crash/replay contract holds with the collapse ON
+    (default): committed replay no-op, lost-marker replay converges."""
+    work = str(tmp_path / "st")
+    rows = ([(i, _axis(i)) for i in range(4)]
+            + [(100 + i, _axis(1, v=3.0)) for i in range(10)])
+    st = StreamingSemanticGroups(work, n_cells=4, threshold=0.9,
+                                 num_buckets=8)
+    b0, b1 = _emb(spark, rows[:8]), _emb(spark, rows[8:])
+    st.process_batch(spark, b0, batch_id=0)
+    st.process_batch(spark, b1, batch_id=1)
+    clean = _groups_set(spark, st)
+    assert any(c == 1 and s == 11 for c, _, s in clean)
+    # crash window: epoch-1 marker lost + a half-append present
+    os.remove(f"{work}/groups/_batches/1")
+    st.index.add_batch(spark, _emb(spark, [(107, _axis(1, v=3.0))]))
+    st.process_batch(spark, b1, batch_id=1)
+    assert _groups_set(spark, st) == clean
+
+
+# -- compaction-gate debt signal (ADVICE r10) --------------------------
+
+def test_ann_epoch_markers_not_counted_and_pruned(spark, tmp_path):
+    """A long-running stream accretes one _epochs marker per batch
+    forever; the compaction gate must not count them as data debt,
+    and markers far behind the current epoch are pruned."""
+    from python_cdc_component_spark.streaming.bounded import (
+        BoundedStreamConfig, _maintain_ann_index)
+
+    cfg = BoundedStreamConfig(
+        mode="DEDUPE", primary_keys=["user_id"],
+        ann_index_path=str(tmp_path / "ann"), ann_index_cells=2,
+        ann_marker_retain=3)
+    idx = IvfVectorIndex(cfg.ann_index_path, n_cells=2)
+
+    def batch(epoch):
+        return spark.createDataFrame(
+            [(epoch * 10 + j, f"[{float(j + 1)}, {float(epoch + 1)}]",
+              1_000 + epoch, "f", epoch, False, None)
+             for j in range(2)],
+            "user_id long, props string, kbc__event_timestamp long, "
+            "kbc__file string, kbc__pos long, __deleted boolean, "
+            "_snapshot_phase string")
+
+    from python_cdc_component_spark.fs import fs_total_file_count
+    for epoch in range(8):
+        _maintain_ann_index(spark, idx, batch(epoch), epoch, cfg)
+    markers = sorted(int(n) for n in os.listdir(
+        f"{cfg.ann_index_path}/_epochs") if n.isdigit())
+    assert markers[-1] == 7
+    assert markers[0] >= 7 - 3, f"old markers not pruned: {markers}"
+    # the debt signal sees data files only: marker files must not
+    # count toward the compaction trigger
+    n_all = fs_total_file_count(spark, cfg.ann_index_path)
+    n_markers = fs_total_file_count(spark,
+                                    f"{cfg.ann_index_path}/_epochs")
+    assert n_markers >= len(markers)
+    assert n_all - n_markers < n_all
