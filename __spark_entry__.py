@@ -35,17 +35,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle (S2-S8, K1-K5, P3/P4/P7, F8/F10, T1/T3/T6/T8), the UDF
 # surface (§2.10), and one flagship per LLM-pipeline operator family.
 # Everything else still runs under scripts/check_oracle.py + pytest.
-# Round-10 rotation (VERDICT r9 #1, fifth rotation): the 25 flagship
-# slots stay pinned.  Only 5 queries have never earned a driver row
-# (computed from CORRECTNESS_r01..r09 vs queries()); rotating them in
-# completes the full-course rotation discipline — after this round,
-# EVERY registered query has held a green driver row.  The rotation
-# contract therefore extends (tests/test_r7_window.py): all never-rowed
-# queries must occupy rotation slots, and the remaining slots re-verify
-# the STALEST queries — smallest last-rowed round, ties broken by name —
-# so driver evidence keeps refreshing oldest-first instead of wasting
-# slots on recently-rowed queries.
-ROTATION_BASE_ROUND = 10    # rotation = never-rowed before r10 + stalest
+# Round-11 rotation (sixth rotation; the full-course discipline closed
+# in r10 — every registered query has held a green driver row).  The 25
+# flagship slots stay pinned.  Rotation contract
+# (tests/test_r7_window.py): queries never rowed before the base round
+# MUST occupy rotation slots (this round: the four r11 additions), and
+# the remaining slots re-verify the STALEST queries — smallest
+# last-rowed round, ties broken by name — so driver evidence keeps
+# refreshing oldest-first (scripts/rotation_candidates.py computes both
+# lists; this window is its verbatim output).
+ROTATION_BASE_ROUND = 11    # rotation = never-rowed before r11 + stalest
 DRIVER_WINDOW = [
     # pinned flagships: CDC core + lifecycle essentials
     "cdc_dedup_latest", "cdc_append", "cdc_chunked_dedup",
@@ -59,27 +58,23 @@ DRIVER_WINDOW = [
     # pinned flagships: LLM pipeline
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
-    # rotated in (first-ever driver rows): the 5-query r9 tail plus
-    # the seven round-10 additions — after these, all 210 registered
-    # queries have held a green driver row
-    "q10_returned_revenue", "greatest_least_scalar", "bitwise_aggs",
-    "rank_fractions", "dedup_groups_composite_sync",
-    "fuzzy_eval_decontaminate", "semantic_eval_decontaminate",
-    "embedding_filtered_ann", "contrastive_hard_negatives",
-    "ann_index_forget_probe", "cdc_ann_index_sync",
-    "semantic_groups_stream",
-    # rotated in (staleness refresh): the 13 stalest driver rows —
-    # all last rowed in r3, alphabetical within the tier (never-rowed
-    # outranks staleness refresh, so the seven new queries displaced
-    # the alphabetically-last r3 fillers, q5_nation_revenue,
-    # q6_revenue_delta, regexp_funcs, rollup_orders,
-    # salted_join_segments, semi_join_returned_orders and
-    # set_ops_customers — they re-row in a later refresh)
-    "anti_join_unreturned_orders", "array_funcs", "bpeish_token_count",
-    "correlated_min_order", "cube_lineitem", "date_funcs",
-    "distinct_users_per_type", "full_outer_nation_counts",
-    "having_above_avg_customers", "percentiles_by_status",
-    "pivot_event_counts", "q3_shipping_priority", "q4_order_priority",
+    # rotated in (first-ever driver rows): the four round-11 additions
+    # — blocked record linkage, the binary/Matryoshka rungs of the
+    # quantized-ANN ladder, margin-based bitext mining
+    "entity_match_customers", "embedding_binary_ann",
+    "embedding_matryoshka_recall", "bitext_mine_margin",
+    # rotated in (staleness refresh): the 21 stalest driver rows — the
+    # 12 remaining r3-tier queries (the seven displaced by r10's
+    # never-rowed additions now re-row, plus the rest of that tier),
+    # then the alphabetically-first 9 of the r4 tier
+    "q5_nation_revenue", "q6_revenue_delta", "regexp_funcs",
+    "rollup_orders", "salted_join_segments", "semi_join_returned_orders",
+    "set_ops_customers", "string_funcs", "text_fingerprint",
+    "text_token_stats", "top_k_orders", "window_functions_suite",
+    "asof_join_events", "bloom_dedup_incremental",
+    "cdc_dedup_composite_key", "cdc_scalar_funcs",
+    "dedup_pipeline_summary", "dup_components", "embedding_topk",
+    "embedding_topk_pandas", "events_windowed_agg",
 ]
 
 

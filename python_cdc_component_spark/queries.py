@@ -7747,3 +7747,292 @@ def semantic_groups_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         s.conf.set(pkey, prev)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: record linkage, quantized/truncated ANN ladder, bitext mining
+
+@query("entity_match_customers", """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""")
+def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (entity resolution): candidate
+    pairs are generated ONLY within a blocking key — (nation, market
+    segment) here — then scored with edit distance, the classic
+    blocking-then-matching shape that keeps a 100 TB linkage
+    Σ|block|² instead of n². The join shuffles both sides once on the
+    blocking key (co-located pairs, no cartesian), levenshtein runs
+    JVM-side inside codegen, and the `a < b` inequality rides the join
+    condition so mirror/self pairs never materialize. Beyond-reference
+    LLM-pipeline operator (the reference has no fuzzy-match surface);
+    the integer edit-distance threshold replays exactly in any
+    engine."""
+    c = read_table(_spark(spark), sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("cust_a"),
+                 F.col("c_name").alias("name_a"),
+                 "c_nationkey", "c_mktsegment")
+    b = c.select(F.col("c_custkey").alias("cust_b"),
+                 F.col("c_name").alias("name_b"),
+                 "c_nationkey", "c_mktsegment")
+    dist = F.levenshtein("name_a", "name_b")
+    return (a.join(b, ["c_nationkey", "c_mktsegment"])
+             .filter(F.col("cust_a") < F.col("cust_b"))
+             .filter(dist <= 2)
+             .select("cust_a", "cust_b",
+                     dist.cast("long").alias("name_dist")))
+
+
+@query("embedding_binary_ann", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v),
+qp AS (SELECT vec_id AS qid, e AS qe, nrm AS a_n FROM n WHERE vec_id < 5),
+cp AS (SELECT vec_id AS cid, e AS ce, nrm AS b_n FROM n WHERE vec_id >= 5),
+sc AS (SELECT qid, cid,
+              list_sum(list_transform(range(1, 65),
+                   i -> CASE WHEN (qe[i] >= 0) <> (ce[i] >= 0)
+                             THEN 1 ELSE 0 END)) AS hamming,
+              round(list_sum(list_transform(range(1, 65),
+                    i -> qe[i] * ce[i])) / (a_n * b_n), 6) AS sim
+       FROM qp, cp),
+r AS (SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY hamming, cid) AS rq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, cid) AS rx
+      FROM sc)
+SELECT qid,
+       CAST(SUM(CASE WHEN rq <= 10 AND rx <= 10 THEN 1 ELSE 0 END)
+            AS DOUBLE) / 10.0 AS recall_at_10
+FROM r GROUP BY qid
+""")
+def embedding_binary_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) quantization for similarity search — the
+    32× memory cut under int8's 4× in the quantization ladder
+    (int8 → PQ → binary): candidates rank by Hamming distance between
+    sign patterns, an exact integer sum with zero float hazard, and
+    quality is reported as recall@10 against the exact-cosine top-k
+    (the embedding_int8_ann_recall convention — both rankings from ONE
+    scored pass, windows sharing the qid partitioning). At 100 TB the
+    sign pattern is 8 bytes/vector: the rerank-from-binary pattern
+    keeps the full-precision vectors out of the hot scan entirely."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    emb = emb.withColumn(
+        "nrm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                  F.lit(0.0), lambda a, x: a + x)))
+    qp = (emb.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                     F.col("nrm").alias("a_n")))
+    cp = (emb.filter(F.col("vec_id") >= 5)
+             .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                     F.col("nrm").alias("b_n")))
+    ham = F.aggregate(
+        F.zip_with("qe", "ce",
+                   lambda x, y: F.when((x >= 0) != (y >= 0), F.lit(1))
+                                 .otherwise(F.lit(0)).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    edot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                       F.lit(0.0), lambda a, x: a + x)
+    scored = (cp.crossJoin(F.broadcast(qp))
+                .select("qid", "cid", ham.alias("hamming"),
+                        F.round(edot / (F.col("a_n") * F.col("b_n")), 6)
+                         .alias("sim")))
+    wq = Window.partitionBy("qid").orderBy("hamming", "cid")
+    wx = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                           F.col("cid"))
+    ranked = (scored.withColumn("rq", F.row_number().over(wq))
+                    .withColumn("rx", F.row_number().over(wx)))
+    both = F.when((F.col("rq") <= 10) & (F.col("rx") <= 10), 1).otherwise(0)
+    return (ranked.groupBy("qid")
+                  .agg((F.sum(both).cast("double") / F.lit(10.0))
+                       .alias("recall_at_10")))
+
+
+@query("embedding_matryoshka_recall", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+             sqrt(list_sum(list_transform(range(1, 17),
+                           i -> e[i] * e[i]))) AS nrm16
+      FROM v),
+qp AS (SELECT vec_id AS qid, e AS qe, nrm AS a_n, nrm16 AS a_m
+       FROM n WHERE vec_id < 5),
+cp AS (SELECT vec_id AS cid, e AS ce, nrm AS b_n, nrm16 AS b_m
+       FROM n WHERE vec_id >= 5),
+sc AS (SELECT qid, cid,
+              round(list_sum(list_transform(range(1, 17),
+                    i -> qe[i] * ce[i])) / (a_m * b_m), 6) AS sim16,
+              round(list_sum(list_transform(range(1, 65),
+                    i -> qe[i] * ce[i])) / (a_n * b_n), 6) AS sim
+       FROM qp, cp),
+r AS (SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY sim16 DESC, cid) AS rq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, cid) AS rx
+      FROM sc)
+SELECT qid,
+       CAST(SUM(CASE WHEN rq <= 10 AND rx <= 10 THEN 1 ELSE 0 END)
+            AS DOUBLE) / 10.0 AS recall_at_10
+FROM r GROUP BY qid
+""")
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval: rank on the FIRST
+    16 of 64 dimensions (MRL-style prefix embeddings), report
+    recall@10 against the full-dimension exact ranking. This is the
+    dimension-truncation axis of the cheap-prefilter ladder —
+    orthogonal to value quantization (int8/binary): a 100 TB corpus
+    scans a 4×-narrower column for candidates and reranks only the
+    shortlist at full width. Both cosines fold sequentially over
+    dimensions (the shared IEEE-order contract), both rankings come
+    from one scored pass with windows sharing the qid partitioning."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    emb = (emb
+           .withColumn("nrm", F.sqrt(F.aggregate(
+               F.transform("e", lambda x: x * x),
+               F.lit(0.0), lambda a, x: a + x)))
+           .withColumn("e16", F.slice("e", 1, 16))
+           .withColumn("nrm16", F.sqrt(F.aggregate(
+               F.transform("e16", lambda x: x * x),
+               F.lit(0.0), lambda a, x: a + x))))
+    qp = (emb.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                     F.col("e16").alias("qe16"),
+                     F.col("nrm").alias("a_n"), F.col("nrm16").alias("a_m")))
+    cp = (emb.filter(F.col("vec_id") >= 5)
+             .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                     F.col("e16").alias("ce16"),
+                     F.col("nrm").alias("b_n"), F.col("nrm16").alias("b_m")))
+    dot16 = F.aggregate(F.zip_with("qe16", "ce16", lambda x, y: x * y),
+                        F.lit(0.0), lambda a, x: a + x)
+    edot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                       F.lit(0.0), lambda a, x: a + x)
+    scored = (cp.crossJoin(F.broadcast(qp))
+                .select("qid", "cid",
+                        F.round(dot16 / (F.col("a_m") * F.col("b_m")), 6)
+                         .alias("sim16"),
+                        F.round(edot / (F.col("a_n") * F.col("b_n")), 6)
+                         .alias("sim")))
+    wq = Window.partitionBy("qid").orderBy(F.col("sim16").desc(),
+                                           F.col("cid"))
+    wx = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                           F.col("cid"))
+    ranked = (scored.withColumn("rq", F.row_number().over(wq))
+                    .withColumn("rx", F.row_number().over(wx)))
+    both = F.when((F.col("rq") <= 10) & (F.col("rx") <= 10), 1).otherwise(0)
+    return (ranked.groupBy("qid")
+                  .agg((F.sum(both).cast("double") / F.lit(10.0))
+                       .alias("recall_at_10")))
+
+
+@query("bitext_mine_margin", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id < 1000),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v),
+sp AS (SELECT vec_id AS src_id, e AS se, nrm AS a_n FROM n
+       WHERE vec_id % 2 = 0),
+tp AS (SELECT vec_id AS tgt_id, e AS te, nrm AS b_n FROM n
+       WHERE vec_id % 2 = 1),
+sc AS (SELECT src_id, tgt_id,
+              CAST(floor(round(list_sum(list_transform(range(1, 65),
+                        i -> se[i] * te[i])) / (a_n * b_n), 6)
+                    * 1000000 + 0.5) AS BIGINT) AS ci
+       FROM sp, tp),
+rf AS (SELECT src_id, tgt_id, ci,
+              ROW_NUMBER() OVER (PARTITION BY src_id
+                  ORDER BY ci DESC, tgt_id) AS kf,
+              ROW_NUMBER() OVER (PARTITION BY tgt_id
+                  ORDER BY ci DESC, src_id) AS kb
+       FROM sc),
+fa AS (SELECT src_id, SUM(ci) AS fsum FROM rf WHERE kf <= 4
+       GROUP BY src_id),
+ba AS (SELECT tgt_id, SUM(ci) AS bsum FROM rf WHERE kb <= 4
+       GROUP BY tgt_id),
+mg AS (SELECT r.src_id, r.tgt_id,
+              round(8.0 * r.ci / (fa.fsum + ba.bsum), 6) AS margin
+       FROM rf r JOIN fa ON r.src_id = fa.src_id
+                 JOIN ba ON r.tgt_id = ba.tgt_id
+       WHERE fa.fsum + ba.bsum <> 0)
+SELECT src_id, tgt_id, margin FROM mg
+WHERE margin > 1.0
+QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
+    ORDER BY margin DESC, tgt_id) = 1
+""")
+def bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the CCMatrix/LASER ratio margin):
+    a candidate pair's raw cosine is normalized by the mean of the two
+    sides' average top-k similarities, so hub vectors that are close
+    to EVERYTHING stop dominating — margin(x, y) = cos(x, y) /
+    ((avg_topk(x, ·) + avg_topk(·, y)) / 2), keep each source's best
+    target where margin > 1. Even vec_ids play source, odd play
+    target. All ranking math runs in the exact-integer domain:
+    cosines round to 6dp and scale to int64, top-4 sums are exact, and
+    the single margin division happens once on exact integers — so
+    the margin replays bit-for-bit in any engine (the int8-ANN
+    discipline). At 100 TB both direction averages come from the same
+    scored pass (two windows over one join), and the scored pass
+    itself would ride the IVF/PQ candidate index rather than the
+    brute-force join this oracle-scale query uses."""
+    s = _spark(spark)
+    emb = (read_table(s, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 1000)
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e")))
+    emb = emb.withColumn(
+        "nrm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                  F.lit(0.0), lambda a, x: a + x)))
+    sp = (emb.filter(F.col("vec_id") % 2 == 0)
+             .select(F.col("vec_id").alias("src_id"),
+                     F.col("e").alias("se"), F.col("nrm").alias("a_n")))
+    tp = (emb.filter(F.col("vec_id") % 2 == 1)
+             .select(F.col("vec_id").alias("tgt_id"),
+                     F.col("e").alias("te"), F.col("nrm").alias("b_n")))
+    dot = F.aggregate(F.zip_with("se", "te", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    ci = F.floor(F.round(dot / (F.col("a_n") * F.col("b_n")), 6)
+                 * F.lit(1_000_000) + F.lit(0.5)).cast("long")
+    scored = (tp.crossJoin(F.broadcast(sp))
+                .select("src_id", "tgt_id", ci.alias("ci")))
+    wf = Window.partitionBy("src_id").orderBy(F.col("ci").desc(),
+                                              F.col("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.col("ci").desc(),
+                                              F.col("src_id"))
+    ranked = (scored.withColumn("kf", F.row_number().over(wf))
+                    .withColumn("kb", F.row_number().over(wb)))
+    ranked.persist()
+    try:
+        fa = (ranked.filter(F.col("kf") <= 4)
+              .groupBy("src_id").agg(F.sum("ci").alias("fsum")))
+        ba = (ranked.filter(F.col("kb") <= 4)
+              .groupBy("tgt_id").agg(F.sum("ci").alias("bsum")))
+        denom = F.col("fsum") + F.col("bsum")
+        mg = (ranked
+              .join(F.broadcast(fa), "src_id")
+              .join(F.broadcast(ba), "tgt_id")
+              .filter(denom != 0)
+              .select("src_id", "tgt_id",
+                      F.round(F.lit(8.0) * F.col("ci") / denom, 6)
+                       .alias("margin")))
+        wbest = Window.partitionBy("src_id").orderBy(
+            F.col("margin").desc(), F.col("tgt_id"))
+        out = (mg.filter(F.col("margin") > 1.0)
+                 .withColumn("rn", F.row_number().over(wbest))
+                 .filter(F.col("rn") == 1).drop("rn"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranked.unpersist()
