@@ -95,6 +95,16 @@ def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
         out.close()
 
 
+def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic-per-filesystem directory rename (the commit primitive for
+    rebuild-then-swap lifecycles). Returns False if the filesystem
+    refused (dst exists, src missing)."""
+    jsrc = spark._jvm.org.apache.hadoop.fs.Path(src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.rename(jsrc, jdst))
+
+
 def fs_list_names(spark: SparkSession, path: str) -> list[str]:
     """Names of immediate children of ``path`` ([] if absent)."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)

@@ -359,6 +359,73 @@ class IvfVectorIndex:
                         self._vecmap_path, f"{VEC_PART_COL}={x}"))
         return n_erased
 
+    def rebuild(self, spark: SparkSession,
+                centroids: list[list[float]] | None = None,
+                n_cells: int | None = None, iters: int = 2) -> int:
+        """Retrain the quantizer and rewrite the inverted file — the
+        EXPLICIT retraining step the ingest contract defers to (the
+        codebook never moves on ``add_batch``; a corpus that drifted
+        far from its seed codebook gets skewed cells, and this is the
+        remedy). ``centroids=None`` trains ``kmeans_fit`` on the
+        current vectors (``n_cells=None`` keeps the current cell
+        count); metadata columns ride through unchanged. Returns the
+        new cell count.
+
+        Crash-safe rebuild-then-swap: the new layout lands in a
+        ``__rebuild`` sibling first (the old index stays intact and
+        serving through the whole write), then old-delete + rename
+        commit it. A crash before the delete just leaves a stale
+        sibling (retry overwrites it); a crash between delete and
+        rename is recovered on the next call (or :meth:`recover`),
+        which finds the missing index + complete sibling and finishes
+        the rename."""
+        import shutil as _shutil  # noqa: F401  (parity with callers)
+
+        from ...fs import fs_rename as _fs_rename
+
+        tmp = self.index_path.rstrip("/") + "__rebuild"
+        if self.recover(spark):
+            return self.n_cells
+        rows = spark.read.parquet(self.index_path).drop(CELL_COL, "nrm")
+        if centroids is None:
+            from .kmeans import kmeans_fit
+            k = n_cells or self.n_cells
+            _, cents = kmeans_fit(rows.select("vec_id", "e"), k=k,
+                                  iters=iters)
+            centroids = [list(e) for _, e in cents]
+        sub = IvfVectorIndex(tmp, n_cells=len(centroids),
+                             num_map_parts=self.num_map_parts)
+        _fs_delete(spark, tmp)
+        sub.build(spark, rows, centroids=centroids)
+        # commit: the build above MATERIALIZED every row into the
+        # sibling, so the source dir is no longer read
+        _fs_delete(spark, self.index_path)
+        if not _fs_rename(spark, tmp, self.index_path):
+            raise IOError(f"rebuild swap failed: {tmp} -> "
+                          f"{self.index_path}")
+        self.n_cells = len(centroids)
+        return self.n_cells
+
+    def recover(self, spark: SparkSession) -> bool:
+        """Finish a rebuild that crashed between old-delete and
+        rename: if the index dir is missing but a complete
+        ``__rebuild`` sibling exists, rename it into place. Returns
+        True if a recovery happened."""
+        from ...fs import fs_rename as _fs_rename
+
+        tmp = self.index_path.rstrip("/") + "__rebuild"
+        if (not _fs_exists(spark, self._cent_path)
+                and _fs_exists(spark,
+                               os.path.join(tmp, "_centroids.json"))):
+            # a complete sibling always has its centroid sentinel (the
+            # LAST artifact build() writes)
+            _fs_delete(spark, self.index_path)
+            if not _fs_rename(spark, tmp, self.index_path):
+                raise IOError(f"rebuild recovery failed: {tmp}")
+            self.n_cells = len(self.load_centroids(spark))
+            return True
+        return False
+
     def compact_cells(self, spark: SparkSession,
                       file_threshold: int = 8) -> int:
         """Fold ``add_batch`` file accretion: cells holding more than

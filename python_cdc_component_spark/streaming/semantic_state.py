@@ -227,6 +227,25 @@ class StreamingSemanticGroups:
         finally:
             batch.unpersist()
 
+    def retrain(self, spark: SparkSession, n_cells: int | None = None,
+                iters: int = 2) -> int:
+        """Explicit quantizer retraining — the maintenance step the
+        ingest contract defers to (the codebook is pinned at the first
+        batch and never moves on ingest, so a corpus that drifts from
+        its seed codebook gets skewed cells and weaker same-cell
+        recall). Trains ``kmeans_fit`` on the CURRENT vectors and
+        rebuilds the inverted file crash-safely
+        (:meth:`IvfVectorIndex.rebuild`, sibling-then-swap).
+
+        The groups state is untouched and stays valid: merged edges
+        are verified HISTORY (each was a real ≥τ cosine at merge
+        time), and the codebook only shapes FUTURE pair blocking —
+        retraining changes which near-dups the next batches can see,
+        never what was already grouped. Returns the new cell count."""
+        n = self.index.rebuild(spark, n_cells=n_cells, iters=iters)
+        self.n_cells = n
+        return n
+
     # -- reads / erasure ----------------------------------------------
 
     def read_groups(self, spark: SparkSession) -> DataFrame:

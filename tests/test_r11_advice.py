@@ -234,3 +234,77 @@ def test_ann_epoch_markers_not_counted_and_pruned(spark, tmp_path):
                                     f"{cfg.ann_index_path}/_epochs")
     assert n_markers >= len(markers)
     assert n_all - n_markers < n_all
+
+
+# -- rebuild / retrain lifecycle (r11) ---------------------------------
+
+def test_rebuild_retrains_and_preserves_content(spark, tmp_path):
+    """rebuild() retrains the quantizer over the CURRENT rows and
+    rewrites the layout crash-safely; content (vec_id set + metadata)
+    survives, probes keep finding the same vectors, and the sidecar is
+    complete under the new cells."""
+    ix = str(tmp_path / "ix")
+    idx = IvfVectorIndex(ix, n_cells=4)
+    meta = _corpus(spark).withColumn(
+        "label", (F.col("vec_id") % 3).cast("int"))
+    idx.build(spark, meta)
+    idx.add_batch(spark, _emb(spark, [(40, _axis(0, v=1.2))])
+                  .withColumn("label", F.lit(1)))
+    before = sorted(r["vec_id"] for r in
+                    spark.read.parquet(ix).select("vec_id").collect())
+    n = idx.rebuild(spark, n_cells=2)
+    assert n == 2 and idx.n_cells == 2
+    after = spark.read.parquet(ix)
+    assert sorted(r["vec_id"] for r in
+                  after.select("vec_id").collect()) == before
+    assert "label" in after.columns, "metadata dropped by rebuild"
+    assert len(idx.load_centroids(spark)) == 2
+    assert os.path.exists(f"{ix}/_vecmap/_COMPLETE")
+    # erasure still works against the rebuilt sidecar
+    assert idx.purge_vectors(spark, [40]) == 1
+    # probes still find survivors (cells under the NEW codebook)
+    probes = spark.createDataFrame([(100, _axis(0))],
+                                   "qid long, qe array<double>")
+    got = {r["cid"] for r in idx.probe(spark, probes, k=5,
+                                       nprobe=2).collect()}
+    assert got and 40 not in got
+
+
+def test_rebuild_crash_recovery(spark, tmp_path):
+    """Crash between old-delete and rename: the index dir is gone but
+    the __rebuild sibling is complete — recover() (and rebuild()
+    itself) finish the swap."""
+    import shutil as sh
+    ix = str(tmp_path / "ix")
+    idx = IvfVectorIndex(ix, n_cells=4)
+    idx.build(spark, _corpus(spark))
+    want = sorted(r["vec_id"] for r in
+                  spark.read.parquet(ix).select("vec_id").collect())
+    # manufacture the crash window from a completed rebuild
+    sh.copytree(ix, f"{ix}__rebuild")
+    sh.rmtree(ix)
+    assert IvfVectorIndex(ix, n_cells=4).recover(spark) is True
+    got = sorted(r["vec_id"] for r in
+                 spark.read.parquet(ix).select("vec_id").collect())
+    assert got == want
+    assert not os.path.exists(f"{ix}__rebuild")
+
+
+def test_retrain_keeps_groups_and_improves_blocking(spark, tmp_path):
+    """StreamingSemanticGroups.retrain: groups (verified history) are
+    byte-identical afterward; future batches assign under the NEW
+    codebook and still merge correctly."""
+    st = StreamingSemanticGroups(str(tmp_path / "st"), n_cells=4,
+                                 threshold=0.9, num_buckets=8)
+    rows = ([(i, _axis(i)) for i in range(4)]
+            + [(10, _axis(0, v=1.1)), (11, _axis(0, v=1.2)),
+               (20, _axis(2, v=1.1))])
+    st.process_batch(spark, _emb(spark, rows), batch_id=0)
+    before = _groups_set(spark, st)
+    st.retrain(spark, n_cells=4)
+    assert _groups_set(spark, st) == before
+    # post-retrain ingest still groups with its family
+    st.process_batch(spark, _emb(spark, [(12, _axis(0, v=1.3))]),
+                     batch_id=1)
+    got = _groups_set(spark, st)
+    assert any(c == 0 and s == 4 for c, _, s in got), got
