@@ -8036,3 +8036,94 @@ def bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         ranked.unpersist()
+
+
+@query("ann_index_retrain_probe", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+              e AS ce
+       FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 4),
+d1 AS (SELECT v.vec_id, v.e, c.cid,
+              list_sum(list_transform(range(1, 65),
+                       i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS d2
+       FROM v, c0 c),
+a1 AS (SELECT vec_id, e, cid FROM d1
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+m1 AS (SELECT cid, i,
+              CAST(SUM(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+c1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM m1 GROUP BY cid),
+d2_ AS (SELECT v.vec_id, v.e, c.cid,
+               list_sum(list_transform(range(1, 65),
+                        i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS d2
+        FROM v, c1 c),
+a2 AS (SELECT vec_id, e, cid FROM d2_
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+m2 AS (SELECT cid, i,
+              CAST(SUM(CAST(e[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       FROM a2, range(1, 65) t(i) GROUP BY cid, i),
+c2 AS (SELECT cid, list(m ORDER BY i) AS ce FROM m2 GROUP BY cid),
+a3 AS (SELECT vec_id, e, cid FROM (
+           SELECT v.vec_id, v.e, c.cid,
+                  list_sum(list_transform(range(1, 65),
+                           i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])))
+                      AS d2
+           FROM v, c2 c)
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+n AS (SELECT vec_id, e, cid,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM a3),
+qcells AS (SELECT v.vec_id AS qid, c.cid
+           FROM v, c2 c WHERE v.vec_id IN (5, 6, 7)
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY list_sum(list_transform(range(1, 65),
+                        i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))),
+                        c.cid) <= 2),
+q AS (SELECT vec_id AS qid, e AS qe,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+      FROM v WHERE vec_id IN (5, 6, 7)),
+s AS (SELECT qc.qid, n.vec_id AS cid,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> q.qe[i] * n.e[i])) / (q.qn * n.nrm), 6)
+               AS sim
+      FROM qcells qc JOIN n ON n.cid = qc.cid
+                     JOIN q ON q.qid = qc.qid
+      WHERE n.vec_id <> qc.qid)
+SELECT qid, cid, sim FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) <= 5
+""")
+def ann_index_retrain_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit retraining step of the serving lifecycle, oracled
+    end-to-end: build the IVF index under the deterministic SEED
+    codebook (the ingest-time contract — the codebook never moves on
+    add_batch), then `rebuild()` retrains it with 2 Lloyd iterations
+    (kmeans_fit, k=4 — the `_KMEANS_SQL` replay: a3/c2 are the same
+    assignment and means `embedding_kmeans`/`knn_join_kmeans` pin) via
+    the crash-safe sibling-then-swap rewrite, then probe. The oracle
+    replays Lloyd → final assignment → nprobe=2 cell selection against
+    the TRAINED means → top-5 cosine. Cell labels may differ between
+    engines (positional vs cid) but cell MEMBERSHIP — the only thing
+    the probe's output depends on — replays exactly."""
+    import shutil
+    import tempfile
+    from .operators.llm.annindex import IvfVectorIndex
+
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    work = tempfile.mkdtemp(prefix="sparkcdc_annrt_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    s.conf.set(pkey, "32")
+    try:
+        idx = IvfVectorIndex(f"{work}/ann", n_cells=4)
+        idx.build(s, emb)                       # seed codebook
+        idx.rebuild(s, n_cells=4, iters=2)      # Lloyd retrain + swap
+        probes = (emb.filter(F.col("vec_id").isin([5, 6, 7]))
+                     .select(F.col("vec_id").alias("qid"),
+                             F.col("e").alias("qe")))
+        out = idx.probe(s, probes, k=5, nprobe=2)
+        return out.localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
+        shutil.rmtree(work, ignore_errors=True)

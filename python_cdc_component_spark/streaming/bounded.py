@@ -111,8 +111,13 @@ class BoundedStreamConfig:
     # only ever target batches after the stream's last committed
     # checkpoint, and a pruned-then-replayed epoch converges anyway
     # (purge-then-add is idempotent); without pruning one empty marker
-    # file accretes per batch forever (ADVICE r10)
+    # file accretes one per batch forever (ADVICE r10)
     ann_marker_retain: int = 64
+    # every N epochs, retrain the quantizer over the CURRENT corpus
+    # (IvfVectorIndex.rebuild: kmeans_fit + crash-safe sibling swap) —
+    # the maintenance window for the codebook-never-moves-on-ingest
+    # contract; None = manual retraining only
+    ann_retrain_epochs: int | None = None
 
 
 def read_event_stream(spark: SparkSession, events_dir: str,
@@ -338,6 +343,9 @@ def _maintain_ann_index(spark: SparkSession, idx, batch_df: DataFrame,
     marker = _os.path.join(cfg.ann_index_path, "_epochs", str(epoch))
     if fs_exists(spark, marker):
         return
+    # finish any rebuild that crashed between delete and swap (cheap:
+    # two existence probes when nothing is pending)
+    idx.recover(spark)
     from ..operators.dedup import dedup_latest
     idc, vc = cfg.ann_vec_id_col, cfg.ann_vec_col
     latest = dedup_latest(batch_df.drop("_snapshot_phase"), [idc])
@@ -377,6 +385,14 @@ def _maintain_ann_index(spark: SparkSession, idx, batch_df: DataFrame,
             if n_data > cfg.ann_compact_threshold * est_dirs:
                 idx.compact_cells(
                     spark, file_threshold=cfg.ann_compact_threshold)
+            # scheduled retraining: a codebook pinned at epoch 0 skews
+            # as the corpus drifts; rebuild is crash-safe (sibling
+            # swap) and maintenance-idempotent — a replayed epoch just
+            # retrains again over the same corpus
+            if (cfg.ann_retrain_epochs
+                    and epoch > 0
+                    and epoch % cfg.ann_retrain_epochs == 0):
+                idx.rebuild(spark)
         else:
             # first epoch: deterministic seed codebook — the n_cells
             # smallest-id live vectors (an all-tombstone first epoch

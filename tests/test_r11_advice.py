@@ -308,3 +308,50 @@ def test_retrain_keeps_groups_and_improves_blocking(spark, tmp_path):
                      batch_id=1)
     got = _groups_set(spark, st)
     assert any(c == 0 and s == 4 for c, _, s in got), got
+
+
+def test_scheduled_retrain_in_cdc_sync(spark, tmp_path):
+    """cfg.ann_retrain_epochs: every Nth epoch the CDC-maintained index
+    retrains its codebook over the CURRENT corpus (crash-safe sibling
+    swap). The codebook must move off the epoch-0 seed, all live
+    vectors stay indexed under the new cells, and replays of a marked
+    epoch stay no-ops."""
+    from python_cdc_component_spark.streaming.bounded import (
+        BoundedStreamConfig, _maintain_ann_index)
+
+    cfg = BoundedStreamConfig(
+        mode="DEDUPE", primary_keys=["user_id"],
+        ann_index_path=str(tmp_path / "ann"), ann_index_cells=2,
+        ann_retrain_epochs=2)
+    idx = IvfVectorIndex(cfg.ann_index_path, n_cells=2)
+
+    def batch(epoch):
+        rows = [(epoch * 10 + j,
+                 str([float(j + 1), float(epoch + 1)] + [0.0] * 6),
+                 1_000 + epoch, "f", epoch, False, None)
+                for j in range(4)]
+        return spark.createDataFrame(
+            rows,
+            "user_id long, props string, kbc__event_timestamp long, "
+            "kbc__file string, kbc__pos long, __deleted boolean, "
+            "_snapshot_phase string")
+
+    seed = None
+    for epoch in range(4):
+        _maintain_ann_index(spark, idx, batch(epoch), epoch, cfg)
+        if epoch == 0:
+            seed = idx.load_centroids(spark)
+    trained = idx.load_centroids(spark)
+    assert trained != seed, "codebook never moved off the seed"
+    have = sorted(r["vec_id"] for r in spark.read
+                  .parquet(cfg.ann_index_path).select("vec_id").collect())
+    assert have == sorted(e * 10 + j for e in range(4) for j in range(4))
+    assert os.path.exists(f"{cfg.ann_index_path}/_vecmap/_COMPLETE")
+    # marked-epoch replay after a retrain: still a byte-level no-op
+    import time as _t
+    mt = {p: os.path.getmtime(os.path.join(r, p))
+          for r, _, fs in os.walk(cfg.ann_index_path) for p in fs}
+    _maintain_ann_index(spark, idx, batch(3), 3, cfg)
+    mt2 = {p: os.path.getmtime(os.path.join(r, p))
+           for r, _, fs in os.walk(cfg.ann_index_path) for p in fs}
+    assert mt == mt2
