@@ -89,7 +89,15 @@ AUDIT_EXTRA = ["embedding_dup_pairs", "stratified_sample_docs",
                # its streaming-shaped twin, and the fused curation
                # pipeline cascade
                "hybrid_dedup_keep", "lsh_incremental_verified_pairs",
-               "curation_pipeline_keep"]
+               "curation_pipeline_keep",
+               # round-11: blocked record linkage (inequality inside
+               # the join condition), the binary/Matryoshka ANN rungs
+               # (one scored pass, two windows on one partitioning),
+               # integer-domain margin mining, and the retrained-probe
+               # lifecycle exhibit
+               "entity_match_customers", "embedding_binary_ann",
+               "embedding_matryoshka_recall", "bitext_mine_margin",
+               "ann_index_retrain_probe"]
 
 
 def main() -> None:
