@@ -598,6 +598,8 @@ def main() -> None:
             "boilerplate_guard": bench_boilerplate_guard(spark, sf_dir),
             "stream_boilerplate_guard":
                 bench_stream_boilerplate_guard(spark, sf_dir),
+            "stream_semantic_guard":
+                bench_stream_semantic_guard(spark, sf_dir),
         }
         # round-over-round scale-ratio tracking (VERDICT r6 #5): the
         # 10×/30× adaptive-geometry claims (SCALING.md audit index) as
@@ -606,7 +608,12 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from bench_scale_queries import TARGETS, scale_ratio_rows
         extras["scale_ratios"] = scale_ratio_rows(
-            spark, 3, sf_dir, targets=TARGETS + ["hybrid_dedup_keep"],
+            spark, 3, sf_dir,
+            targets=TARGETS + ["hybrid_dedup_keep",
+                               # r11: the binary-ANN rung rides the
+                               # embeddings blowup (brute-force scored
+                               # pass — must stay linear)
+                               "embedding_binary_ann"],
             reps=reps)
         # collapse-mode streaming-groups scale curve (VERDICT r9 #2):
         # the facade over the full documents corpus at 3× — the 10×

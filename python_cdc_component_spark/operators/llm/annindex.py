@@ -379,8 +379,6 @@ class IvfVectorIndex:
         rename is recovered on the next call (or :meth:`recover`),
         which finds the missing index + complete sibling and finishes
         the rename."""
-        import shutil as _shutil  # noqa: F401  (parity with callers)
-
         from ...fs import fs_rename as _fs_rename
 
         tmp = self.index_path.rstrip("/") + "__rebuild"
