@@ -8127,3 +8127,154 @@ def ann_index_retrain_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         s.conf.set(pkey, prev)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query("bm25_topk_docs", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+st AS (SELECT doc_id, len(w) AS dl,
+              len(list_filter(w, x -> x = 'table')) AS tf1,
+              len(list_filter(w, x -> x = 'query')) AS tf2,
+              len(list_filter(w, x -> x = 'scan'))  AS tf3,
+              len(list_filter(w, x -> x = 'merge')) AS tf4
+       FROM t),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+             CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3,
+             CAST(SUM(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df4
+      FROM st),
+s AS (SELECT doc_id,
+             ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df3 + 0.5) / (df3 + 0.5) + 1.0)
+               * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df4 + 0.5) / (df4 + 0.5) + 1.0)
+               * (tf4 * 2.2) / (tf4 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+      FROM st, g)
+SELECT doc_id, round(score, 6) AS bm25 FROM s
+QUALIFY ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) <= 15
+""")
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1=1.2, b=0.75) — the lexical half of hybrid RAG
+    retrieval, at corpus scale: term frequencies come from JVM array
+    filters in ONE map-only pass (no explode shuffle for a fixed query
+    term set), the corpus statistics (N, avgdl, per-term df) reduce to
+    a single tiny aggregate row that broadcasts back, and the final
+    score is a fixed-order arithmetic expression — term contributions
+    are summed in WRITTEN order, never through an unordered SQL SUM,
+    so the float result replays across engines (the
+    quality_classifier_score discipline; `ln(...)` with round-6 is the
+    tfidf_top_terms precedent). Global top-k compiles to
+    TakeOrderedAndProject, never a total sort."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    w = F.split("text", " ")
+    terms = ["table", "query", "scan", "merge"]
+    def tf_col(term: str, name: str):
+        # single-param lambda, factory-scoped closure: a two-param
+        # lambda would make F.filter pass the ARRAY INDEX as the
+        # second argument (its (element, index) form)
+        return F.size(F.filter(w, lambda x: x == F.lit(term))).alias(name)
+
+    st = d.select(
+        "doc_id", F.size(w).alias("dl"),
+        *[tf_col(t, f"tf{i+1}") for i, t in enumerate(terms)])
+    g = st.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf{i+1}") > 0, 1).otherwise(0))
+           .cast("double").alias(f"df{i+1}")
+          for i in range(len(terms))])
+    j = st.crossJoin(F.broadcast(g))
+
+    def part(i: int):
+        tf = F.col(f"tf{i}")
+        df = F.col(f"df{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        norm = tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        return idf * (tf * 2.2) / norm
+
+    score = part(1) + part(2) + part(3) + part(4)
+    ranked = j.select("doc_id", F.round(score, 6).alias("bm25"))
+    w_top = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (ranked.withColumn("rn", F.row_number().over(w_top))
+                  .filter(F.col("rn") <= 15).drop("rn"))
+
+
+@query("rrf_hybrid_search", """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v),
+qp AS (SELECT vec_id AS qid, e AS qe, nrm AS a_n FROM n WHERE vec_id < 5),
+cp AS (SELECT vec_id AS cid, e AS ce, nrm AS b_n FROM n WHERE vec_id >= 5),
+sc AS (SELECT qid, cid,
+              list_sum(list_transform(range(1, 65),
+                   i -> CASE WHEN (qe[i] >= 0) <> (ce[i] >= 0)
+                             THEN 1 ELSE 0 END)) AS hamming,
+              round(list_sum(list_transform(range(1, 65),
+                    i -> qe[i] * ce[i])) / (a_n * b_n), 6) AS sim
+       FROM qp, cp),
+r AS (SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, cid) AS rc,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY hamming, cid) AS rh
+      FROM sc)
+SELECT qid, cid,
+       round(1.0 / (60 + rc) + 1.0 / (60 + rh), 9) AS rrf
+FROM r
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+    ORDER BY 1.0 / (60 + rc) + 1.0 / (60 + rh) DESC, cid) <= 10
+""")
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60, the Cormack/Clarke constant) of
+    two retrieval systems — exact cosine and binary-sign Hamming —
+    the standard hybrid-search combiner (lexical+vector in RAG
+    stacks): fusion consumes only integer RANKS, so it is immune to
+    the systems' score scales, and the fused score is a fixed-order
+    sum of two exact-integer-derived divisions — bit-exact in any
+    engine with no float-fold hazard. Both rankings come from ONE
+    scored pass (two windows sharing the qid partitioning — the
+    embedding_int8_ann_recall plan discipline); at 100 TB each system
+    would feed its candidate top-k from its own index (IVF/PQ, binary
+    sketch scan) and the fusion joins k-sized lists, never corpora."""
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    emb = emb.withColumn(
+        "nrm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                  F.lit(0.0), lambda a, x: a + x)))
+    qp = (emb.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                     F.col("nrm").alias("a_n")))
+    cp = (emb.filter(F.col("vec_id") >= 5)
+             .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                     F.col("nrm").alias("b_n")))
+    ham = F.aggregate(
+        F.zip_with("qe", "ce",
+                   lambda x, y: F.when((x >= 0) != (y >= 0), F.lit(1))
+                                 .otherwise(F.lit(0)).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    edot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                       F.lit(0.0), lambda a, x: a + x)
+    scored = (cp.crossJoin(F.broadcast(qp))
+                .select("qid", "cid", ham.alias("hamming"),
+                        F.round(edot / (F.col("a_n") * F.col("b_n")), 6)
+                         .alias("sim")))
+    wc = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                           F.col("cid"))
+    wh = Window.partitionBy("qid").orderBy("hamming", "cid")
+    ranked = (scored.withColumn("rc", F.row_number().over(wc))
+                    .withColumn("rh", F.row_number().over(wh)))
+    fused = (F.lit(1.0) / (60 + F.col("rc"))
+             + F.lit(1.0) / (60 + F.col("rh")))
+    wbest = Window.partitionBy("qid").orderBy(fused.desc(), F.col("cid"))
+    return (ranked.withColumn("rrf", F.round(fused, 9))
+                  .withColumn("rn", F.row_number().over(wbest))
+                  .filter(F.col("rn") <= 10)
+                  .select("qid", "cid", "rrf"))

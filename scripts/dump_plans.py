@@ -97,7 +97,11 @@ AUDIT_EXTRA = ["embedding_dup_pairs", "stratified_sample_docs",
                # lifecycle exhibit
                "entity_match_customers", "embedding_binary_ann",
                "embedding_matryoshka_recall", "bitext_mine_margin",
-               "ann_index_retrain_probe"]
+               "ann_index_retrain_probe",
+               # round-11 second wave: hybrid retrieval (BM25's
+               # map-only tf pass + one broadcast stats row +
+               # TakeOrderedAndProject; RRF's two-ranking single pass)
+               "bm25_topk_docs", "rrf_hybrid_search"]
 
 
 def main() -> None:

@@ -14,6 +14,8 @@ BUDGETS = {
     "entity_match_customers": 2,   # one co-partitioning of both sides
     "embedding_binary_ann": 2,     # windows share the qid exchange
     "embedding_matryoshka_recall": 2,
+    "rrf_hybrid_search": 2,        # same single-pass two-window shape
+    "bm25_topk_docs": 2,           # stats agg + global top-k
 }
 
 
@@ -47,7 +49,15 @@ def test_entity_match_blocking_is_an_equi_join(spark, sf_dir):
 def test_ann_ladder_probe_side_broadcasts(spark, sf_dir):
     """The tiny probe side must broadcast over the corpus scan in both
     new recall queries (the serving-path join direction)."""
-    for name in ("embedding_binary_ann", "embedding_matryoshka_recall"):
+    for name in ("embedding_binary_ann", "embedding_matryoshka_recall",
+                 "rrf_hybrid_search"):
         s = plan_summary(QUERIES[name](spark, sf_dir))
         assert s.uniq_broadcasts >= 1, (
             f"{name}: probe side not broadcast:\n{s.text[:2000]}")
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    """The global top-k must compile to TakeOrderedAndProject — a
+    total Sort of the corpus would single-partition at 100 TB."""
+    s = plan_summary(QUERIES["bm25_topk_docs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in s.text, s.text[:2000]
