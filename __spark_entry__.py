@@ -66,20 +66,21 @@ DRIVER_WINDOW = [
     "entity_match_customers", "embedding_binary_ann",
     "embedding_matryoshka_recall", "bitext_mine_margin",
     "ann_index_retrain_probe", "bm25_topk_docs", "rrf_hybrid_search",
-    # rotated in (staleness refresh): the 18 stalest driver rows — the
+    "cdc_semantic_groups_sync",
+    # rotated in (staleness refresh): the 17 stalest driver rows — the
     # 12 remaining r3-tier queries (the seven displaced by r10's
     # never-rowed additions now re-row, plus the rest of that tier),
-    # then the alphabetically-first 6 of the r4 tier (never-rowed
-    # outranks staleness, so the last three additions displaced
-    # embedding_topk, embedding_topk_pandas and events_windowed_agg —
-    # they re-row in a later refresh)
+    # then the alphabetically-first 5 of the r4 tier (never-rowed
+    # outranks staleness, so the last four additions displaced
+    # dup_components, embedding_topk, embedding_topk_pandas and
+    # events_windowed_agg — they re-row in a later refresh)
     "q5_nation_revenue", "q6_revenue_delta", "regexp_funcs",
     "rollup_orders", "salted_join_segments", "semi_join_returned_orders",
     "set_ops_customers", "string_funcs", "text_fingerprint",
     "text_token_stats", "top_k_orders", "window_functions_suite",
     "asof_join_events", "bloom_dedup_incremental",
     "cdc_dedup_composite_key", "cdc_scalar_funcs",
-    "dedup_pipeline_summary", "dup_components",
+    "dedup_pipeline_summary",
 ]
 
 

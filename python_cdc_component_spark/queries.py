@@ -8278,3 +8278,84 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .withColumn("rn", F.row_number().over(wbest))
                   .filter(F.col("rn") <= 10)
                   .select("qid", "cid", "rrf"))
+
+
+@query("cdc_semantic_groups_sync", """
+WITH RECURSIVE v AS (SELECT vec_id,
+                            list_transform(embedding,
+                                           x -> CAST(x AS DOUBLE)) AS e
+                     FROM embeddings),
+cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ck, e AS ce
+         FROM v WHERE vec_id % 2 = 0
+         QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 4),
+d AS (SELECT vec_id, e, ck,
+             list_sum(list_transform(range(1, 65),
+                      i -> (e[i] - ce[i]) * (e[i] - ce[i]))) AS dist
+      FROM v, cent),
+assign AS (SELECT vec_id, e, ck FROM d
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, ck) = 1),
+n AS (SELECT vec_id, e, ck,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM assign),
+p AS (SELECT a.vec_id AS s, b.vec_id AS t
+      FROM n a JOIN n b ON a.ck = b.ck AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(range(1, 65),
+                  i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) >= 0.4),
+sym AS (SELECT s, t FROM p UNION SELECT t, s FROM p),
+reach AS (SELECT s AS nn, t AS m FROM sym
+          UNION
+          SELECT r.nn, e2.t FROM reach r JOIN sym e2 ON r.m = e2.s),
+lbl AS (SELECT nn, m FROM reach
+        UNION ALL SELECT vec_id, vec_id FROM v),
+comp AS (SELECT nn AS vec_id, MIN(m) AS component FROM lbl GROUP BY nn)
+SELECT component, component AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY component
+""")
+def cdc_semantic_groups_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic member of the CDC side-state triangle, end-to-end:
+    the embeddings table arrives as CDC INSERT events (vectors as JSON
+    array strings in `props` — the wire shape) and
+    `bounded_sync(semantic_groups_path=...)` maintains cosine near-dup
+    components per micro-batch (`_maintain_semantic_groups`: cdc3
+    tiers — purge 3e for updates/tombstones, ingest 3e+1 — with the
+    groups manifest as the exactly-once anchor; seed codebook = the 4
+    smallest-id vectors of wave one, the evens under 2-wave staging).
+    Insert-only workload here, so the oracle is exactly the
+    `semantic_groups_stream` replay: fixed-codebook assignment →
+    same-cell round(cos,6) ≥ 0.4 pairs → recursive closure → min-id
+    keepers. Update/tombstone purge semantics and crash/replay
+    convergence are pytest-pinned (tests/test_r11_semantic_sync.py)."""
+    import shutil
+    import tempfile
+    from .streaming.bounded import BoundedStreamConfig, bounded_sync
+    from .streaming.semantic_state import StreamingSemanticGroups
+
+    s = _spark(spark)
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    work = tempfile.mkdtemp(prefix="sparkcdc_semsync_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    # 16, not the usual 32: foreachBatch jobs run with streaming AQE
+    # OFF, so every tiny merge-stage shuffle pays the full fixed
+    # partition count — at this state size the narrower width halves
+    # task-scheduling overhead without touching any result
+    s.conf.set(pkey, "16")
+    try:
+        docs_like = emb.select(F.col("vec_id").alias("doc_id"),
+                               F.to_json(F.col("e")).alias("text"))
+        flat = _stage_docs_as_event_waves(s, docs_like, work, 2)
+        cfg = BoundedStreamConfig(
+            mode="DEDUPE", primary_keys=["user_id"],
+            max_files_per_trigger=1, max_wait_s=5.0,
+            semantic_groups_path=f"{work}/sem", semantic_cells=4,
+            semantic_threshold=0.4, semantic_buckets=8)
+        bounded_sync(s, flat, f"{work}/state", f"{work}/ckpt", cfg)
+        st = StreamingSemanticGroups(f"{work}/sem", n_cells=4,
+                                     threshold=0.4, num_buckets=8)
+        return st.read_groups(s).localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
+        shutil.rmtree(work, ignore_errors=True)

@@ -118,6 +118,19 @@ class BoundedStreamConfig:
     # the maintenance window for the codebook-never-moves-on-ingest
     # contract; None = manual retraining only
     ann_retrain_epochs: int | None = None
+    # when set (DEDUPE mode only), each micro-batch maintains a
+    # StreamingSemanticGroups side state at this path — cosine near-dup
+    # components over a vector payload column, the semantic member of
+    # the CDC side-state triangle (text groups / ANN index / semantic
+    # groups). semantic_vec_id_col names the integral PK;
+    # semantic_vec_col the payload column carrying the vector as a
+    # JSON array string (the wire shape, like ann_vec_col).
+    semantic_groups_path: str | None = None
+    semantic_vec_id_col: str = "user_id"
+    semantic_vec_col: str = "props"
+    semantic_cells: int = 8
+    semantic_threshold: float = 0.4
+    semantic_buckets: int = 16
 
 
 def read_event_stream(spark: SparkSession, events_dir: str,
@@ -418,6 +431,82 @@ def _maintain_ann_index(spark: SparkSession, idx, batch_df: DataFrame,
         keyed.unpersist()
 
 
+def _maintain_semantic_groups(spark: SparkSession, st, batch_df: DataFrame,
+                              epoch: int,
+                              cfg: "BoundedStreamConfig") -> None:
+    """One epoch of semantic near-dup-group side maintenance — the
+    vector twin of ``_maintain_dedup_groups``, on the same ``cdc3``
+    tier scheme (inline purge 3e, ingest 3e+1, residue 3e+2 free for
+    between-runs erasure) with the groups manifest as the
+    exactly-once anchor.
+
+    ``StreamingSemanticGroups.process_batch`` is INSERT-ONLY (its
+    documented contract: stale cosine edges survive an in-place
+    update), so updates and tombstones purge FIRST — group claims,
+    survivor re-election, and the vector rows all drop at tier 3e —
+    and only then does the ingest tier index the batch's live
+    versions. Victim materialization is ∝ genuinely re-ingested or
+    tombstoned ids (the erasure-path shape, resolved by a semi-join
+    against the index's ``_vecmap`` sidecar), never ∝ batch size —
+    fresh inserts skip the purge entirely."""
+    import os as _os
+
+    from ..fs import fs_exists, fs_touch
+    from ..operators.dedup import dedup_latest
+
+    ingest_marker = _os.path.join(st.groups._manifest_path,
+                                  str(3 * epoch + 1))
+    if fs_exists(spark, ingest_marker):
+        return
+    idc, vc = cfg.semantic_vec_id_col, cfg.semantic_vec_col
+    latest = dedup_latest(batch_df.drop("_snapshot_phase"), [idc])
+    keyed = latest.select(
+        F.col(idc).cast("long").alias("vec_id"),
+        F.from_json(F.col(vc), "array<double>").alias("e"),
+        F.coalesce(F.col(SC.deleted), F.lit(False)).alias("_del"))
+    keyed.persist()
+    try:
+        if keyed.isEmpty():
+            return
+        st.groups._set_tier_mode(spark, "cdc3")
+        purge_marker = _os.path.join(st.groups._manifest_path,
+                                     str(3 * epoch))
+        if not fs_exists(spark, purge_marker):
+            idx = st.index
+            # membership probe: one columnar scan of the (vec_id,
+            # cell) sidecar — two small columns, never the inverted
+            # file. This keeps victim COLLECTION bounded by real
+            # updates/tombstones at the cost of a sidecar-proportional
+            # scan per epoch; insert-heavy fleets at extreme corpus
+            # sizes would swap this probe for a maintained membership
+            # bloom (the bloom_dedup_incremental pattern) without
+            # touching the purge/ingest tiers
+            if fs_exists(spark, idx._vecmap_ok_path):
+                indexed = (spark.read.parquet(idx._vecmap_path)
+                           .select("vec_id"))
+            elif fs_exists(spark, idx._cent_path):
+                # pre-attestation index: membership from the cells
+                indexed = (spark.read.parquet(idx.index_path)
+                           .select("vec_id"))
+            else:
+                indexed = None
+            upd = (keyed.join(indexed, "vec_id", "left_semi")
+                   if indexed is not None
+                   else keyed.limit(0))
+            victims = [r["vec_id"] for r in
+                       keyed.filter("_del").select("vec_id")
+                            .unionByName(upd.select("vec_id"))
+                            .distinct().collect()]
+            if victims:
+                st.purge_docs(spark, victims,
+                              purge_batch_id=3 * epoch)
+            fs_touch(spark, purge_marker)
+        live = keyed.filter(~F.col("_del")).select("vec_id", "e")
+        st.process_batch(spark, live, batch_id=3 * epoch + 1)
+    finally:
+        keyed.unpersist()
+
+
 def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                  checkpoint_dir: str,
                  cfg: BoundedStreamConfig | None = None) -> dict:
@@ -437,6 +526,11 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
             "ann_index_path requires DEDUPE mode — the index mirrors "
             "the table's CURRENT state (latest version per key), which "
             "APPEND mode does not maintain")
+    if cfg.semantic_groups_path and cfg.mode.upper() != "DEDUPE":
+        raise ValueError(
+            "semantic_groups_path requires DEDUPE mode — the groups "
+            "mirror the table's CURRENT state (latest version per "
+            "key), which APPEND mode does not maintain")
     stream = read_event_stream(spark, events_dir, cfg.max_files_per_trigger)
 
     # snapshot-mode dispatch (stream flavor; batch twin in engine.sync).
@@ -495,6 +589,14 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                 from ..operators.llm.annindex import IvfVectorIndex
                 ann_idx = IvfVectorIndex(cfg.ann_index_path,
                                          n_cells=cfg.ann_index_cells)
+            sem = None
+            if cfg.semantic_groups_path:
+                from .semantic_state import StreamingSemanticGroups
+                sem = StreamingSemanticGroups(
+                    cfg.semantic_groups_path,
+                    n_cells=cfg.semantic_cells,
+                    threshold=cfg.semantic_threshold,
+                    num_buckets=cfg.semantic_buckets)
 
             def sink(batch_df: DataFrame, batch_id: int) -> None:
                 if cfg.live:
@@ -514,6 +616,9 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                 if ann_idx is not None:
                     _maintain_ann_index(spark, ann_idx, batch_df,
                                         int(batch_id), cfg)
+                if sem is not None:
+                    _maintain_semantic_groups(spark, sem, batch_df,
+                                              int(batch_id), cfg)
 
             writer = stream.writeStream.foreachBatch(sink)
         else:

@@ -77,7 +77,7 @@ AUDIT_EXTRA = ["embedding_dup_pairs", "stratified_sample_docs",
                # hard-negative mining + vector-index erasure
                "embedding_filtered_ann", "contrastive_hard_negatives",
                "ann_index_forget_probe", "cdc_ann_index_sync",
-               "semantic_groups_stream",
+               "semantic_groups_stream", "cdc_semantic_groups_sync",
                "doremi_mix_weights", "user_feature_export",
                "doc_feature_join", "hll_distinct_contract",
                # round-6: operator-extracted scale paths under their
