@@ -7762,30 +7762,24 @@ FROM customer a JOIN customer b
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """)
 def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy record linkage (entity resolution): candidate
-    pairs are generated ONLY within a blocking key — (nation, market
-    segment) here — then scored with edit distance, the classic
-    blocking-then-matching shape that keeps a 100 TB linkage
-    Σ|block|² instead of n². The join shuffles both sides once on the
-    blocking key (co-located pairs, no cartesian), levenshtein runs
-    JVM-side inside codegen, and the `a < b` inequality rides the join
-    condition so mirror/self pairs never materialize. Beyond-reference
-    LLM-pipeline operator (the reference has no fuzzy-match surface);
-    the integer edit-distance threshold replays exactly in any
-    engine."""
+    """Blocked fuzzy record linkage (entity resolution) under its
+    oracle pin: candidate pairs only within the (nation, market
+    segment) blocking key, scored with edit distance — the
+    `operators/llm/linkage.blocked_link` operator with
+    ``max_block_size=None`` so DuckDB replays the exact pair set.
+    Direct users get the hot-block hash-split guard (real blocking
+    keys are skewed; one default-segment block must not reintroduce
+    the |block|² term the blocking exists to remove — the knn_join
+    ``max_cell_size`` discipline, pinned in
+    tests/test_r11_advice.py)."""
+    from .operators.llm.linkage import blocked_link
     c = read_table(_spark(spark), sf_dir, "customer")
-    a = c.select(F.col("c_custkey").alias("cust_a"),
-                 F.col("c_name").alias("name_a"),
-                 "c_nationkey", "c_mktsegment")
-    b = c.select(F.col("c_custkey").alias("cust_b"),
-                 F.col("c_name").alias("name_b"),
-                 "c_nationkey", "c_mktsegment")
-    dist = F.levenshtein("name_a", "name_b")
-    return (a.join(b, ["c_nationkey", "c_mktsegment"])
-             .filter(F.col("cust_a") < F.col("cust_b"))
-             .filter(dist <= 2)
-             .select("cust_a", "cust_b",
-                     dist.cast("long").alias("name_dist")))
+    return (blocked_link(c, ["c_nationkey", "c_mktsegment"],
+                         "c_custkey", "c_name", max_dist=2,
+                         max_block_size=None)
+            .select(F.col("id_a").alias("cust_a"),
+                    F.col("id_b").alias("cust_b"),
+                    F.col("dist").alias("name_dist")))
 
 
 @query("embedding_binary_ann", """

@@ -355,3 +355,41 @@ def test_scheduled_retrain_in_cdc_sync(spark, tmp_path):
     mt2 = {p: os.path.getmtime(os.path.join(r, p))
            for r, _, fs in os.walk(cfg.ann_index_path) for p in fs}
     assert mt == mt2
+
+
+# -- blocked-linkage hot-block guard (r11) -----------------------------
+
+def test_blocked_link_hot_block_guard(spark):
+    """A skewed blocking key (one block holding K identical records)
+    must not reintroduce the |block|² term: over the cap the block
+    hash-splits and pair volume drops to Σ|slice|²; cross-block pairs
+    never appear; under the cap (and with the cap off) the full
+    within-block pair set is emitted."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_component_spark.operators.llm.linkage import (
+        blocked_link)
+
+    k = 60
+    hot = [(i, "blk", "Customer#000") for i in range(k)]
+    cold = [(1000 + i, "c2", f"Customer#{i:03d}") for i in range(4)]
+    df = spark.createDataFrame(hot + cold,
+                               "rid long, seg string, name string")
+    full = blocked_link(df, ["seg"], "rid", "name", max_dist=2,
+                        max_block_size=None)
+    n_full = full.count()
+    assert n_full >= k * (k - 1) / 2          # the hot block all-pairs
+    assert full.filter("id_a >= 1000 and id_b < 1000").count() == 0
+
+    capped = blocked_link(df, ["seg"], "rid", "name", max_dist=2,
+                          max_block_size=15)
+    n_capped = capped.count()
+    # 60 rows over cap 15 → 4 slices of ~15 → ≈ 4 · C(15,2) pairs,
+    # far under C(60,2); the cold block (4 ≤ cap) stays complete
+    assert n_capped < n_full / 2, (n_capped, n_full)
+    cold_pairs = capped.filter("id_a >= 1000").count()
+    assert cold_pairs == (blocked_link(
+        df.filter("seg = 'c2'"), ["seg"], "rid", "name",
+        max_dist=2).count())
+    # guarded pairs are a SUBSET of the unguarded set
+    assert capped.join(full, ["id_a", "id_b"], "left_anti").count() == 0
