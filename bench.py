@@ -227,6 +227,71 @@ def bench_dedup_groups_sync(spark, sf_dir: str,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_lexical_index_sync(spark, sf_dir: str,
+                             n_docs: int = 1_000,
+                             n_waves: int = 4) -> dict:
+    """CDC sync with the lexical-index side state (round 12, VERDICT
+    r11 #3): the documents table drained through ``bounded_sync`` with
+    and without ``lexical_index_path`` — the row prices what
+    maintaining postings + doc-stats costs ON TOP of the compaction
+    the sync pays anyway (per batch: sidecar-pruned purge, one
+    explode/count shuffle, marker) — plus the serving probe itself
+    (index-fed BM25, k term partitions, never the corpus). The 3×
+    ingest ratio guards linearity."""
+    import shutil
+    import tempfile
+
+    from python_cdc_component_spark.streaming.bounded import (
+        BoundedStreamConfig, bounded_sync)
+    from python_cdc_component_spark.streaming.lexical_state import (
+        StreamingLexicalIndex)
+
+    root = tempfile.mkdtemp(prefix="bench_lex_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        from python_cdc_component_spark.queries import (
+            _stage_docs_as_event_waves)
+        out = {}
+        for label, n in (("1x", n_docs), ("3x", 3 * n_docs)):
+            docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                    .select("doc_id", "text").limit(n))
+            flat = _stage_docs_as_event_waves(
+                spark, docs, f"{root}/{label}", n_waves)
+            for mode, lex_path in (("plain", None),
+                                   ("with_lex", f"{root}/{label}/lex")):
+                cfg = BoundedStreamConfig(
+                    mode="DEDUPE", primary_keys=["user_id"],
+                    max_files_per_trigger=1, max_wait_s=5.0,
+                    lexical_index_path=lex_path, lexical_parts=16)
+                t0 = time.time()
+                bounded_sync(spark, flat,
+                             f"{root}/{label}/state_{mode}",
+                             f"{root}/{label}/ckpt_{mode}", cfg)
+                out[f"{label}_{mode}_sec"] = round(time.time() - t0, 3)
+            out[f"{label}_premium_sec"] = round(
+                out[f"{label}_with_lex_sec"]
+                - out[f"{label}_plain_sec"], 3)
+        lex = StreamingLexicalIndex(f"{root}/3x/lex", num_parts=16)
+        t0 = time.time()
+        n_hits = lex.bm25_topk(
+            spark, ["table", "query", "scan", "merge"], k=15).count()
+        out["probe_sec"] = round(time.time() - t0, 3)
+        out["probe_rows"] = n_hits
+        out["n_docs"] = n_docs
+        ratio = (out["3x_premium_sec"] / out["1x_premium_sec"]
+                 if out["1x_premium_sec"] > 0.05 else None)
+        out["premium_ratio_3x"] = (round(ratio, 2)
+                                   if ratio is not None else None)
+        # linear-with-headroom bound (fixed per-epoch costs dominate at
+        # this size, so sublinear is common; 4.5 ≈ 1.5× linear)
+        out["within_bound"] = ratio is None or ratio < 4.5
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_ann_index_sync(spark, sf_dir: str, n_vecs: int = 1_000,
                          n_waves: int = 4) -> dict:
     """CDC sync with the ANN-index side state (round-10 continuation):
@@ -594,6 +659,8 @@ def main() -> None:
             "skew_join": bench_skew(spark),
             "dedup_groups_sync": bench_dedup_groups_sync(spark, sf_dir),
             "ann_index_sync": bench_ann_index_sync(spark, sf_dir),
+            "lexical_index_sync": bench_lexical_index_sync(spark,
+                                                           sf_dir),
             "q1_decimal_probe": bench_q1_decimal_probe(spark, sf_dir),
             "boilerplate_guard": bench_boilerplate_guard(spark, sf_dir),
             "stream_boilerplate_guard":
@@ -628,6 +695,8 @@ def main() -> None:
             doc["scale_ratio_violations"].append("stream_groups_scale")
         if not extras["ann_index_sync"].get("within_bound", True):
             doc["scale_ratio_violations"].append("ann_index_sync")
+        if not extras["lexical_index_sync"].get("within_bound", True):
+            doc["scale_ratio_violations"].append("lexical_index_sync")
         print(json.dumps(extras, separators=(",", ":")))
     print(json.dumps(doc, separators=(",", ":")))
 

@@ -112,3 +112,15 @@ def fs_list_names(spark: SparkSession, path: str) -> list[str]:
     if not fs.exists(jpath):
         return []
     return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def fs_has_children(spark: SparkSession, path: str, prefix: str) -> bool:
+    """True iff ``path`` has at least one immediate child whose name
+    starts with ``prefix`` — the "does this partitioned store hold any
+    visible data partitions" probe. A store whose partitions were ALL
+    purged keeps its directory (markers like ``_COMPLETE``/``_SUCCESS``
+    survive), and ``spark.read.parquet`` on such a directory fails
+    schema inference — callers must degrade to "nothing indexed"
+    instead of crashing the stream (ADVICE r11, medium)."""
+    return any(name.startswith(prefix)
+               for name in fs_list_names(spark, path))

@@ -308,7 +308,14 @@ class IvfVectorIndex:
                              .select("cell").distinct().collect())})
         else:
             # legacy / untrusted sidecar: one-off full scan (the next
-            # add_batch backfills the sidecar and sets the marker)
+            # add_batch backfills the sidecar and sets the marker).
+            # An index dir holding no visible cell partitions (fully
+            # purged, or markers only) has nothing to scan — and the
+            # scan would fail schema inference (ADVICE r11, medium)
+            from ...fs import fs_has_children as _fs_has_children
+            if not _fs_has_children(spark, self.index_path,
+                                    f"{CELL_COL}="):
+                return 0
             cells = sorted({r[CELL_COL] for r in
                             (spark.read.parquet(self.index_path)
                              .join(hint(ids_df), "vec_id", "left_semi")
@@ -378,11 +385,33 @@ class IvfVectorIndex:
         sibling (retry overwrites it); a crash between delete and
         rename is recovered on the next call (or :meth:`recover`),
         which finds the missing index + complete sibling and finishes
-        the rename."""
+        the rename.
+
+        An index whose every cell was purged (tombstone-drained
+        corpus) has nothing to retrain over — and no visible data
+        files, so a wholesale read would fail schema inference: the
+        retrain SKIPS, leaving the stored codebook serving, instead of
+        crashing a scheduled in-stream rebuild (ADVICE r11, medium).
+
+        Side-state markers stored under the index path by maintenance
+        drivers (the ``_epochs`` exactly-once dir of
+        ``_maintain_ann_index``) are carried ACROSS the swap — renamed
+        into the sibling after its build completes, so the committed
+        index keeps its replay horizon instead of silently collapsing
+        ``ann_marker_retain`` to zero at every retrain boundary
+        (ADVICE r11). A crash in the one call-gap between that rename
+        and the old-delete loses the markers but nothing else: replays
+        of marker-less epochs converge (purge-then-add is idempotent,
+        the documented pruning contract)."""
+        from ...fs import fs_has_children as _fs_has_children
         from ...fs import fs_rename as _fs_rename
 
         tmp = self.index_path.rstrip("/") + "__rebuild"
         if self.recover(spark):
+            return self.n_cells
+        if not _fs_has_children(spark, self.index_path, f"{CELL_COL}="):
+            # fully-purged index: no rows to retrain on, and no data
+            # files to read — keep the stored codebook as-is
             return self.n_cells
         rows = spark.read.parquet(self.index_path).drop(CELL_COL, "nrm")
         if centroids is None:
@@ -395,6 +424,18 @@ class IvfVectorIndex:
                              num_map_parts=self.num_map_parts)
         _fs_delete(spark, tmp)
         sub.build(spark, rows, centroids=centroids)
+        # carry maintenance epoch markers into the sibling BEFORE the
+        # commit (after: build() above wiped tmp, so only now is the
+        # sibling a safe destination). Ordering note: a crash right
+        # here leaves the old index serving without markers (benign,
+        # see docstring); a crash after the delete below recovers via
+        # recover(), markers riding the sibling.
+        epochs_src = os.path.join(self.index_path, "_epochs")
+        if _fs_exists(spark, epochs_src):
+            if not _fs_rename(spark, epochs_src,
+                              os.path.join(tmp, "_epochs")):
+                raise IOError(
+                    f"rebuild: failed to carry _epochs into {tmp}")
         # commit: the build above MATERIALIZED every row into the
         # sibling, so the source dir is no longer read
         _fs_delete(spark, self.index_path)

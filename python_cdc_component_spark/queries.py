@@ -8353,3 +8353,138 @@ def cdc_semantic_groups_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         s.conf.set(pkey, prev)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: CDC-maintained inverted index for the lexical retrieval leg
+
+@query("lexical_index_bm25_sync", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+st AS (SELECT doc_id, len(w) AS dl,
+              len(list_filter(w, x -> x = 'table')) AS tf1,
+              len(list_filter(w, x -> x = 'query')) AS tf2,
+              len(list_filter(w, x -> x = 'scan'))  AS tf3,
+              len(list_filter(w, x -> x = 'merge')) AS tf4
+       FROM t),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+             CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3,
+             CAST(SUM(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df4
+      FROM st),
+s AS (SELECT doc_id,
+             ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df3 + 0.5) / (df3 + 0.5) + 1.0)
+               * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df4 + 0.5) / (df4 + 0.5) + 1.0)
+               * (tf4 * 2.2) / (tf4 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+      FROM st, g
+      WHERE tf1 + tf2 + tf3 + tf4 > 0)
+SELECT doc_id, round(score, 6) AS bm25 FROM s
+QUALIFY ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) <= 15
+""")
+def lexical_index_bm25_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical serving stack end-to-end (VERDICT r11 #3): the
+    documents table arrives as CDC INSERT events and
+    ``bounded_sync(lexical_index_path=...)`` maintains a
+    ``StreamingLexicalIndex`` — postings partitioned by term hash +
+    doc-stats, ``_docterms`` erasure sidecar, exactly-once epoch
+    markers — beside the compacted state. The probe then answers BM25
+    (k1=1.2, b=0.75) for a fixed 4-term query from the INDEX: it opens
+    only the query terms' postings partitions and folds per-term
+    contributions in written order, so for this insert-only workload
+    it must equal the scan-based ``bm25_topk_docs`` formulation
+    restricted to docs matching ≥1 term (the serving contract: a
+    zero-score doc is never retrieved) — which is exactly what the
+    oracle computes from the raw table. Update/tombstone purge,
+    crash/replay convergence, and compaction are pytest-pinned
+    (tests/test_r12_lexical.py)."""
+    import shutil
+    import tempfile
+    from .streaming.bounded import BoundedStreamConfig, bounded_sync
+    from .streaming.lexical_state import StreamingLexicalIndex
+
+    s = _spark(spark)
+    docs = read_table(s, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sparkcdc_lexsync_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    # foreachBatch jobs run with streaming AQE OFF — narrow fixed
+    # width for the many small per-epoch stages (the semantic-sync
+    # precedent)
+    s.conf.set(pkey, "16")
+    try:
+        flat = _stage_docs_as_event_waves(s, docs, work, 2)
+        cfg = BoundedStreamConfig(
+            mode="DEDUPE", primary_keys=["user_id"],
+            max_files_per_trigger=1, max_wait_s=5.0,
+            lexical_index_path=f"{work}/lex", lexical_parts=16)
+        bounded_sync(s, flat, f"{work}/state", f"{work}/ckpt", cfg)
+        lex = StreamingLexicalIndex(f"{work}/lex", num_parts=16)
+        out = lex.bm25_topk(s, ["table", "query", "scan", "merge"],
+                            k=15)
+        return out.localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("phrase_proximity_search", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id,
+             CAST(len(list_filter(range(1, len(w)),
+                  i -> w[i] = 'table' AND w[i + 1] = 'scan'))
+                  AS BIGINT) AS n_phrase,
+             CAST(len(list_filter(
+                  list_filter(range(1, len(w) + 1),
+                              i -> w[i] = 'query'),
+                  p -> len(list_filter(
+                       list_filter(range(1, len(w) + 1),
+                                   i -> w[i] = 'merge'),
+                       q -> abs(q - p) <= 5)) > 0))
+                  AS BIGINT) AS n_near
+      FROM t)
+SELECT doc_id, n_phrase, n_near FROM s
+WHERE n_phrase + n_near > 0
+QUALIFY ROW_NUMBER() OVER (
+    ORDER BY n_phrase DESC, n_near DESC, doc_id) <= 20
+""")
+def phrase_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional text retrieval beyond bag-of-words BM25: EXACT PHRASE
+    occurrences ('table scan' as adjacent tokens, in order) and a
+    PROXIMITY predicate ('query' within ±5 tokens of 'merge') per
+    document — the operators behind quoted-query and NEAR() search.
+    Both counts are higher-order array expressions over ONE tokenize
+    (filter/exists over position sequences — JVM codegen, no UDF, no
+    explode), so the whole query is a map-only projection with zero
+    shuffles until the global top-k (TakeOrderedAndProject). At 100 TB
+    the same expressions run per-split with only k rows ever crossing
+    the wire; an index-backed variant stores positions in the
+    ``StreamingLexicalIndex`` postings and joins k term partitions.
+    Positions are 1-based (element_at) so DuckDB's 1-based lists
+    replay the ranks bit-for-bit."""
+    d = read_table(_spark(spark), sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    n_phrase = F.expr(
+        "size(filter(sequence(1, size(w) - 1), "
+        "i -> element_at(w, i) = 'table' "
+        "AND element_at(w, i + 1) = 'scan'))").cast("long")
+    n_near = F.expr(
+        "size(filter("
+        "  filter(sequence(1, size(w)), i -> element_at(w, i) = 'query'),"
+        "  p -> exists("
+        "    filter(sequence(1, size(w)), i -> element_at(w, i) = 'merge'),"
+        "    q -> abs(q - p) <= 5)))").cast("long")
+    s = (t.filter(F.size("w") >= 2)
+         .select("doc_id", n_phrase.alias("n_phrase"),
+                 n_near.alias("n_near"))
+         .filter(F.col("n_phrase") + F.col("n_near") > 0))
+    w_top = Window.orderBy(F.col("n_phrase").desc(),
+                           F.col("n_near").desc(), F.col("doc_id"))
+    return (s.withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") <= 20).drop("rn"))

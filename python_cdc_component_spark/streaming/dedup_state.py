@@ -798,42 +798,94 @@ class StreamingDedupGroups:
         every later ingest merge forever — a survivor could never be
         merged into a new component again); unsequenced stores draw the
         tier from the shared ``_seq`` counter, keeping purge and later
-        ingest mutually ordered. Returns rows rewritten."""
+        ingest mutually ordered. Returns rows rewritten.
+
+        List-based entry for erasure endpoints (victim sets small and
+        driver-resident by nature); the per-epoch CDC maintenance
+        paths use :meth:`purge_docs_df` — same semantics, victims stay
+        a distributed frame."""
         if not doc_ids:
             return 0
         self._resolve_buckets(spark)
+        ids_df = spark.createDataFrame(
+            [(v,) for v in sorted(set(doc_ids))], f"doc_id {self._id_t}")
+        return self.purge_docs_df(spark, ids_df,
+                                  purge_batch_id=purge_batch_id,
+                                  broadcast_victims=True)
+
+    def purge_docs_df(self, spark: SparkSession, victims: DataFrame,
+                      purge_batch_id: int | None = None,
+                      broadcast_victims: bool = False) -> int:
+        """DataFrame-victims form of :meth:`purge_docs` (the
+        ``purge_vectors_df`` discipline, VERDICT r11 #1): the per-epoch
+        CDC hot paths — ``_maintain_dedup_groups`` purging every
+        batch-touched key, ``_maintain_semantic_groups`` purging its
+        update/tombstone set — must never materialize a batch-sized id
+        list on the driver. ``victims`` is any frame with a castable
+        ``doc_id`` column; claim resolution, survivor re-election and
+        the partition rewrites are all joins, and the only driver-side
+        artifacts are the ≤num_buckets touched partition-id lists."""
+        self._resolve_buckets(spark)
         self._check_mode(spark, purge_batch_id, "purge_docs")
-        self.index.purge_docs(spark, doc_ids)
+        hint = F.broadcast if broadcast_victims else (lambda df: df)
+        # id typing: the store's PINNED kind wins once the meta exists;
+        # an unbuilt store has no kind yet, so adopt the victims' own
+        # string-ness — a first-epoch composite-key purge must not
+        # ANSI-abort casting 'a\x1fb' to the long default (the value-
+        # robust _id_parts_of discipline; the purge is a no-op on an
+        # unbuilt store either way)
+        if _fs_read_text(spark, self.index._meta_path) is not None:
+            id_t = self._id_t
+        else:
+            from pyspark.sql import types as T
+            id_t = ("string"
+                    if isinstance(victims.schema["doc_id"].dataType,
+                                  T.StringType) else "long")
+        # pin: every pruning join below reads the very directories the
+        # rewrites then replace — the victim set must not recompute
+        # from a plan over mutated state
+        ids_df = (victims
+                  .select(F.col("doc_id").cast(id_t).alias("node"))
+                  .distinct().localCheckpoint(eager=True))
+        if ids_df.isEmpty():
+            return 0
+        self.index.purge_docs_df(
+            spark, ids_df.select(F.col("node").alias("doc_id")),
+            broadcast_victims=broadcast_victims)
         if not _fs_exists(spark, self._node_map_path):
             return 0
-        victims = sorted(set(doc_ids))
-        ids_df = spark.createDataFrame([(v,) for v in victims],
-                                       f"node {self._id_t}")
+        vparts = {r[0] for r in
+                  ids_df.select(self._id_part(F.col("node")).alias("p"))
+                  .distinct().collect()}
         # ALL components the victims ever claimed (every historical
         # claim of a node lives in its ONE node_map partition, so this
         # is a pruned read) — the complete set of labels partitions
         # holding any victim row, current or stale
-        vmap = self._read_parts(
-            spark, self._node_map_path, NODE_PART,
-            self.index._id_parts_of(spark, victims), None)
+        vmap = self._read_parts(spark, self._node_map_path, NODE_PART,
+                                vparts, None)
         if vmap is None:
             return 0
-        claims = (vmap.join(F.broadcast(ids_df), "node", "left_semi")
-                  .select("node", "component", BATCH_COL).collect())
-        if not claims:
+        claims = (vmap.join(hint(ids_df), "node", "left_semi")
+                  .select("node", "component", BATCH_COL)
+                  .localCheckpoint(eager=True))
+        if claims.isEmpty():
             return 0
-        all_claimed = {r["component"] for r in claims}
+        claimed_cparts = {r[0] for r in
+                          claims.select(
+                              self._id_part(F.col("component"))
+                              .alias("p")).distinct().collect()}
         # current comps decide which components lose a member now; the
         # survivor relabel is fully DISTRIBUTED (affected components
         # may be arbitrarily large — same bound as process_batch)
-        cur = self._current_comps(spark, victims, None)
-        comps = set(cur.values())
-        members_df = self._members_df(spark, comps, None)
+        comps_df = (self._latest(claims)
+                    .select("component").distinct()
+                    .localCheckpoint(eager=True))
+        members_df = self._members_df_dist(spark, comps_df, None)
         if members_df is None:
             members_df = spark.createDataFrame(
                 [], f"node {self._id_t}, component {self._id_t}, "
                     f"n_tokens long")
-        surv = (members_df.join(F.broadcast(ids_df), "node", "left_anti")
+        surv = (members_df.join(hint(ids_df), "node", "left_anti")
                 .localCheckpoint(eager=True))
         # components whose min surviving member changed get relabeled
         new_rows = (surv.join(
@@ -863,11 +915,9 @@ class StreamingDedupGroups:
                 (self._labels_path, COMP_PART, "component"),
                 (self._node_map_path, NODE_PART, "node")):
             if key == "component":
-                touched = (self.index._id_parts_of(spark, all_claimed)
-                           | relabel_cparts)
+                touched = claimed_cparts | relabel_cparts
             else:
-                touched = (self.index._id_parts_of(spark, victims)
-                           | relabel_nparts)
+                touched = vparts | relabel_nparts
             paths = [p for p in
                      (os.path.join(base, f"{part_col}={v}")
                       for v in sorted(touched))
@@ -875,7 +925,7 @@ class StreamingDedupGroups:
             if not paths:
                 continue
             kept = (spark.read.option("basePath", base).parquet(*paths)
-                    .join(F.broadcast(ids_df), "node", "left_anti"))
+                    .join(hint(ids_df), "node", "left_anti"))
             add = (new_rows.withColumn(BATCH_COL, F.lit(tier))
                    .withColumn(part_col, self._id_part(F.col(key))))
             out = (kept.unionByName(add)
@@ -1024,11 +1074,17 @@ class StreamingDedupGroups:
         """Current keep-list: (component, keep_doc_id, keep_n_tokens,
         cluster_size) — the same shape (and, by the parity contract,
         the same rows) as batch ``hybrid_dedup_keep``."""
+        from ..fs import fs_has_children as _fs_has_children
         from pyspark.sql import Window
-        if not _fs_exists(spark, self._node_map_path):
+        if (not _fs_exists(spark, self._node_map_path)
+                or not _fs_has_children(spark, self._node_map_path,
+                                        f"{NODE_PART}=")):
             # the index (and its id-kind meta) commits before the
             # node_map inside an epoch — adopt the pinned kind if it
-            # exists so the empty frame is typed like the store
+            # exists so the empty frame is typed like the store.
+            # A node_map whose every partition was purged (only
+            # _SUCCESS left) reads as empty too — schema inference
+            # over a data-less dir would crash (ADVICE r11 class)
             self._resolve_buckets(spark)
             return spark.createDataFrame(
                 [], f"component {self._id_t}, "
@@ -1111,8 +1167,13 @@ class StreamingDedupGroups:
         partitions — benign, same as the ``_compact`` contract (the
         claim check and ``distinct`` absorb them). Returns the number
         of partitions rewritten."""
+        from ..fs import fs_has_children as _fs_has_children
         if (not _fs_exists(spark, self._labels_path)
-                or not _fs_exists(spark, self._node_map_path)):
+                or not _fs_exists(spark, self._node_map_path)
+                or not _fs_has_children(spark, self._labels_path,
+                                        f"{COMP_PART}=")
+                or not _fs_has_children(spark, self._node_map_path,
+                                        f"{NODE_PART}=")):
             return 0
         self._resolve_buckets(spark)
         current = (self._latest(

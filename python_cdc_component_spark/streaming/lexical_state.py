@@ -1,0 +1,364 @@
+"""Continuously-maintained inverted index for the LEXICAL retrieval
+leg — the serving-stack twin of the scan-based ``bm25_topk_docs``
+query (VERDICT r11 #3).
+
+The scan-based query has the right ORACLE shape (tf from JVM array
+filters, one broadcast stats row, fixed-order score fold) but
+recomputes corpus statistics and term frequencies from the full corpus
+on every call. A serving stack instead keeps postings + document
+statistics as CDC-maintained side state, so an ad-hoc BM25 query joins
+k term-partition directories — never the corpus:
+
+* ``postings/`` — (term, doc_id, tf) partitioned by ``_term_part =
+  pmod(xxhash64(term), N)``: a query for Q terms opens ≤Q partition
+  directories (partition pruning), and per-term document frequency is
+  an aggregate over exactly those rows;
+* ``docstats/`` — (doc_id, dl) partitioned by ``_doc_part = doc_id mod
+  N``: document length for the scored docs, and the N/avgdl corpus
+  stats as ONE tiny aggregate over a two-column columnar scan (at
+  extreme corpus sizes this fold becomes a maintained single-row
+  aggregate — the ``StreamingAggView`` retract/add pattern — without
+  touching the postings layout);
+* ``_docterms/`` — (doc_id, _term_part) partitioned by ``_doc_part``:
+  the erasure pruning map (the ``StreamingLshIndex`` docmap
+  discipline) — a victim's postings live scattered across term
+  partitions, and this sidecar bounds a purge to exactly the
+  partitions holding its rows.
+
+Write order inside an ingest is sidecar-FIRST (``_docterms``, then
+postings ∥ docstats): a crashed half-append's rows stay discoverable,
+so the replaying epoch's purge-then-add reverses and re-indexes them
+(the ``IvfVectorIndex.add_batch`` mirror). Exactly-once rides the
+caller's epoch markers (``streaming/bounded._maintain_lexical_index``
+touches ``_epochs/<id>`` under the state path only after the epoch's
+writes); purge-then-add is idempotent, so replays of unmarked epochs
+converge.
+
+Tokenization is the ``bm25_topk_docs`` convention (whitespace split,
+no normalization) so an index-fed score replays bit-for-bit against
+the scan-based oracle; the per-document score is a FIXED-ORDER sum of
+per-term contributions (the query pivots its ≤Q terms into columns),
+never an unordered SQL SUM over doubles.
+
+Reference parity note: the reference engine has no retrieval surface;
+this is a beyond-reference LLM-pipeline serving operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fs import fs_delete as _fs_delete
+from ..fs import fs_exists as _fs_exists
+from ..fs import fs_list_names as _fs_list_names
+from ..fs import fs_read_text as _fs_read_text
+from ..fs import fs_write_text as _fs_write_text
+from .lsh_index import run_concurrent
+
+TERM_PART_COL = "_term_part"
+DOC_PART_COL = "_doc_part"
+
+
+@dataclass
+class StreamingLexicalIndex:
+    """Persistent postings + doc-stats store with purge-then-add CDC
+    maintenance. ``num_parts`` is physical layout, pinned in the meta
+    at first build (the StreamingLshIndex bucket discipline)."""
+
+    state_path: str
+    num_parts: int = 16
+    compact_file_threshold: int = 8
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.state_path, "postings")
+
+    @property
+    def docstats_path(self) -> str:
+        return os.path.join(self.state_path, "docstats")
+
+    @property
+    def _docterms_path(self) -> str:
+        return os.path.join(self.state_path, "_docterms")
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.state_path, "_meta.json")
+
+    def _resolve_parts(self, spark: SparkSession) -> None:
+        raw = _fs_read_text(spark, self._meta_path)
+        if raw is not None:
+            self.num_parts = int(json.loads(raw)["num_parts"])
+
+    def _pin_meta(self, spark: SparkSession) -> None:
+        if _fs_read_text(spark, self._meta_path) is None:
+            _fs_write_text(spark, self._meta_path,
+                           json.dumps({"num_parts": self.num_parts}))
+
+    def _term_part(self, col) -> F.Column:
+        return F.pmod(F.xxhash64(col), F.lit(self.num_parts)).cast("int")
+
+    def _doc_part(self, col) -> F.Column:
+        return F.pmod(col, F.lit(self.num_parts)).cast("int")
+
+    def _overwrite_dynamic(self, df: DataFrame, cols: list[str],
+                           path: str) -> None:
+        # writer-level option, never the session conf (the foreachBatch
+        # cloned-session lesson, lsh_index._overwrite_dynamic)
+        (df.write.partitionBy(*cols)
+           .option("partitionOverwriteMode", "dynamic")
+           .mode("overwrite").parquet(path))
+
+    # -- ingest --------------------------------------------------------
+
+    def add_batch(self, spark: SparkSession, docs: DataFrame) -> int:
+        """Index one batch of (doc_id long, text string) rows: one
+        explode → (doc_id, term) count shuffle keyed by the term
+        partition, bin-packed to one file per touched partition. The
+        ``_docterms`` sidecar lands FIRST (the crash-discoverability
+        anchor); postings and docstats then append concurrently
+        (disjoint paths). Returns the number of docs indexed."""
+        self._resolve_parts(spark)
+        self._pin_meta(spark)
+        toks = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.split("text", " ").alias("w"))
+        toks = toks.localCheckpoint(eager=True)   # one derivation
+        n_docs = toks.count()
+        if not n_docs:
+            return 0
+        stats = (toks.select("doc_id",
+                             F.size("w").cast("long").alias("dl"))
+                 .withColumn(DOC_PART_COL, self._doc_part(F.col("doc_id")))
+                 .repartition(self.num_parts, F.col(DOC_PART_COL)))
+        posts = (toks.select("doc_id", F.explode("w").alias("term"))
+                 .groupBy("doc_id", "term")
+                 .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+                 .withColumn(TERM_PART_COL, self._term_part(F.col("term")))
+                 .localCheckpoint(eager=True))
+        docterms = (posts.select("doc_id", TERM_PART_COL).distinct()
+                    .withColumn(DOC_PART_COL,
+                                self._doc_part(F.col("doc_id")))
+                    .repartition(self.num_parts, F.col(DOC_PART_COL)))
+        (docterms.write.partitionBy(DOC_PART_COL)
+                 .mode("append").parquet(self._docterms_path))
+        out = posts.repartition(self.num_parts, F.col(TERM_PART_COL))
+        run_concurrent(
+            lambda: (out.write.partitionBy(TERM_PART_COL)
+                     .mode("append").parquet(self.postings_path)),
+            lambda: (stats.write.partitionBy(DOC_PART_COL)
+                     .mode("append").parquet(self.docstats_path)))
+        return n_docs
+
+    # -- erasure / update purge -----------------------------------------
+
+    def purge_docs(self, spark: SparkSession, doc_ids: list[int]) -> int:
+        """List-based erasure entry (small driver-resident victim
+        sets); the per-epoch CDC path uses :meth:`purge_docs_df`."""
+        if not doc_ids:
+            return 0
+        ids_df = spark.createDataFrame(
+            [(int(v),) for v in sorted(set(doc_ids))], "doc_id long")
+        return self.purge_docs_df(spark, ids_df, broadcast_victims=True)
+
+    def purge_docs_df(self, spark: SparkSession, victims: DataFrame,
+                      broadcast_victims: bool = False) -> int:
+        """Erase every postings/docstats row of the victim docs —
+        DataFrame victims end-to-end (the ``purge_vectors_df``
+        discipline): victim term-partitions resolve from the
+        ``_docterms`` sidecar by semi-join; the only driver artifacts
+        are the ≤``num_parts`` touched partition ids. Step order is
+        crash-retryable — postings, docstats, then the sidecar LAST
+        (the retry anchor). Returns postings rows erased."""
+        if not _fs_exists(spark, self._docterms_path):
+            return 0
+        self._resolve_parts(spark)
+        hint = F.broadcast if broadcast_victims else (lambda df: df)
+        ids_df = (victims
+                  .select(F.col("doc_id").cast("long").alias("doc_id"))
+                  .distinct().localCheckpoint(eager=True))
+        if ids_df.isEmpty():
+            return 0
+        dparts = sorted(r["p"] for r in
+                        ids_df.select(self._doc_part(F.col("doc_id"))
+                                      .alias("p")).distinct().collect())
+        dt_paths = [p for p in
+                    (os.path.join(self._docterms_path,
+                                  f"{DOC_PART_COL}={v}") for v in dparts)
+                    if _fs_exists(spark, p)]
+        if not dt_paths:
+            return 0
+        vic = (spark.read.option("basePath", self._docterms_path)
+               .parquet(*dt_paths)
+               .join(hint(ids_df), "doc_id", "left_semi"))
+        tparts = sorted({r[0] for r in
+                         vic.select(TERM_PART_COL).distinct().collect()})
+        n_erased = 0
+        # 1. postings: rewrite exactly the victims' term partitions
+        t_paths = [p for p in
+                   (os.path.join(self.postings_path,
+                                 f"{TERM_PART_COL}={v}") for v in tparts)
+                   if _fs_exists(spark, p)]
+        if t_paths:
+            cur = (spark.read.option("basePath", self.postings_path)
+                   .parquet(*t_paths))
+            n_erased = cur.join(hint(ids_df), "doc_id",
+                                "left_semi").count()
+            if n_erased:
+                kept = (cur.join(hint(ids_df), "doc_id", "left_anti")
+                        .repartition(F.col(TERM_PART_COL))
+                        .localCheckpoint(eager=True))
+                kept_parts = {r[0] for r in
+                              kept.select(TERM_PART_COL)
+                              .distinct().collect()}
+                if kept_parts:
+                    self._overwrite_dynamic(kept, [TERM_PART_COL],
+                                            self.postings_path)
+                for v in tparts:
+                    if v not in kept_parts:
+                        _fs_delete(spark, os.path.join(
+                            self.postings_path, f"{TERM_PART_COL}={v}"))
+        # 2. docstats: victim doc partitions
+        ds_paths = [p for p in
+                    (os.path.join(self.docstats_path,
+                                  f"{DOC_PART_COL}={v}") for v in dparts)
+                    if _fs_exists(spark, p)]
+        if ds_paths:
+            cur = (spark.read.option("basePath", self.docstats_path)
+                   .parquet(*ds_paths))
+            kept = (cur.join(hint(ids_df), "doc_id", "left_anti")
+                    .repartition(F.col(DOC_PART_COL))
+                    .localCheckpoint(eager=True))
+            kept_parts = {r[0] for r in
+                          kept.select(DOC_PART_COL).distinct().collect()}
+            if kept_parts:
+                self._overwrite_dynamic(kept, [DOC_PART_COL],
+                                        self.docstats_path)
+            for v in dparts:
+                p = os.path.join(self.docstats_path,
+                                 f"{DOC_PART_COL}={v}")
+                if v not in kept_parts and _fs_exists(spark, p):
+                    _fs_delete(spark, p)
+        # 3. sidecar LAST (the retry anchor)
+        kept_map = (spark.read.option("basePath", self._docterms_path)
+                    .parquet(*dt_paths)
+                    .join(hint(ids_df), "doc_id", "left_anti")
+                    .repartition(F.col(DOC_PART_COL))
+                    .localCheckpoint(eager=True))
+        kept_parts = {r[0] for r in
+                      kept_map.select(DOC_PART_COL).distinct().collect()}
+        if kept_parts:
+            self._overwrite_dynamic(kept_map, [DOC_PART_COL],
+                                    self._docterms_path)
+        for p in dt_paths:
+            if int(p.rsplit("=", 1)[1]) not in kept_parts:
+                _fs_delete(spark, p)
+        return n_erased
+
+    # -- maintenance -----------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> int:
+        """Size-tiered fold of append accretion for all three tables:
+        over-threshold partitions rewrite to one file each (postings
+        and docstats fold losslessly — rows, not tiers; the sidecar
+        folds under DISTINCT). One dynamic overwrite per table for all
+        due partitions. Returns partitions folded."""
+        n = 0
+        for base, part_col, dedup in (
+                (self.postings_path, TERM_PART_COL, False),
+                (self.docstats_path, DOC_PART_COL, False),
+                (self._docterms_path, DOC_PART_COL, True)):
+            if not _fs_exists(spark, base):
+                continue
+            from ..fs import fs_file_count as _fs_file_count
+            due = [name for name in _fs_list_names(spark, base)
+                   if name.startswith(f"{part_col}=")
+                   and _fs_file_count(spark, os.path.join(base, name))
+                   > self.compact_file_threshold]
+            if not due:
+                continue
+            paths = [os.path.join(base, name) for name in due]
+            df = (spark.read.option("basePath", base).parquet(*paths))
+            if dedup:
+                df = df.distinct()
+            folded = (df.repartition(F.col(part_col))
+                      .localCheckpoint(eager=True))   # read-then-overwrite
+            self._overwrite_dynamic(folded, [part_col], base)
+            n += len(due)
+        return n
+
+    # -- queries ---------------------------------------------------------
+
+    def bm25_topk(self, spark: SparkSession, terms: list[str],
+                  k: int = 15) -> DataFrame:
+        """Okapi BM25 (k1=1.2, b=0.75) top-k over the INDEX: opens only
+        the query terms' postings partitions (≤len(terms) dirs, term
+        predicate pushed into the pruned scan), per-term df + the
+        N/avgdl corpus stats reduce to ONE broadcast row, and the
+        score is the same fixed-order per-term fold as the scan-based
+        ``bm25_topk_docs`` — identical results for docs matching ≥1
+        term, without touching the corpus. Docs matching NO query term
+        (BM25 score 0) are not returned — the serving contract.
+        Returns (doc_id, bm25)."""
+        self._resolve_parts(spark)
+        out_schema = "doc_id long, bm25 double"
+        if not _fs_exists(spark, self.postings_path):
+            return spark.createDataFrame([], out_schema)
+        tparts = sorted({r[0] for r in
+                         spark.createDataFrame([(t,) for t in terms],
+                                               "term string")
+                         .select(self._term_part(F.col("term")))
+                         .distinct().collect()})
+        paths = [p for p in
+                 (os.path.join(self.postings_path,
+                               f"{TERM_PART_COL}={v}") for v in tparts)
+                 if _fs_exists(spark, p)]
+        if not paths:
+            return spark.createDataFrame([], out_schema)
+        posts = (spark.read.option("basePath", self.postings_path)
+                 .parquet(*paths)
+                 .filter(F.col("term").isin(list(terms))))
+        # ≤len(terms) tf columns per doc — the written-order fold needs
+        # named columns, and pivot keys are the fixed query term set
+        tf = (posts.groupBy("doc_id").pivot("term", list(terms))
+              .agg(F.first("tf")))
+        tf = tf.select(
+            "doc_id",
+            *[F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("double")
+              .alias(f"tf{i+1}") for i, t in enumerate(terms)])
+        dfs = posts.groupBy().agg(
+            *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+              .cast("double").alias(f"df{i+1}")
+              for i, t in enumerate(terms)])
+        stats = (spark.read.parquet(self.docstats_path)
+                 .agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                      (F.sum("dl").cast("double") / F.count(F.lit(1)))
+                      .alias("avgdl")))
+        dl = spark.read.parquet(self.docstats_path).select(
+            "doc_id", F.col("dl").cast("double").alias("dl"))
+        j = (tf.join(dl, "doc_id")
+             .crossJoin(F.broadcast(dfs))
+             .crossJoin(F.broadcast(stats)))
+
+        def part(i: int):
+            tfc = F.col(f"tf{i}")
+            dfc = F.col(f"df{i}")
+            idf = F.log((F.col("n_docs") - dfc + 0.5) / (dfc + 0.5)
+                        + 1.0)
+            norm = tfc + 1.2 * (0.25 + 0.75 * F.col("dl")
+                                / F.col("avgdl"))
+            return idf * (tfc * 2.2) / norm
+
+        score = part(1)
+        for i in range(2, len(terms) + 1):
+            score = score + part(i)
+        from pyspark.sql import Window
+        ranked = j.select("doc_id", F.round(score, 6).alias("bm25"))
+        w_top = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        return (ranked.withColumn("rn", F.row_number().over(w_top))
+                .filter(F.col("rn") <= int(k)).drop("rn"))

@@ -751,34 +751,39 @@ class StreamingLshIndex:
                 if bands is not None:
                     bands.unpersist()
 
-    def _purge_docs_collapsed(self, spark: SparkSession,
-                              doc_ids: list[int]) -> int:
-        """Collapse-mode erasure. Non-rep members never banded, so
-        their erasure is pure sidecar hygiene (their ``_groups`` member
-        row + docmap row). A purged REP re-elects: the group-definition
-        payload (rep + bucket set) moves to the min surviving member's
-        row — a metadata rewrite of the victims' group partitions only,
-        NO band rewrite (bands are keyed by the text group, not the
-        rep). A group losing its last member dies: its band rows are
-        dropped from exactly the buckets its definition row recorded.
-        Step order is crash-retryable — bands, then ``_groups``, then
-        docmap — because each retry re-derives the victim set from the
-        sidecars a crash left intact (docmap rows vanish LAST)."""
+    def _purge_docs_collapsed_df(self, spark: SparkSession,
+                                 ids_df: DataFrame, hint) -> int:
+        """Collapse-mode erasure (DataFrame victims — ``ids_df`` is
+        already distinct + pinned; ``hint`` broadcasts it only on the
+        list-API path). Non-rep members never banded, so their erasure
+        is pure sidecar hygiene (their ``_groups`` member row + docmap
+        row). A purged REP re-elects: the group-definition payload
+        (rep + bucket set) moves to the min surviving member's row — a
+        metadata rewrite of the victims' group partitions only, NO
+        band rewrite (bands are keyed by the text group, not the rep).
+        A group losing its last member dies: its band rows are dropped
+        from exactly the buckets its definition row recorded. The
+        affected-group resolution (dead vs relabel) is fully
+        distributed — the only driver-side artifacts are the
+        ≤num_buckets partition/bucket id lists. Step order is
+        crash-retryable — bands, then ``_groups``, then docmap —
+        because each retry re-derives the victim set from the sidecars
+        a crash left intact (docmap rows vanish LAST)."""
         if not _fs_exists(spark, self._docmap_path):
             return 0
-        victims = sorted(set(doc_ids))
-        ids_df = spark.createDataFrame(
-            [(v,) for v in victims], f"doc_id {self._id_sql_type}")
+        vparts = sorted(r["p"] for r in
+                        ids_df.select(self._id_part(F.col("doc_id"))
+                                      .alias("p")).distinct().collect())
         map_paths = [
             p for p in
             (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
-             for v in sorted(self._id_parts_of(spark, victims)))
+             for v in vparts)
             if _fs_exists(spark, p)]
         if not map_paths:
             return 0
         vic = (spark.read.option("basePath", self._docmap_path)
                .parquet(*map_paths)
-               .join(F.broadcast(ids_df), "doc_id", "left_semi")
+               .join(hint(ids_df), "doc_id", "left_semi")
                .select("doc_id", "gp").distinct())
         gps = sorted({r["gp"] for r in vic.select("gp")
                       .distinct().collect()})
@@ -792,11 +797,11 @@ class StreamingLshIndex:
                           f"buckets array<int>, "
                           f"rep {self._id_sql_type}, "
                           f"{GROUP_PART_COL} int"))
-        vic_groups = (roster.join(F.broadcast(ids_df), "doc_id",
+        vic_groups = (roster.join(hint(ids_df), "doc_id",
                                   "left_semi")
                       .select("gk1", "gk2").distinct()
                       .localCheckpoint(eager=True))
-        roster_kept = (roster.join(F.broadcast(ids_df), "doc_id",
+        roster_kept = (roster.join(hint(ids_df), "doc_id",
                                    "left_anti")
                        .localCheckpoint(eager=True))
         surv = (roster_kept.join(F.broadcast(vic_groups),
@@ -804,27 +809,23 @@ class StreamingLshIndex:
                 .groupBy("gk1", "gk2")
                 .agg(F.min("doc_id").alias("new_rep")))
         groups_cur = roster.filter(F.col("rep").isNotNull())
-        # bounded by the caller's victim list (≤ one group per victim
-        # doc) — same driver footprint class as doc_ids
+        # affected definition rows with their survivor verdict — stays
+        # a frame (∝ victims' groups, never driver-materialized);
+        # pinned because every consumer below reads the very sidecar
+        # partitions the rewrites then replace
         aff = (groups_cur
                .join(F.broadcast(vic_groups), ["gk1", "gk2"],
                      "left_semi")
                .join(F.broadcast(surv), ["gk1", "gk2"], "left")
-               .collect())
-        vic_set = set(victims)
-        dead = [r for r in aff if r["new_rep"] is None]
-        relabel = [(r["gk1"], r["gk2"], r["new_rep"],
-                    list(r["buckets"] or []))
-                   for r in aff
-                   if r["new_rep"] is not None and r["rep"] in vic_set]
-        # 1. band rows of groups that lost their last member
-        if dead:
-            buckets = sorted({int(b) for r in dead
-                              for b in (r["buckets"] or [])})
-            dead_df = spark.createDataFrame(
-                [(int(r["gk1"]), int(r["gk2"])) for r in dead],
-                "gk1 long, gk2 long")
-            dead_ids = dead_df.select(
+               .localCheckpoint(eager=True))
+        dead = aff.filter(F.col("new_rep").isNull())
+        # 1. band rows of groups that lost their last member — the
+        # bucket list is ≤num_buckets distinct values by construction
+        buckets = sorted({int(r["b"]) for r in
+                          dead.select(F.explode("buckets").alias("b"))
+                          .distinct().collect()})
+        if buckets:
+            dead_ids = dead.select(
                 F.struct("gk1", "gk2").alias("doc_id"))
             paths = [p for p in
                      (os.path.join(self.index_path, f"{BUCKET_COL}={b}")
@@ -833,8 +834,7 @@ class StreamingLshIndex:
             if paths:
                 kept = (spark.read.option("basePath", self.index_path)
                         .parquet(*paths)
-                        .join(F.broadcast(dead_ids), "doc_id",
-                              "left_anti")
+                        .join(dead_ids, "doc_id", "left_anti")
                         .withColumn(BATCH_COL, F.lit(COMPACTED_TIER))
                         .repartition(F.col(BUCKET_COL))
                         .localCheckpoint(eager=True))
@@ -858,25 +858,26 @@ class StreamingLshIndex:
         # 2. _groups: drop the victims' member rows (a dead group's
         # definition row is a victim's row — gone with them) and move
         # the definition payload of a relabeled group onto its min
-        # surviving member's row
-        if relabel:
-            rel_df = spark.createDataFrame(
-                [(k1, k2, nr, bk) for k1, k2, nr, bk in relabel],
-                f"gk1 long, gk2 long, doc_id {self._id_sql_type}, "
-                f"_nb array<int>")
-            rewritten = (roster_kept
-                         .join(F.broadcast(rel_df),
-                               ["gk1", "gk2", "doc_id"], "left")
-                         .withColumn(
-                             "rep",
-                             F.when(F.col("_nb").isNotNull(),
-                                    F.col("doc_id"))
-                             .otherwise(F.col("rep")))
-                         .withColumn("buckets",
-                                     F.coalesce("_nb", "buckets"))
-                         .drop("_nb"))
-        else:
-            rewritten = roster_kept
+        # surviving member's row. Relabel rows = affected groups with
+        # a survivor whose OLD rep was a victim — resolved by joins,
+        # never a driver list
+        rel_df = (aff.filter(F.col("new_rep").isNotNull())
+                  .join(hint(ids_df.select(F.col("doc_id")
+                                           .alias("rep"))),
+                        "rep", "left_semi")
+                  .select("gk1", "gk2",
+                          F.col("new_rep").alias("doc_id"),
+                          F.col("buckets").alias("_nb")))
+        rewritten = (roster_kept
+                     .join(rel_df, ["gk1", "gk2", "doc_id"], "left")
+                     .withColumn(
+                         "rep",
+                         F.when(F.col("_nb").isNotNull(),
+                                F.col("doc_id"))
+                         .otherwise(F.col("rep")))
+                     .withColumn("buckets",
+                                 F.coalesce("_nb", "buckets"))
+                     .drop("_nb"))
         rewritten = (rewritten
                      .repartition(self.num_buckets,
                                   F.col(GROUP_PART_COL))
@@ -886,7 +887,7 @@ class StreamingLshIndex:
         # how a crashed retry finds everything above)
         kept_map = (spark.read.option("basePath", self._docmap_path)
                     .parquet(*map_paths)
-                    .join(F.broadcast(ids_df), "doc_id", "left_anti")
+                    .join(hint(ids_df), "doc_id", "left_anti")
                     .repartition(F.col(DOC_PART_COL))
                     .localCheckpoint(eager=True))
         kept_parts = {r[0] for r in
@@ -956,39 +957,70 @@ class StreamingLshIndex:
         — the near-dup-index half of right-to-be-forgotten erasure
         (``MergeCompactor.purge`` discipline) and the delete step of a
         document UPDATE (purge old version, ``process_batch`` the new
-        text). Victim buckets come from the ``_docmap`` sidecar's
-        victim partitions (``doc_id mod N`` is computable driver-side)
-        — the index itself is only opened at the buckets being
-        rewritten, so erasure I/O is proportional to the victims'
-        footprint. The sidecar is trusted ONLY when the meta vouches
-        ``docmap_complete`` (stamped at first build): a mixed-era index
-        — built pre-sidecar, continued with sidecar-writing code — has
-        a PARTIAL docmap whose misses would be silent incomplete
-        erasure. Such an index takes the full anti-join scan instead,
-        and that one full read doubles as the migration: the sidecar is
-        rebuilt from it and the meta stamped complete, so the NEXT
-        purge is pruned. Surviving rows are folded into the
-        ``_batch=-1`` tier; fully-emptied buckets are removed. Returns
-        the number of buckets rewritten."""
+        text). List-based entry for erasure endpoints, where victim
+        sets are small and driver-resident by nature; the per-epoch
+        maintenance paths use :meth:`purge_docs_df` — same semantics,
+        victims stay a distributed frame."""
         if not doc_ids or not _fs_exists(spark, self.index_path):
             return 0
+        self._resolve_buckets(spark)
+        ids_df = spark.createDataFrame(
+            [(i,) for i in sorted(set(doc_ids))],
+            f"doc_id {self._id_sql_type}")
+        return self.purge_docs_df(spark, ids_df, broadcast_victims=True)
+
+    def purge_docs_df(self, spark: SparkSession, victims: DataFrame,
+                      broadcast_victims: bool = False) -> int:
+        """DataFrame-victims erasure (the ``purge_vectors_df``
+        discipline, VERDICT r11 #1): remove every band row of the docs
+        in ``victims`` (any frame with a castable ``doc_id`` column) —
+        a CDC micro-batch purging its whole touched-key set must never
+        materialize a batch-sized id list on the driver. Victim
+        buckets come from the ``_docmap`` sidecar's victim partitions
+        (victim → ``_id_part`` pruning, a semi-join) — the index
+        itself is only opened at the buckets being rewritten, so
+        erasure I/O is proportional to the victims' footprint, and the
+        only driver-side artifacts are the ≤num_buckets touched
+        partition/bucket ids. The sidecar is trusted ONLY when the
+        meta vouches ``docmap_complete`` (stamped at first build): a
+        mixed-era index — built pre-sidecar, continued with
+        sidecar-writing code — has a PARTIAL docmap whose misses would
+        be silent incomplete erasure. Such an index takes the full
+        anti-join scan instead, and that one full read doubles as the
+        migration: the sidecar is rebuilt from it and the meta stamped
+        complete, so the NEXT purge is pruned. Surviving rows are
+        folded into the ``_batch=-1`` tier; fully-emptied buckets are
+        removed. Returns the number of buckets rewritten."""
+        if not _fs_exists(spark, self.index_path):
+            return 0
         docmap_complete = self._resolve_buckets(spark)
+        hint = F.broadcast if broadcast_victims else (lambda df: df)
+        # pin: the pruning joins below read the very directories the
+        # rewrites then replace — the victim set must not recompute
+        # from a plan over mutated state
+        ids_df = (victims
+                  .select(F.col("doc_id").cast(self._id_sql_type)
+                          .alias("doc_id"))
+                  .distinct().localCheckpoint(eager=True))
+        if ids_df.isEmpty():
+            return 0
         if self.collapse_exact:
-            return self._purge_docs_collapsed(spark, doc_ids)
-        ids_df = spark.createDataFrame([(int(i),) for i in doc_ids],
-                                       "doc_id long")
+            return self._purge_docs_collapsed_df(spark, ids_df, hint)
+        vparts = sorted(r["p"] for r in
+                        ids_df.select(self._id_part(F.col("doc_id"))
+                                      .alias("p")).distinct().collect())
         map_paths = []
         if docmap_complete and _fs_exists(spark, self._docmap_path):
             map_paths = [
                 p for p in
                 (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
-                 for v in sorted({int(i) % self.num_buckets
-                                  for i in doc_ids}))
+                 for v in vparts)
                 if _fs_exists(spark, p)]
         if map_paths:
-            victims = (spark.read.option("basePath", self._docmap_path)
-                       .parquet(*map_paths)
-                       .join(F.broadcast(ids_df), "doc_id", "left_semi"))
+            victims_rows = (spark.read
+                            .option("basePath", self._docmap_path)
+                            .parquet(*map_paths)
+                            .join(hint(ids_df), "doc_id", "left_semi"))
         elif docmap_complete and _fs_exists(spark, self._docmap_path):
             # a COMPLETE sidecar with no victim partitions proves no
             # victim was ever indexed — nothing to erase, no scan
@@ -1009,18 +1041,17 @@ class StreamingLshIndex:
             # victim-partition rewrite below, after the index rewrite.
             full = (spark.read.option("basePath", self.index_path)
                     .parquet(self.index_path))
-            victims = (full.join(F.broadcast(ids_df), "doc_id",
-                                 "left_semi")
-                       .localCheckpoint(eager=True))
+            victims_rows = (full.join(hint(ids_df), "doc_id",
+                                      "left_semi")
+                            .localCheckpoint(eager=True))
             self._rebuild_docmap(spark, full)
             map_paths = [
                 p for p in
                 (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
-                 for v in sorted({int(i) % self.num_buckets
-                                  for i in doc_ids}))
+                 for v in vparts)
                 if _fs_exists(spark, p)]
         touched = [r[0] for r in
-                   victims.select(BUCKET_COL).distinct().collect()]
+                   victims_rows.select(BUCKET_COL).distinct().collect()]
         if not touched:
             return 0
         paths = [p for p in
@@ -1029,7 +1060,7 @@ class StreamingLshIndex:
                  if _fs_exists(spark, p)]
         kept = (spark.read.option("basePath", self.index_path)
                 .parquet(*paths)
-                .join(F.broadcast(ids_df), "doc_id", "left_anti")
+                .join(hint(ids_df), "doc_id", "left_anti")
                 .withColumn(BATCH_COL, F.lit(COMPACTED_TIER))
                 .repartition(F.col(BUCKET_COL)))
         # eager pin, not persist(): the overwrite below replaces the
@@ -1057,7 +1088,7 @@ class StreamingLshIndex:
         if map_paths:
             kept_map = (spark.read.option("basePath", self._docmap_path)
                         .parquet(*map_paths)
-                        .join(F.broadcast(ids_df), "doc_id", "left_anti")
+                        .join(hint(ids_df), "doc_id", "left_anti")
                         .repartition(F.col(DOC_PART_COL)))
             kept_map = kept_map.localCheckpoint(eager=True)
             kept_parts = {r[0] for r in

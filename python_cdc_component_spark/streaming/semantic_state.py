@@ -35,9 +35,12 @@ K²/2 pairs. Semantics are unchanged: cos(identical) == 1 ≥ any valid
 threshold, so every attach edge is a pair the uncollapsed path would
 emit, and any neighbor of a duplicate is equally a neighbor of its
 representative (identical vectors have identical sims) — the
-transitive closure, hence the groups, are equal. Zero-norm vectors are
-exempt from collapse: their cosine is undefined (NaN) and they never
-pair in the uncollapsed path either.
+transitive closure, hence the groups, are equal. Zero-norm AND
+NaN-norm vectors are exempt from collapse: their cosine is undefined
+(NULL under try_divide / NaN respectively) and they never pair in the
+uncollapsed path either — the NaN case needs explicit ``isnan`` checks
+in both the rep expression and the edge filter because Spark orders
+NaN above every double (ADVICE r11).
 
 Keep rule: every vector carries n_tokens=1 through the groups state,
 so the keep window degrades to MIN doc_id per component — keeper ==
@@ -145,11 +148,14 @@ class StreamingSemanticGroups:
                 # under their min-id representative; only reps enter
                 # the pair join, duplicates ride K−1 attach edges.
                 # Zero/NaN-norm vectors stay their own rep (their sims
-                # are NaN — they never pair either way).
+                # are NaN/NULL — they never pair either way). The NaN
+                # exemption needs an EXPLICIT isnan: Spark orders NaN
+                # above every double, so `nrm > 0` alone is TRUE for a
+                # NaN norm and would collapse NaN vectors (ADVICE r11).
                 wrep = Window.partitionBy(CELL_COL, "e")
                 grouped = assigned.withColumn(
                     "_rep",
-                    F.when(F.col("nrm") > 0,
+                    F.when((F.col("nrm") > 0) & ~F.isnan("nrm"),
                            F.min("vec_id").over(wrep))
                      .otherwise(F.col("vec_id")))
                 probe_side = grouped.filter("vec_id = _rep").drop("_rep")
@@ -177,13 +183,19 @@ class StreamingSemanticGroups:
                 F.lit(0.0), lambda acc, x: acc + x)
             # try_divide: a zero-norm vector's cosine is undefined —
             # NULL fails the threshold filter (never pairs), where
-            # ANSI-mode `/` would abort the whole batch on 0/0
+            # ANSI-mode `/` would abort the whole batch on 0/0. A
+            # NaN-containing embedding instead yields a NaN sim (NaN
+            # norm is not a zero divisor), and Spark compares NaN
+            # GREATER than every double — so the edge filter needs the
+            # explicit ~isnan conjunct or a NaN vector would pair with
+            # its whole cell instead of never pairing (ADVICE r11).
             sim = F.round(
                 F.try_divide(dot, F.col("a.nrm") * F.col("c.nrm")), 6)
             edges = (a.join(c, (F.col(f"a.{CELL_COL}")
                                 == F.col(f"c.{CELL_COL}"))
                             & (F.col("a.vec_id") != F.col("c.vec_id")))
-                     .filter(sim >= F.lit(float(self.threshold)))
+                     .filter((sim >= F.lit(float(self.threshold)))
+                             & ~F.isnan(sim))
                      .select(F.least("a.vec_id", "c.vec_id")
                              .alias("doc_a"),
                              F.greatest("a.vec_id", "c.vec_id")
@@ -258,7 +270,35 @@ class StreamingSemanticGroups:
                    purge_batch_id: int | None = None) -> int:
         """GDPR erasure across BOTH sides: the vectors leave the
         inverted file (cell-pruned) and the ids lose every group claim
-        (survivor re-election, the groups-store contract)."""
-        self.index.purge_vectors(spark, vec_ids)
-        return self.groups.purge_docs(spark, vec_ids,
-                                      purge_batch_id=purge_batch_id)
+        (survivor re-election, the groups-store contract). List-based
+        entry for erasure endpoints; the per-epoch CDC path uses
+        :meth:`purge_docs_df`."""
+        if not vec_ids:
+            return 0
+        ids_df = spark.createDataFrame(
+            [(int(v),) for v in sorted(set(vec_ids))], "vec_id long")
+        return self.purge_docs_df(spark, ids_df,
+                                  purge_batch_id=purge_batch_id,
+                                  broadcast_victims=True)
+
+    def purge_docs_df(self, spark: SparkSession, victims: DataFrame,
+                      purge_batch_id: int | None = None,
+                      broadcast_victims: bool = False) -> int:
+        """DataFrame-victims form of :meth:`purge_docs` (the
+        ``purge_vectors_df`` discipline, VERDICT r11 #1): an
+        update-heavy CDC micro-batch purges its whole touched-id set,
+        and that set must never materialize on the driver. ``victims``
+        is any frame with a castable ``vec_id`` column; both sides —
+        the inverted file and the groups claims — resolve their
+        pruning by joins."""
+        ids = (victims
+               .select(F.col("vec_id").cast("long").alias("vec_id"))
+               .distinct().localCheckpoint(eager=True))
+        if ids.isEmpty():
+            return 0
+        self.index.purge_vectors_df(spark, ids,
+                                    broadcast_victims=broadcast_victims)
+        return self.groups.purge_docs_df(
+            spark, ids.select(F.col("vec_id").alias("doc_id")),
+            purge_batch_id=purge_batch_id,
+            broadcast_victims=broadcast_victims)
