@@ -35,16 +35,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle (S2-S8, K1-K5, P3/P4/P7, F8/F10, T1/T3/T6/T8), the UDF
 # surface (§2.10), and one flagship per LLM-pipeline operator family.
 # Everything else still runs under scripts/check_oracle.py + pytest.
-# Round-11 rotation (sixth rotation; the full-course discipline closed
-# in r10 — every registered query has held a green driver row).  The 25
-# flagship slots stay pinned.  Rotation contract
+# Round-12 rotation (seventh rotation; the full-course discipline
+# closed in r10 — every registered query has held a green driver row).
+# The 25 flagship slots stay pinned.  Rotation contract
 # (tests/test_r7_window.py): queries never rowed before the base round
-# MUST occupy rotation slots (this round: the four r11 additions), and
+# MUST occupy rotation slots (this round: the two r12 additions), and
 # the remaining slots re-verify the STALEST queries — smallest
 # last-rowed round, ties broken by name — so driver evidence keeps
 # refreshing oldest-first (scripts/rotation_candidates.py computes both
 # lists; this window is its verbatim output).
-ROTATION_BASE_ROUND = 11    # rotation = never-rowed before r11 + stalest
+ROTATION_BASE_ROUND = 12    # rotation = never-rowed before r12 + stalest
 DRIVER_WINDOW = [
     # pinned flagships: CDC core + lifecycle essentials
     "cdc_dedup_latest", "cdc_append", "cdc_chunked_dedup",
@@ -58,29 +58,24 @@ DRIVER_WINDOW = [
     # pinned flagships: LLM pipeline
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
-    # rotated in (first-ever driver rows): the seven round-11 additions
-    # — blocked record linkage, the binary/Matryoshka rungs of the
-    # quantized-ANN ladder, margin-based bitext mining, the explicit
-    # quantizer-retrain lifecycle step, BM25 lexical scoring, and
-    # reciprocal-rank-fusion hybrid retrieval
-    "entity_match_customers", "embedding_binary_ann",
-    "embedding_matryoshka_recall", "bitext_mine_margin",
-    "ann_index_retrain_probe", "bm25_topk_docs", "rrf_hybrid_search",
-    "cdc_semantic_groups_sync",
-    # rotated in (staleness refresh): the 17 stalest driver rows — the
-    # 12 remaining r3-tier queries (the seven displaced by r10's
-    # never-rowed additions now re-row, plus the rest of that tier),
-    # then the alphabetically-first 5 of the r4 tier (never-rowed
-    # outranks staleness, so the last four additions displaced
-    # dup_components, embedding_topk, embedding_topk_pandas and
-    # events_windowed_agg — they re-row in a later refresh)
-    "q5_nation_revenue", "q6_revenue_delta", "regexp_funcs",
-    "rollup_orders", "salted_join_segments", "semi_join_returned_orders",
-    "set_ops_customers", "string_funcs", "text_fingerprint",
-    "text_token_stats", "top_k_orders", "window_functions_suite",
-    "asof_join_events", "bloom_dedup_incremental",
-    "cdc_dedup_composite_key", "cdc_scalar_funcs",
-    "dedup_pipeline_summary",
+    # rotated in (first-ever driver rows): the two round-12 additions —
+    # the CDC-maintained lexical (BM25) index side state and positional
+    # phrase/proximity search
+    "lexical_index_bm25_sync", "phrase_proximity_search",
+    # rotated in (staleness refresh): the 23 stalest driver rows — the
+    # whole remaining r4 tier (18, incl. the four displaced in r11:
+    # dup_components, embedding_topk, embedding_topk_pandas,
+    # events_windowed_agg) plus the alphabetically-first 5 of the r5
+    # tier (scripts/rotation_candidates.py verbatim)
+    "dup_components", "embedding_topk", "embedding_topk_pandas",
+    "events_windowed_agg", "grouped_agg_pandas_median",
+    "jdbc_metadata_schema", "json_stringify_orders",
+    "minhash_signatures", "multimodal_frames", "ngram_jaccard_pairs",
+    "pii_redact", "segment_dedup_docs", "sessionize_events",
+    "simhash_docs", "snapshot_backfill_region", "text_langid",
+    "text_quality", "unigram_perplexity", "all_datatypes_decode",
+    "bigram_perplexity", "cdc_incremental_mv", "cdc_pg_dedup_latest",
+    "dsir_select_docs",
 ]
 
 

@@ -256,7 +256,8 @@ class IvfVectorIndex:
                                      broadcast_victims=True)
 
     def purge_vectors_df(self, spark: SparkSession, victims: DataFrame,
-                         broadcast_victims: bool = False) -> int:
+                         broadcast_victims: bool = False,
+                         _pinned: bool = False) -> int:
         """Erase every index row whose ``vec_id`` appears in
         ``victims`` (any frame with a castable ``vec_id`` column) —
         the DataFrame-native purge the per-epoch maintenance paths
@@ -282,10 +283,13 @@ class IvfVectorIndex:
             return 0
         # pin: the pruning joins below read the very directories the
         # rewrites then replace — the victim set must not recompute
-        # from a plan over mutated state
-        ids_df = (victims
-                  .select(F.col("vec_id").cast("long").alias("vec_id"))
-                  .distinct().localCheckpoint(eager=True))
+        # from a plan over mutated state. ``_pinned`` (internal hot
+        # callers) vouches the frame is already distinct and
+        # checkpoint-derived — skip the re-pin job
+        ids_df = victims.select(
+            F.col("vec_id").cast("long").alias("vec_id"))
+        if not _pinned:
+            ids_df = ids_df.distinct().localCheckpoint(eager=True)
         hint = F.broadcast if broadcast_victims else (lambda df: df)
         mparts = sorted(
             r["p"] for r in

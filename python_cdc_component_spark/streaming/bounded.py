@@ -313,11 +313,15 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
     keys = (latest.select(key_expr.alias("doc_id"),
                           bad_expr.alias("bad"))
             .distinct().localCheckpoint(eager=True))
-    if keys.isEmpty():
+    # ONE single-row aggregate serves both gates (emptiness + the
+    # distributed malformed-key check) — foreachBatch runs with AQE
+    # off and fixed per-job cost dominates at micro-batch size, so
+    # every tiny gate job counts (the r11 process_batch lesson)
+    gate = keys.agg(F.count(F.lit(1)).alias("n"),
+                    F.max("bad").alias("bad")).collect()[0]
+    if not gate["n"]:
         return
-    # distributed malformed-key gate (the fail-loud contract, off the
-    # driver): one limit-1 probe over the pinned frame
-    if not keys.filter("bad").isEmpty():
+    if gate["bad"]:
         raise ValueError(
             f"dedup-groups doc key: primary-key columns {id_cols} "
             "contain a NULL component or the reserved U+001F "
@@ -332,7 +336,8 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
         # are a pruned no-op — DataFrame victims, the per-epoch hot
         # path (VERDICT r11 #1)
         groups.purge_docs_df(spark, keys.select("doc_id"),
-                             purge_batch_id=stride * epoch)
+                             purge_batch_id=stride * epoch,
+                             _pinned=True)
         fs_touch(spark, purge_marker)
     live = (latest
             .filter(~F.coalesce(F.col(SC.deleted), F.lit(False)))
@@ -400,7 +405,8 @@ def _maintain_ann_index(spark: SparkSession, idx, batch_df: DataFrame,
             # 1M-row micro-batch must not materialize its id list on
             # the driver; the sidecar pruning becomes a semi-join on
             # pmod(vec_id, N), same math, distributed
-            idx.purge_vectors_df(spark, keyed.select("vec_id"))
+            idx.purge_vectors_df(spark, keyed.select("vec_id"),
+                                 _pinned=True)
             idx.add_batch(spark, live)
             # cheap gate before the per-directory listings: one
             # recursive JVM-side count vs ~(cells + map parts) py4j
@@ -536,7 +542,8 @@ def _maintain_semantic_groups(spark: SparkSession, st, batch_df: DataFrame,
                        .distinct().localCheckpoint(eager=True))
             if not victims.isEmpty():
                 st.purge_docs_df(spark, victims,
-                                 purge_batch_id=3 * epoch)
+                                 purge_batch_id=3 * epoch,
+                                 _pinned=True)
             fs_touch(spark, purge_marker)
         live = keyed.filter(~F.col("_del")).select("vec_id", "e")
         st.process_batch(spark, live, batch_id=3 * epoch + 1)

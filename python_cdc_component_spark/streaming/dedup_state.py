@@ -815,7 +815,8 @@ class StreamingDedupGroups:
 
     def purge_docs_df(self, spark: SparkSession, victims: DataFrame,
                       purge_batch_id: int | None = None,
-                      broadcast_victims: bool = False) -> int:
+                      broadcast_victims: bool = False,
+                      _pinned: bool = False) -> int:
         """DataFrame-victims form of :meth:`purge_docs` (the
         ``purge_vectors_df`` discipline, VERDICT r11 #1): the per-epoch
         CDC hot paths — ``_maintain_dedup_groups`` purging every
@@ -843,20 +844,36 @@ class StreamingDedupGroups:
                                   T.StringType) else "long")
         # pin: every pruning join below reads the very directories the
         # rewrites then replace — the victim set must not recompute
-        # from a plan over mutated state
-        ids_df = (victims
-                  .select(F.col("doc_id").cast(id_t).alias("node"))
-                  .distinct().localCheckpoint(eager=True))
-        if ids_df.isEmpty():
+        # from a plan over mutated state. ``_pinned`` (internal, the
+        # per-epoch hot callers) vouches the frame is ALREADY distinct
+        # and checkpoint-derived — skip the re-pin job (foreachBatch
+        # fixed job cost; duplicates would be harmless anyway — every
+        # consumer is a semi/anti join — the pin is about recompute)
+        ids_df = victims.select(
+            F.col("doc_id").cast(id_t).alias("node"))
+        if not _pinned:
+            ids_df = ids_df.distinct().localCheckpoint(eager=True)
+        # the ≤num_buckets partition-id collect doubles as the
+        # emptiness gate (no separate isEmpty job — foreachBatch fixed
+        # job cost dominates at micro-batch size). The partition
+        # expression follows id_t, not the resolved kind: on an
+        # UNBUILT store the integral default's `pmod(node, N)` would
+        # ANSI-abort casting a string key (any scheme is fine there —
+        # no partitions exist to prune — it just must not crash)
+        if id_t == "string":
+            _vp = F.pmod(F.xxhash64(F.col("node")),
+                         F.lit(self.num_buckets)).cast("int")
+        else:
+            _vp = self._id_part(F.col("node"))
+        vparts = {r[0] for r in
+                  ids_df.select(_vp.alias("p")).distinct().collect()}
+        if not vparts:
             return 0
         self.index.purge_docs_df(
             spark, ids_df.select(F.col("node").alias("doc_id")),
-            broadcast_victims=broadcast_victims)
+            broadcast_victims=broadcast_victims, _pinned=True)
         if not _fs_exists(spark, self._node_map_path):
             return 0
-        vparts = {r[0] for r in
-                  ids_df.select(self._id_part(F.col("node")).alias("p"))
-                  .distinct().collect()}
         # ALL components the victims ever claimed (every historical
         # claim of a node lives in its ONE node_map partition, so this
         # is a pruned read) — the complete set of labels partitions
@@ -868,12 +885,14 @@ class StreamingDedupGroups:
         claims = (vmap.join(hint(ids_df), "node", "left_semi")
                   .select("node", "component", BATCH_COL)
                   .localCheckpoint(eager=True))
-        if claims.isEmpty():
-            return 0
+        # same fusion: the claimed-component partition ids gate
+        # emptiness (no victim ever claimed ⇔ no claimed partitions)
         claimed_cparts = {r[0] for r in
                           claims.select(
                               self._id_part(F.col("component"))
                               .alias("p")).distinct().collect()}
+        if not claimed_cparts:
+            return 0
         # current comps decide which components lose a member now; the
         # survivor relabel is fully DISTRIBUTED (affected components
         # may be arbitrarily large — same bound as process_batch)

@@ -970,7 +970,8 @@ class StreamingLshIndex:
         return self.purge_docs_df(spark, ids_df, broadcast_victims=True)
 
     def purge_docs_df(self, spark: SparkSession, victims: DataFrame,
-                      broadcast_victims: bool = False) -> int:
+                      broadcast_victims: bool = False,
+                      _pinned: bool = False) -> int:
         """DataFrame-victims erasure (the ``purge_vectors_df``
         discipline, VERDICT r11 #1): remove every band row of the docs
         in ``victims`` (any frame with a castable ``doc_id`` column) —
@@ -997,18 +998,23 @@ class StreamingLshIndex:
         hint = F.broadcast if broadcast_victims else (lambda df: df)
         # pin: the pruning joins below read the very directories the
         # rewrites then replace — the victim set must not recompute
-        # from a plan over mutated state
-        ids_df = (victims
-                  .select(F.col("doc_id").cast(self._id_sql_type)
-                          .alias("doc_id"))
-                  .distinct().localCheckpoint(eager=True))
-        if ids_df.isEmpty():
-            return 0
+        # from a plan over mutated state. ``_pinned`` (internal hot
+        # callers) vouches the frame is already distinct and
+        # checkpoint-derived — skip the re-pin job
+        ids_df = victims.select(
+            F.col("doc_id").cast(self._id_sql_type).alias("doc_id"))
+        if not _pinned:
+            ids_df = ids_df.distinct().localCheckpoint(eager=True)
         if self.collapse_exact:
+            # emptiness gates inside (its victim-partition collect)
             return self._purge_docs_collapsed_df(spark, ids_df, hint)
+        # the ≤num_buckets partition-id collect doubles as the
+        # emptiness gate (no separate isEmpty job)
         vparts = sorted(r["p"] for r in
                         ids_df.select(self._id_part(F.col("doc_id"))
                                       .alias("p")).distinct().collect())
+        if not vparts:
+            return 0
         map_paths = []
         if docmap_complete and _fs_exists(spark, self._docmap_path):
             map_paths = [

@@ -283,7 +283,8 @@ class StreamingSemanticGroups:
 
     def purge_docs_df(self, spark: SparkSession, victims: DataFrame,
                       purge_batch_id: int | None = None,
-                      broadcast_victims: bool = False) -> int:
+                      broadcast_victims: bool = False,
+                      _pinned: bool = False) -> int:
         """DataFrame-victims form of :meth:`purge_docs` (the
         ``purge_vectors_df`` discipline, VERDICT r11 #1): an
         update-heavy CDC micro-batch purges its whole touched-id set,
@@ -291,14 +292,16 @@ class StreamingSemanticGroups:
         is any frame with a castable ``vec_id`` column; both sides —
         the inverted file and the groups claims — resolve their
         pruning by joins."""
-        ids = (victims
-               .select(F.col("vec_id").cast("long").alias("vec_id"))
-               .distinct().localCheckpoint(eager=True))
-        if ids.isEmpty():
-            return 0
+        ids = victims.select(
+            F.col("vec_id").cast("long").alias("vec_id"))
+        if not _pinned:
+            ids = ids.distinct().localCheckpoint(eager=True)
+        # no separate emptiness probe: both sides gate on their own
+        # ≤N victim-partition collects (empty victims short-circuit)
         self.index.purge_vectors_df(spark, ids,
-                                    broadcast_victims=broadcast_victims)
+                                    broadcast_victims=broadcast_victims,
+                                    _pinned=True)
         return self.groups.purge_docs_df(
             spark, ids.select(F.col("vec_id").alias("doc_id")),
             purge_batch_id=purge_batch_id,
-            broadcast_victims=broadcast_victims)
+            broadcast_victims=broadcast_victims, _pinned=True)

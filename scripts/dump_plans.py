@@ -101,7 +101,11 @@ AUDIT_EXTRA = ["embedding_dup_pairs", "stratified_sample_docs",
                # round-11 second wave: hybrid retrieval (BM25's
                # map-only tf pass + one broadcast stats row +
                # TakeOrderedAndProject; RRF's two-ranking single pass)
-               "bm25_topk_docs", "rrf_hybrid_search"]
+               "bm25_topk_docs", "rrf_hybrid_search",
+               # round-12: positional phrase/proximity search (the
+               # zero-shuffle map-only + TakeOrderedAndProject exhibit)
+               # and the CDC-fed lexical-index probe
+               "phrase_proximity_search", "lexical_index_bm25_sync"]
 
 
 def main() -> None:
