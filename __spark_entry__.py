@@ -58,15 +58,19 @@ DRIVER_WINDOW = [
     # pinned flagships: LLM pipeline
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
-    # rotated in (first-ever driver rows): the two round-12 additions —
-    # the CDC-maintained lexical (BM25) index side state and positional
-    # phrase/proximity search
+    # rotated in (first-ever driver rows): the three round-12
+    # additions — the CDC-maintained lexical (BM25) index side state,
+    # positional phrase/proximity search, and index-fed phrase
+    # retrieval over the positional postings layout
     "lexical_index_bm25_sync", "phrase_proximity_search",
-    # rotated in (staleness refresh): the 23 stalest driver rows — the
+    "lexical_index_phrase_sync",
+    # rotated in (staleness refresh): the 22 stalest driver rows — the
     # whole remaining r4 tier (18, incl. the four displaced in r11:
     # dup_components, embedding_topk, embedding_topk_pandas,
-    # events_windowed_agg) plus the alphabetically-first 5 of the r5
-    # tier (scripts/rotation_candidates.py verbatim)
+    # events_windowed_agg) plus the alphabetically-first 4 of the r5
+    # tier (scripts/rotation_candidates.py; never-rowed outranks
+    # staleness, so the third r12 addition displaced dsir_select_docs
+    # — it re-rows in a later refresh)
     "dup_components", "embedding_topk", "embedding_topk_pandas",
     "events_windowed_agg", "grouped_agg_pandas_median",
     "jdbc_metadata_schema", "json_stringify_orders",
@@ -75,7 +79,6 @@ DRIVER_WINDOW = [
     "simhash_docs", "snapshot_backfill_region", "text_langid",
     "text_quality", "unigram_perplexity", "all_datatypes_decode",
     "bigram_perplexity", "cdc_incremental_mv", "cdc_pg_dedup_latest",
-    "dsir_select_docs",
 ]
 
 

@@ -8488,3 +8488,55 @@ def phrase_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("n_near").desc(), F.col("doc_id"))
     return (s.withColumn("rn", F.row_number().over(w_top))
             .filter(F.col("rn") <= 20).drop("rn"))
+
+
+@query("lexical_index_phrase_sync", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id,
+             CAST(len(list_filter(range(1, len(w)),
+                  i -> w[i] = 'table' AND w[i + 1] = 'scan'))
+                  AS BIGINT) AS n_phrase
+      FROM t)
+SELECT doc_id, n_phrase FROM s WHERE n_phrase > 0
+QUALIFY ROW_NUMBER() OVER (ORDER BY n_phrase DESC, doc_id) <= 20
+""")
+def lexical_index_phrase_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-fed EXACT-PHRASE retrieval, end-to-end through the CDC
+    sync: the documents table arrives as INSERT events,
+    ``bounded_sync(lexical_index_path=..., lexical_positions=True)``
+    maintains the POSITIONAL postings (1-based ``pos_list`` per
+    (doc, term) row, pinned in the index meta), and
+    ``StreamingLexicalIndex.phrase_topk`` answers 'table scan' as an
+    exact-integer left-fold of position-array intersections over ONLY
+    the two terms' postings partitions — the quoted-query serving
+    path, never a corpus scan. For this insert-only workload the
+    result must equal the scan-based positional count (the
+    ``phrase_proximity_search`` n_phrase machinery), which is exactly
+    what the oracle computes from the raw table. Layout pinning,
+    update/tombstone purge and crash/replay convergence are
+    pytest-pinned (tests/test_r12_lexical.py)."""
+    import shutil
+    import tempfile
+    from .streaming.bounded import BoundedStreamConfig, bounded_sync
+    from .streaming.lexical_state import StreamingLexicalIndex
+
+    s = _spark(spark)
+    docs = read_table(s, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sparkcdc_lexph_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    s.conf.set(pkey, "16")
+    try:
+        flat = _stage_docs_as_event_waves(s, docs, work, 2)
+        cfg = BoundedStreamConfig(
+            mode="DEDUPE", primary_keys=["user_id"],
+            max_files_per_trigger=1, max_wait_s=5.0,
+            lexical_index_path=f"{work}/lex", lexical_parts=16,
+            lexical_positions=True)
+        bounded_sync(s, flat, f"{work}/state", f"{work}/ckpt", cfg)
+        lex = StreamingLexicalIndex(f"{work}/lex", num_parts=16)
+        out = lex.phrase_topk(s, ["table", "scan"], k=20)
+        return out.localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
+        shutil.rmtree(work, ignore_errors=True)

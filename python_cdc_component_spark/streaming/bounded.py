@@ -143,6 +143,10 @@ class BoundedStreamConfig:
     lexical_parts: int = 16
     lexical_compact_threshold: int = 8
     lexical_marker_retain: int = 64
+    # positional postings (1-based pos_list per (doc, term) row) —
+    # the phrase-search layout; pinned in the index meta at first
+    # build, BM25 reads ignore it
+    lexical_positions: bool = False
 
 
 def read_event_stream(spark: SparkSession, events_dir: str,
@@ -713,7 +717,8 @@ def bounded_sync(spark: SparkSession, events_dir: str, out_path: str,
                 lex = StreamingLexicalIndex(
                     cfg.lexical_index_path,
                     num_parts=cfg.lexical_parts,
-                    compact_file_threshold=cfg.lexical_compact_threshold)
+                    compact_file_threshold=cfg.lexical_compact_threshold,
+                    positions=cfg.lexical_positions)
 
             def sink(batch_df: DataFrame, batch_id: int) -> None:
                 if cfg.live:

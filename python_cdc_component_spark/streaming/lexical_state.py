@@ -68,11 +68,16 @@ DOC_PART_COL = "_doc_part"
 class StreamingLexicalIndex:
     """Persistent postings + doc-stats store with purge-then-add CDC
     maintenance. ``num_parts`` is physical layout, pinned in the meta
-    at first build (the StreamingLshIndex bucket discipline)."""
+    at first build (the StreamingLshIndex bucket discipline), and so
+    is ``positions`` — a positional store carries a 1-based
+    ``pos_list`` per (doc, term) row (the phrase-search layout; BM25
+    reads ignore it), and flipping it mid-stream would leave mixed
+    rows."""
 
     state_path: str
     num_parts: int = 16
     compact_file_threshold: int = 8
+    positions: bool = False
 
     @property
     def postings_path(self) -> str:
@@ -93,12 +98,15 @@ class StreamingLexicalIndex:
     def _resolve_parts(self, spark: SparkSession) -> None:
         raw = _fs_read_text(spark, self._meta_path)
         if raw is not None:
-            self.num_parts = int(json.loads(raw)["num_parts"])
+            meta = json.loads(raw)
+            self.num_parts = int(meta["num_parts"])
+            self.positions = bool(meta.get("positions", False))
 
     def _pin_meta(self, spark: SparkSession) -> None:
         if _fs_read_text(spark, self._meta_path) is None:
             _fs_write_text(spark, self._meta_path,
-                           json.dumps({"num_parts": self.num_parts}))
+                           json.dumps({"num_parts": self.num_parts,
+                                       "positions": self.positions}))
 
     def _term_part(self, col) -> F.Column:
         return F.pmod(F.xxhash64(col), F.lit(self.num_parts)).cast("int")
@@ -136,11 +144,27 @@ class StreamingLexicalIndex:
                              F.size("w").cast("long").alias("dl"))
                  .withColumn(DOC_PART_COL, self._doc_part(F.col("doc_id")))
                  .repartition(self.num_parts, F.col(DOC_PART_COL)))
-        posts = (toks.select("doc_id", F.explode("w").alias("term"))
-                 .groupBy("doc_id", "term")
-                 .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-                 .withColumn(TERM_PART_COL, self._term_part(F.col("term")))
-                 .localCheckpoint(eager=True))
+        if self.positions:
+            # positional layout: 1-based positions per (doc, term) —
+            # phrase adjacency is then exact-integer array math, and
+            # the 1-base matches DuckDB's lists for oracle replays
+            posts = (toks.select("doc_id",
+                                 F.posexplode("w").alias("pos", "term"))
+                     .groupBy("doc_id", "term")
+                     .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+                          F.array_sort(F.collect_list(
+                              (F.col("pos") + 1).cast("int")))
+                          .alias("pos_list"))
+                     .withColumn(TERM_PART_COL,
+                                 self._term_part(F.col("term")))
+                     .localCheckpoint(eager=True))
+        else:
+            posts = (toks.select("doc_id", F.explode("w").alias("term"))
+                     .groupBy("doc_id", "term")
+                     .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+                     .withColumn(TERM_PART_COL,
+                                 self._term_part(F.col("term")))
+                     .localCheckpoint(eager=True))
         docterms = (posts.select("doc_id", TERM_PART_COL).distinct()
                     .withColumn(DOC_PART_COL,
                                 self._doc_part(F.col("doc_id")))
@@ -293,6 +317,74 @@ class StreamingLexicalIndex:
         return n
 
     # -- queries ---------------------------------------------------------
+
+    def phrase_topk(self, spark: SparkSession, phrase: list[str],
+                    k: int = 20) -> DataFrame:
+        """EXACT-PHRASE retrieval from the positional index: documents
+        where ``phrase`` occurs as adjacent tokens in order, ranked by
+        occurrence count (ties → doc_id). Opens only the phrase
+        terms' postings partitions; adjacency is a left-fold of
+        exact-integer array intersections over the stored 1-based
+        position lists (start positions of the growing prefix:
+        ``starts ∩ (pos(next) − i)``), so the counts replay bit-for-bit
+        in any engine — and equal the scan-based
+        ``phrase_proximity_search`` n_phrase for the same phrase. At
+        100 TB the per-term frames are k-sized partition reads joined
+        on doc_id; the corpus is never touched. Requires a
+        ``positions=True`` store (pinned in the meta); raises on a
+        non-positional one rather than returning wrong emptiness.
+        Returns (doc_id, n_phrase)."""
+        self._resolve_parts(spark)
+        if not self.positions:
+            raise ValueError(
+                f"store at {self.state_path} was built without "
+                "positions — phrase search needs the positional "
+                "layout (positions=True at first build)")
+        if len(phrase) < 2:
+            raise ValueError("phrase search needs ≥ 2 terms")
+        out_schema = "doc_id long, n_phrase long"
+        if not _fs_exists(spark, self.postings_path):
+            return spark.createDataFrame([], out_schema)
+        tparts = sorted({r[0] for r in
+                         spark.createDataFrame([(t,) for t in phrase],
+                                               "term string")
+                         .select(self._term_part(F.col("term")))
+                         .distinct().collect()})
+        paths = [p for p in
+                 (os.path.join(self.postings_path,
+                               f"{TERM_PART_COL}={v}") for v in tparts)
+                 if _fs_exists(spark, p)]
+        if not paths:
+            return spark.createDataFrame([], out_schema)
+        posts = (spark.read.option("basePath", self.postings_path)
+                 .parquet(*paths)
+                 .filter(F.col("term").isin(list(phrase))))
+        def _shift(off: int):
+            # factory, NOT a default-arg closure: a two-param lambda
+            # would make F.transform pass the ARRAY INDEX as the
+            # second argument (the documented (element, index) form)
+            return lambda x: x - F.lit(off)
+
+        cur = (posts.filter(F.col("term") == phrase[0])
+               .select("doc_id", F.col("pos_list").alias("starts")))
+        for i, t in enumerate(phrase[1:], start=1):
+            nxt = (posts.filter(F.col("term") == t)
+                   .select("doc_id", F.col("pos_list").alias("_p")))
+            # starts of the prefix that the next term extends: the
+            # next term must sit exactly i tokens after the start
+            cur = (cur.join(nxt, "doc_id")
+                   .select("doc_id",
+                           F.array_intersect(
+                               "starts", F.transform("_p", _shift(i)))
+                           .alias("starts")))
+        from pyspark.sql import Window
+        ranked = (cur.select("doc_id",
+                             F.size("starts").cast("long")
+                             .alias("n_phrase"))
+                  .filter(F.col("n_phrase") > 0))
+        w_top = Window.orderBy(F.col("n_phrase").desc(), F.col("doc_id"))
+        return (ranked.withColumn("rn", F.row_number().over(w_top))
+                .filter(F.col("rn") <= int(k)).drop("rn"))
 
     def bm25_topk(self, spark: SparkSession, terms: list[str],
                   k: int = 15) -> DataFrame:

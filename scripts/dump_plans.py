@@ -105,7 +105,8 @@ AUDIT_EXTRA = ["embedding_dup_pairs", "stratified_sample_docs",
                # round-12: positional phrase/proximity search (the
                # zero-shuffle map-only + TakeOrderedAndProject exhibit)
                # and the CDC-fed lexical-index probe
-               "phrase_proximity_search", "lexical_index_bm25_sync"]
+               "phrase_proximity_search", "lexical_index_bm25_sync",
+               "lexical_index_phrase_sync"]
 
 
 def main() -> None:

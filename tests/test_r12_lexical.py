@@ -199,3 +199,69 @@ def test_fused_fleet_rejects_per_table_side_state(spark, tmp_path):
             bounded_sync_multi_fused(
                 spark, {"t1": events}, str(tmp_path / "out"),
                 str(tmp_path / "ck"), {"t1": cfg})
+
+
+def test_phrase_topk_positional_contracts(spark, tmp_path):
+    """Positional layout: phrase counts match hand counts, survive
+    update/tombstone through the CDC path, 3-term phrases fold
+    correctly, and a non-positional store fails loudly."""
+    import pytest
+
+    cfg = BoundedStreamConfig(
+        mode="DEDUPE", primary_keys=["user_id"],
+        lexical_index_path=str(tmp_path / "lex"), lexical_parts=4,
+        lexical_positions=True)
+    lex = StreamingLexicalIndex(cfg.lexical_index_path, num_parts=4,
+                                positions=True)
+    _maintain_lexical_index(
+        spark, lex, _batch(spark, [
+            (1, "a b c a b c a b"),        # 'a b' ×3, 'a b c' ×2
+            (2, "a x b a b"),              # 'a b' ×1
+            (3, "b a b a")], 0), 0, cfg)   # 'a b' ×1
+    got = [(r["doc_id"], r["n_phrase"]) for r in
+           lex.phrase_topk(spark, ["a", "b"], k=10).collect()]
+    assert got == [(1, 3), (2, 1), (3, 1)], got
+    got3 = [(r["doc_id"], r["n_phrase"]) for r in
+            lex.phrase_topk(spark, ["a", "b", "c"], k=10).collect()]
+    assert got3 == [(1, 2)], got3
+    # update doc 1 (loses the phrase), tombstone doc 2
+    _maintain_lexical_index(
+        spark, lex, _batch(spark, [(1, "c c c"), (2, None)], 1),
+        1, cfg)
+    got = [(r["doc_id"], r["n_phrase"]) for r in
+           lex.phrase_topk(spark, ["a", "b"], k=10).collect()]
+    assert got == [(3, 1)], got
+    # a reopened handle adopts the pinned positional layout
+    fresh = StreamingLexicalIndex(cfg.lexical_index_path, num_parts=4)
+    assert fresh.phrase_topk(spark, ["a", "b"], k=10).count() == 1
+    # non-positional store: fail loudly, not empty
+    plain = StreamingLexicalIndex(str(tmp_path / "plain"), num_parts=4)
+    plain.add_batch(spark, spark.createDataFrame(
+        [(1, "a b")], "doc_id long, text string"))
+    with pytest.raises(ValueError, match="positions"):
+        plain.phrase_topk(spark, ["a", "b"])
+    with pytest.raises(ValueError, match="2 terms"):
+        lex.phrase_topk(spark, ["a"])
+
+
+def test_positions_meta_pinned_against_constructor(spark, tmp_path):
+    """The positional flag is physical layout: a handle opened with
+    the OTHER constructor arg adopts the stored value (a silent flip
+    would leave mixed rows)."""
+    lex = StreamingLexicalIndex(str(tmp_path / "lex"), num_parts=4,
+                                positions=True)
+    lex.add_batch(spark, spark.createDataFrame(
+        [(1, "a b a")], "doc_id long, text string"))
+    re_opened = StreamingLexicalIndex(str(tmp_path / "lex"),
+                                      num_parts=4, positions=False)
+    re_opened.add_batch(spark, spark.createDataFrame(
+        [(2, "b a b")], "doc_id long, text string"))
+    # the second batch wrote POSITIONAL rows (stored flag won)
+    rows = spark.read.parquet(re_opened.postings_path)
+    assert "pos_list" in rows.columns
+    assert rows.filter("doc_id = 2 and pos_list is null").count() == 0
+    # 'b a' occurs once in each doc ("a b a" at 2, "b a b" at 1);
+    # tie breaks to doc_id
+    assert [(r["doc_id"], r["n_phrase"]) for r in
+            re_opened.phrase_topk(spark, ["b", "a"], k=5).collect()] \
+        == [(1, 1), (2, 1)]
