@@ -430,16 +430,22 @@ class IvfVectorIndex:
         sub.build(spark, rows, centroids=centroids)
         # carry maintenance epoch markers into the sibling BEFORE the
         # commit (after: build() above wiped tmp, so only now is the
-        # sibling a safe destination). Ordering note: a crash right
-        # here leaves the old index serving without markers (benign,
-        # see docstring); a crash after the delete below recovers via
-        # recover(), markers riding the sibling.
+        # sibling a safe destination). COPY, never rename (ADVICE
+        # r12): a crash between a rename and the old-delete would
+        # leave the serving index marker-less, and the next rebuild's
+        # tmp wipe would then destroy the only copy — the retain
+        # horizon lost for that window. Copies cost one touch per
+        # marker (empty files, ≤ann_marker_retain of them) and the
+        # source stays authoritative until the swap's delete commits.
         epochs_src = os.path.join(self.index_path, "_epochs")
         if _fs_exists(spark, epochs_src):
-            if not _fs_rename(spark, epochs_src,
-                              os.path.join(tmp, "_epochs")):
-                raise IOError(
-                    f"rebuild: failed to carry _epochs into {tmp}")
+            from ...fs import fs_list_names as _fs_list_names
+            from ...fs import fs_touch as _fs_touch
+            for name in _fs_list_names(spark, epochs_src):
+                # digit names only: local FS writes .name.crc twins
+                if name.isdigit():
+                    _fs_touch(spark,
+                              os.path.join(tmp, "_epochs", name))
         # commit: the build above MATERIALIZED every row into the
         # sibling, so the source dir is no longer read
         _fs_delete(spark, self.index_path)

@@ -589,10 +589,14 @@ def _maintain_lexical_index(spark: SparkSession, lex, batch_df: DataFrame,
             return
         # purge EVERY batch-touched id (replaced versions, tombstones,
         # crashed half-appends); never-indexed ids are a sidecar-pruned
-        # no-op — the ids never materialize on the driver
-        lex.purge_docs_df(spark, keyed.select("doc_id"))
+        # no-op — the ids never materialize on the driver. The epoch
+        # rides into both calls so the maintained corpus-stats
+        # retract/add is crash-exact under replay (a marked-epoch
+        # replay never reaches here; an unmarked one re-derives the
+        # same final from the pinned base).
+        lex.purge_docs_df(spark, keyed.select("doc_id"), epoch=epoch)
         live = keyed.filter(~F.col("_del")).select("doc_id", "text")
-        lex.add_batch(spark, live)
+        lex.add_batch(spark, live, epoch=epoch)
         # compaction-debt gate: one recursive JVM-side count minus the
         # _epochs markers (the ann-index discipline — markers are not
         # data debt), across the three tables' partition estimate

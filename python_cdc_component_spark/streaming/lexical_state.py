@@ -14,11 +14,24 @@ k term-partition directories — never the corpus:
   directories (partition pruning), and per-term document frequency is
   an aggregate over exactly those rows;
 * ``docstats/`` — (doc_id, dl) partitioned by ``_doc_part = doc_id mod
-  N``: document length for the scored docs, and the N/avgdl corpus
-  stats as ONE tiny aggregate over a two-column columnar scan (at
-  extreme corpus sizes this fold becomes a maintained single-row
-  aggregate — the ``StreamingAggView`` retract/add pattern — without
-  touching the postings layout);
+  N``: document length for the scored docs — a probe joins only the
+  CANDIDATE docs' ``_doc_part`` partitions (the candidate partition
+  ids are a ≤N collect off the pruned postings read, the
+  ``purge_docs_df`` victim-partition math);
+* ``_corpstats.json`` — the (n_docs, Σdl) corpus stats as a MAINTAINED
+  single-row aggregate (the ``StreamingAggView`` retract/add pattern,
+  exact integers so there is no cross-batch float drift): ``add_batch``
+  adds the batch's (count, Σdl), ``purge_docs_df`` retracts the
+  victims' actual docstats rows before deleting them, and a probe
+  reads ONE tiny json — the last O(corpus)-per-probe term is gone
+  (VERDICT r12 #1). CDC-epoch mutations are crash-exact: the file
+  carries (epoch, stage, base) so a replayed purge skips the
+  already-applied retract and a replayed add re-derives its final
+  from the pinned post-purge base instead of double-adding. Ad-hoc
+  (epoch-less) erasure orders delete-then-write so RETRIES never
+  compound; the one crash window between them drifts the stats by the
+  victim amount until :meth:`rebuild_corpstats` repairs (documented —
+  the CDC path has no such window);
 * ``_docterms/`` — (doc_id, _term_part) partitioned by ``_doc_part``:
   the erasure pruning map (the ``StreamingLshIndex`` docmap
   discipline) — a victim's postings live scattered across term
@@ -108,6 +121,63 @@ class StreamingLexicalIndex:
                            json.dumps({"num_parts": self.num_parts,
                                        "positions": self.positions}))
 
+    # -- maintained corpus stats (VERDICT r12 #1) ----------------------
+
+    @property
+    def _corpstats_path(self) -> str:
+        return os.path.join(self.state_path, "_corpstats.json")
+
+    def _write_stats(self, spark: SparkSession, base: tuple[int, int],
+                     final: tuple[int, int], epoch: int | None,
+                     stage: str) -> None:
+        _fs_write_text(spark, self._corpstats_path, json.dumps(
+            {"base_docs": int(base[0]), "base_dl": int(base[1]),
+             "n_docs": int(final[0]), "sum_dl": int(final[1]),
+             "epoch": epoch, "stage": stage}))
+
+    def _recompute_stats(self, spark: SparkSession) -> tuple[int, int]:
+        """Full (n_docs, Σdl) aggregate over docstats — the bootstrap
+        for a pre-stats (legacy) store and the :meth:`rebuild_corpstats`
+        repair; exact longs. Gated on a visible data partition: a
+        fully-purged store holds only hidden markers and would fail
+        schema inference."""
+        from ..fs import fs_has_children as _fs_has_children
+        if not _fs_has_children(spark, self.docstats_path,
+                                f"{DOC_PART_COL}="):
+            return (0, 0)
+        row = (spark.read.parquet(self.docstats_path)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+               .collect()[0])
+        return (int(row["n"]), int(row["s"]))
+
+    def _ensure_stats(self, spark: SparkSession) -> dict:
+        """Current stats doc, bootstrapping a legacy store with one
+        full docstats aggregate (the one-time migration — every later
+        probe reads this json instead of scanning the corpus)."""
+        raw = _fs_read_text(spark, self._corpstats_path)
+        if raw is not None:
+            return json.loads(raw)
+        n, s = self._recompute_stats(spark)
+        self._write_stats(spark, (n, s), (n, s), None, "boot")
+        return {"base_docs": n, "base_dl": s, "n_docs": n, "sum_dl": s,
+                "epoch": None, "stage": "boot"}
+
+    def corpus_stats(self, spark: SparkSession) -> tuple[int, int]:
+        """(n_docs, Σdl) of the indexed corpus — one tiny json read
+        (bootstrap-on-first-touch for legacy stores), never a corpus
+        scan."""
+        cur = self._ensure_stats(spark)
+        return (int(cur["n_docs"]), int(cur["sum_dl"]))
+
+    def rebuild_corpstats(self, spark: SparkSession) -> tuple[int, int]:
+        """Repair endpoint: recompute the maintained stats from the
+        actual docstats rows (the remedy for an ad-hoc erasure that
+        crashed between its delete and its stats write)."""
+        n, s = self._recompute_stats(spark)
+        self._write_stats(spark, (n, s), (n, s), None, "rebuilt")
+        return (n, s)
+
     def _term_part(self, col) -> F.Column:
         return F.pmod(F.xxhash64(col), F.lit(self.num_parts)).cast("int")
 
@@ -124,22 +194,44 @@ class StreamingLexicalIndex:
 
     # -- ingest --------------------------------------------------------
 
-    def add_batch(self, spark: SparkSession, docs: DataFrame) -> int:
+    def add_batch(self, spark: SparkSession, docs: DataFrame,
+                  epoch: int | None = None) -> int:
         """Index one batch of (doc_id long, text string) rows: one
         explode → (doc_id, term) count shuffle keyed by the term
         partition, bin-packed to one file per touched partition. The
-        ``_docterms`` sidecar lands FIRST (the crash-discoverability
-        anchor); postings and docstats then append concurrently
-        (disjoint paths). Returns the number of docs indexed."""
+        maintained corpus stats land FIRST (with ``epoch`` the write
+        pins the post-purge base, so a replay re-derives the same
+        final instead of double-adding), then the ``_docterms``
+        sidecar (the crash-discoverability anchor); postings and
+        docstats then append concurrently (disjoint paths). Returns
+        the number of docs indexed."""
         self._resolve_parts(spark)
         self._pin_meta(spark)
         toks = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.split("text", " ").alias("w"))
         toks = toks.localCheckpoint(eager=True)   # one derivation
-        n_docs = toks.count()
+        # one fused gate job: batch count + Σdl (the add term of the
+        # maintained corpus aggregate) — exact longs
+        row = toks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.size("w").cast("long")),
+                       F.lit(0).cast("long")).alias("s")).collect()[0]
+        n_docs, batch_dl = int(row["n"]), int(row["s"])
         if not n_docs:
             return 0
+        cur = self._ensure_stats(spark)
+        if (epoch is not None and cur.get("epoch") == epoch
+                and cur.get("stage") == "added"):
+            # replay of a crashed add: the previous attempt already
+            # counted this batch — re-derive from ITS base, not the
+            # (batch-inclusive) final
+            base = (int(cur["base_docs"]), int(cur["base_dl"]))
+        else:
+            base = (int(cur["n_docs"]), int(cur["sum_dl"]))
+        self._write_stats(spark, base,
+                          (base[0] + n_docs, base[1] + batch_dl),
+                          epoch, "added")
         stats = (toks.select("doc_id",
                              F.size("w").cast("long").alias("dl"))
                  .withColumn(DOC_PART_COL, self._doc_part(F.col("doc_id")))
@@ -191,14 +283,20 @@ class StreamingLexicalIndex:
         return self.purge_docs_df(spark, ids_df, broadcast_victims=True)
 
     def purge_docs_df(self, spark: SparkSession, victims: DataFrame,
-                      broadcast_victims: bool = False) -> int:
+                      broadcast_victims: bool = False,
+                      epoch: int | None = None) -> int:
         """Erase every postings/docstats row of the victim docs —
         DataFrame victims end-to-end (the ``purge_vectors_df``
         discipline): victim term-partitions resolve from the
         ``_docterms`` sidecar by semi-join; the only driver artifacts
         are the ≤``num_parts`` touched partition ids. Step order is
         crash-retryable — postings, docstats, then the sidecar LAST
-        (the retry anchor). Returns postings rows erased."""
+        (the retry anchor). The maintained corpus stats RETRACT the
+        victims' actual (count, Σdl): with ``epoch`` the retract
+        writes before any deletion and a same-epoch replay skips it
+        (crash-exact under the epoch-marker replay contract); without,
+        it writes after the deletions so an ad-hoc erasure RETRY never
+        compounds. Returns postings rows erased."""
         if not _fs_exists(spark, self._docterms_path):
             return 0
         self._resolve_parts(spark)
@@ -217,11 +315,57 @@ class StreamingLexicalIndex:
                     if _fs_exists(spark, p)]
         if not dt_paths:
             return 0
+        # corpus-stats retract (exact longs, victim-partition-pruned)
+        cur = self._ensure_stats(spark)
+        stats_after: tuple[int, int] | None = None
+        if epoch is not None and cur.get("epoch") == epoch:
+            # replay of this epoch: the retract is already in the
+            # stats — reset the in-flight final to the post-purge
+            # base (a crashed add's partial rows are deleted below
+            # and re-added by the replaying add from that same base)
+            self._write_stats(spark,
+                              (cur["base_docs"], cur["base_dl"]),
+                              (cur["base_docs"], cur["base_dl"]),
+                              epoch, "purged")
+        else:
+            rr = (0, 0)
+            ds_r = [p for p in
+                    (os.path.join(self.docstats_path,
+                                  f"{DOC_PART_COL}={v}")
+                     for v in dparts)
+                    if _fs_exists(spark, p)]
+            if ds_r:
+                row = (spark.read.option("basePath", self.docstats_path)
+                       .parquet(*ds_r)
+                       .join(hint(ids_df), "doc_id", "left_semi")
+                       .agg(F.count(F.lit(1)).alias("n"),
+                            F.coalesce(F.sum("dl"),
+                                       F.lit(0).cast("long"))
+                            .alias("s"))
+                       .collect()[0])
+                rr = (int(row["n"]), int(row["s"]))
+            base = (int(cur["n_docs"]) - rr[0],
+                    int(cur["sum_dl"]) - rr[1])
+            if epoch is not None:
+                self._write_stats(spark, base, base, epoch, "purged")
+            elif rr != (0, 0):
+                stats_after = base   # ad-hoc: write after the deletes
         vic = (spark.read.option("basePath", self._docterms_path)
                .parquet(*dt_paths)
                .join(hint(ids_df), "doc_id", "left_semi"))
         tparts = sorted({r[0] for r in
                          vic.select(TERM_PART_COL).distinct().collect()})
+        if not tparts:
+            # no victim was ever indexed (sidecar semi-join empty):
+            # postings, docstats and the sidecar have nothing to lose
+            # — skip the partition rewrites entirely. Insert-heavy
+            # epochs hit this every batch (the maintenance purge
+            # targets ALL batch-touched ids), and rewriting the
+            # touched partitions to remove nothing was pure write
+            # amplification. Safe because add_batch lands the sidecar
+            # before docstats/postings — a docstats row with no
+            # sidecar row cannot exist.
+            return 0
         n_erased = 0
         # 1. postings: rewrite exactly the victims' term partitions
         t_paths = [p for p in
@@ -282,6 +426,13 @@ class StreamingLexicalIndex:
         for p in dt_paths:
             if int(p.rsplit("=", 1)[1]) not in kept_parts:
                 _fs_delete(spark, p)
+        if stats_after is not None:
+            # ad-hoc retract lands after the deletions: a RETRY of the
+            # same erasure recomputes 0 from the now-absent rows and
+            # never compounds; the crash window between the deletes
+            # and this write drifts until rebuild_corpstats (doc'd)
+            self._write_stats(spark, stats_after, stats_after,
+                              None, "erase")
         return n_erased
 
     # -- maintenance -----------------------------------------------------
@@ -390,13 +541,23 @@ class StreamingLexicalIndex:
                   k: int = 15) -> DataFrame:
         """Okapi BM25 (k1=1.2, b=0.75) top-k over the INDEX: opens only
         the query terms' postings partitions (≤len(terms) dirs, term
-        predicate pushed into the pruned scan), per-term df + the
-        N/avgdl corpus stats reduce to ONE broadcast row, and the
-        score is the same fixed-order per-term fold as the scan-based
-        ``bm25_topk_docs`` — identical results for docs matching ≥1
-        term, without touching the corpus. Docs matching NO query term
-        (BM25 score 0) are not returned — the serving contract.
-        Returns (doc_id, bm25)."""
+        predicate pushed into the pruned scan), per-term df reduces to
+        ONE broadcast row, the N/avgdl corpus stats come from the
+        MAINTAINED ``_corpstats`` aggregate (one json read — never a
+        docstats scan), and the ``dl`` lookup joins only the CANDIDATE
+        docs' ``_doc_part`` partitions (ids a ≤num_parts collect off
+        the pruned postings — the ``purge_docs_df`` victim-partition
+        math). The score is the same fixed-order per-term fold as the
+        scan-based ``bm25_topk_docs`` — identical results for docs
+        matching ≥1 term; a probe touches NOTHING corpus-sized
+        (VERDICT r12 #1). Docs matching no query term (BM25 score 0)
+        are not returned — the serving contract. Duplicate query terms
+        dedup order-preserved (a repeated pivot key would be an
+        ambiguous-column error; BM25 over a term SET is the serving
+        convention). Returns (doc_id, bm25)."""
+        terms = list(dict.fromkeys(terms))   # order-preserving dedup
+        if not terms:
+            raise ValueError("bm25_topk needs at least one query term")
         self._resolve_parts(spark)
         out_schema = "doc_id long, bm25 double"
         if not _fs_exists(spark, self.postings_path):
@@ -415,6 +576,12 @@ class StreamingLexicalIndex:
         posts = (spark.read.option("basePath", self.postings_path)
                  .parquet(*paths)
                  .filter(F.col("term").isin(list(terms))))
+        # candidate doc partitions: ≤num_parts ids off the pruned
+        # postings read — the dl join below opens only these dirs
+        cparts = sorted({r[0] for r in
+                         posts.select(self._doc_part(F.col("doc_id"))
+                                      .alias("p")).distinct()
+                         .collect()})
         # ≤len(terms) tf columns per doc — the written-order fold needs
         # named columns, and pivot keys are the fixed query term set
         tf = (posts.groupBy("doc_id").pivot("term", list(terms))
@@ -427,23 +594,29 @@ class StreamingLexicalIndex:
             *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
               .cast("double").alias(f"df{i+1}")
               for i, t in enumerate(terms)])
-        stats = (spark.read.parquet(self.docstats_path)
-                 .agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
-                      (F.sum("dl").cast("double") / F.count(F.lit(1)))
-                      .alias("avgdl")))
-        dl = spark.read.parquet(self.docstats_path).select(
-            "doc_id", F.col("dl").cast("double").alias("dl"))
-        j = (tf.join(dl, "doc_id")
-             .crossJoin(F.broadcast(dfs))
-             .crossJoin(F.broadcast(stats)))
+        n_docs_i, sum_dl_i = self.corpus_stats(spark)
+        # same IEEE operation the scan-based oracle performs:
+        # CAST(Σdl AS DOUBLE) / n_docs — exact longs in, one division
+        n_docs = F.lit(float(n_docs_i))
+        avgdl = F.lit(float(sum_dl_i) / float(n_docs_i)) \
+            if n_docs_i else F.lit(0.0)
+        dl_paths = [p for p in
+                    (os.path.join(self.docstats_path,
+                                  f"{DOC_PART_COL}={v}")
+                     for v in cparts)
+                    if _fs_exists(spark, p)]
+        if not dl_paths:
+            return spark.createDataFrame([], out_schema)
+        dl = (spark.read.option("basePath", self.docstats_path)
+              .parquet(*dl_paths)
+              .select("doc_id", F.col("dl").cast("double").alias("dl")))
+        j = tf.join(dl, "doc_id").crossJoin(F.broadcast(dfs))
 
         def part(i: int):
             tfc = F.col(f"tf{i}")
             dfc = F.col(f"df{i}")
-            idf = F.log((F.col("n_docs") - dfc + 0.5) / (dfc + 0.5)
-                        + 1.0)
-            norm = tfc + 1.2 * (0.25 + 0.75 * F.col("dl")
-                                / F.col("avgdl"))
+            idf = F.log((n_docs - dfc + 0.5) / (dfc + 0.5) + 1.0)
+            norm = tfc + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)
             return idf * (tfc * 2.2) / norm
 
         score = part(1)

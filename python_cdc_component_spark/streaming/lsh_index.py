@@ -71,6 +71,7 @@ from pyspark.sql import functions as F
 from ..fs import fs_delete as _fs_delete
 from ..fs import fs_exists as _fs_exists
 from ..fs import fs_file_count as _fs_file_count
+from ..fs import fs_has_children as _fs_has_children
 from ..fs import fs_list_names as _fs_list_names
 from ..fs import fs_read_text as _fs_read_text
 from ..fs import fs_touch as _fs_touch
@@ -1045,6 +1046,15 @@ class StreamingLshIndex:
             # stayed indexed: silent permanent incomplete erasure.)
             # The victims' sidecar rows are removed by the normal
             # victim-partition rewrite below, after the index rewrite.
+            # Gate on a VISIBLE bucket partition existing: a legacy
+            # store whose every bucket was purged keeps only hidden
+            # markers, and schema inference over a data-less dir would
+            # crash — an emptied index means nothing to erase
+            # (ADVICE r12, the guard IvfVectorIndex's legacy path got
+            # in r12).
+            if not _fs_has_children(spark, self.index_path,
+                                    f"{BUCKET_COL}="):
+                return 0
             full = (spark.read.option("basePath", self.index_path)
                     .parquet(self.index_path))
             victims_rows = (full.join(hint(ids_df), "doc_id",
