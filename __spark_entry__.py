@@ -35,16 +35,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # lifecycle (S2-S8, K1-K5, P3/P4/P7, F8/F10, T1/T3/T6/T8), the UDF
 # surface (§2.10), and one flagship per LLM-pipeline operator family.
 # Everything else still runs under scripts/check_oracle.py + pytest.
-# Round-12 rotation (seventh rotation; the full-course discipline
+# Round-13 rotation (eighth rotation; the full-course discipline
 # closed in r10 — every registered query has held a green driver row).
 # The 25 flagship slots stay pinned.  Rotation contract
 # (tests/test_r7_window.py): queries never rowed before the base round
-# MUST occupy rotation slots (this round: the two r12 additions), and
-# the remaining slots re-verify the STALEST queries — smallest
-# last-rowed round, ties broken by name — so driver evidence keeps
-# refreshing oldest-first (scripts/rotation_candidates.py computes both
-# lists; this window is its verbatim output).
-ROTATION_BASE_ROUND = 12    # rotation = never-rowed before r12 + stalest
+# MUST occupy rotation slots (this round: the r13 addition), and the
+# remaining slots re-verify the STALEST queries — smallest last-rowed
+# round, ties broken by name — so driver evidence keeps refreshing
+# oldest-first (scripts/rotation_candidates.py computes both lists;
+# this window is its verbatim output).
+ROTATION_BASE_ROUND = 13    # rotation = never-rowed before r13 + stalest
 DRIVER_WINDOW = [
     # pinned flagships: CDC core + lifecycle essentials
     "cdc_dedup_latest", "cdc_append", "cdc_chunked_dedup",
@@ -58,27 +58,25 @@ DRIVER_WINDOW = [
     # pinned flagships: LLM pipeline
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
-    # rotated in (first-ever driver rows): the three round-12
-    # additions — the CDC-maintained lexical (BM25) index side state,
-    # positional phrase/proximity search, and index-fed phrase
-    # retrieval over the positional postings layout
-    "lexical_index_bm25_sync", "phrase_proximity_search",
-    "lexical_index_phrase_sync",
-    # rotated in (staleness refresh): the 22 stalest driver rows — the
-    # whole remaining r4 tier (18, incl. the four displaced in r11:
-    # dup_components, embedding_topk, embedding_topk_pandas,
-    # events_windowed_agg) plus the alphabetically-first 4 of the r5
-    # tier (scripts/rotation_candidates.py; never-rowed outranks
-    # staleness, so the third r12 addition displaced dsir_select_docs
-    # — it re-rows in a later refresh)
-    "dup_components", "embedding_topk", "embedding_topk_pandas",
-    "events_windowed_agg", "grouped_agg_pandas_median",
-    "jdbc_metadata_schema", "json_stringify_orders",
-    "minhash_signatures", "multimodal_frames", "ngram_jaccard_pairs",
-    "pii_redact", "segment_dedup_docs", "sessionize_events",
-    "simhash_docs", "snapshot_backfill_region", "text_langid",
-    "text_quality", "unigram_perplexity", "all_datatypes_decode",
-    "bigram_perplexity", "cdc_incremental_mv", "cdc_pg_dedup_latest",
+    # rotated in (first-ever driver row): the round-13 addition —
+    # index-fed NEAR(±w) proximity retrieval from the positional
+    # postings through the CDC sync (VERDICT r12 #2)
+    "lexical_index_near_sync",
+    # rotated in (staleness refresh): the 24 stalest driver rows — the
+    # whole r5 tier (21, incl. dsir_select_docs, displaced twice by
+    # never-rowed additions — it goes first) plus the
+    # alphabetically-first 3 of the r6 tier
+    # (scripts/rotation_candidates.py verbatim)
+    "dsir_select_docs", "dup_canonical_best", "embedding_ann_recall",
+    "embedding_kmeans", "embedding_pq_ann_recall", "exact_substr_spans",
+    "hopping_window_agg", "knn_join_ivf", "ngram_decontaminate",
+    "q11_important_stock", "q18_large_volume_customers",
+    "q21_late_supplier_blame", "q2_min_cost_supplier",
+    "q9_nation_year_profit", "resample_interpolate",
+    "semantic_dedup_pairs", "simhash_near_pairs",
+    "streaming_lsh_dedup_pairs", "variant_shred_events",
+    "vocab_drift_jsd", "zorder_layout_stats", "ann_index_probe",
+    "bpe_merges", "ccnet_ppl_buckets",
 ]
 
 

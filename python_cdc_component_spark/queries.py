@@ -8540,3 +8540,60 @@ def lexical_index_phrase_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         s.conf.set(pkey, prev)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query("lexical_index_near_sync", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id,
+             CAST(len(list_filter(
+                  list_filter(range(1, len(w) + 1),
+                              i -> w[i] = 'query'),
+                  p -> len(list_filter(
+                       list_filter(range(1, len(w) + 1),
+                                   i -> w[i] = 'merge'),
+                       q -> abs(q - p) <= 5)) > 0))
+                  AS BIGINT) AS n_near
+      FROM t)
+SELECT doc_id, n_near FROM s WHERE n_near > 0
+QUALIFY ROW_NUMBER() OVER (ORDER BY n_near DESC, doc_id) <= 20
+""")
+def lexical_index_near_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-fed PROXIMITY retrieval, end-to-end through the CDC sync
+    (VERDICT r12 #2 — the NEAR operator previously existed only in
+    scan form): the documents table arrives as INSERT events,
+    ``bounded_sync(lexical_index_path=..., lexical_positions=True)``
+    maintains the positional postings, and
+    ``StreamingLexicalIndex.proximity_topk`` answers
+    'query' NEAR/±5 'merge' as an exact-integer exists-within-window
+    fold over the stored 1-based position lists, opening ONLY the two
+    terms' postings partitions — never the corpus. For this
+    insert-only workload the counts must equal the scan-based
+    ``phrase_proximity_search`` n_near machinery, which is exactly
+    what the oracle computes from the raw table. Update/tombstone and
+    fail-loud non-positional contracts are pytest-pinned
+    (tests/test_r13_lexical.py)."""
+    import shutil
+    import tempfile
+    from .streaming.bounded import BoundedStreamConfig, bounded_sync
+    from .streaming.lexical_state import StreamingLexicalIndex
+
+    s = _spark(spark)
+    docs = read_table(s, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sparkcdc_lexnr_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    s.conf.set(pkey, "16")
+    try:
+        flat = _stage_docs_as_event_waves(s, docs, work, 2)
+        cfg = BoundedStreamConfig(
+            mode="DEDUPE", primary_keys=["user_id"],
+            max_files_per_trigger=1, max_wait_s=5.0,
+            lexical_index_path=f"{work}/lex", lexical_parts=16,
+            lexical_positions=True)
+        bounded_sync(s, flat, f"{work}/state", f"{work}/ckpt", cfg)
+        lex = StreamingLexicalIndex(f"{work}/lex", num_parts=16)
+        out = lex.proximity_topk(s, "query", "merge", window=5, k=20)
+        return out.localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
+        shutil.rmtree(work, ignore_errors=True)

@@ -170,6 +170,59 @@ def test_bm25_duplicate_terms_dedup(spark, tmp_path):
         lex.bm25_topk(spark, [])
 
 
+def test_proximity_topk_contracts(spark, tmp_path):
+    """Index-fed NEAR(±w): counts match hand counts (qualifying
+    positions of term_a, the scan-based n_near convention), survive
+    update/tombstone through the CDC path, window=0 means exact
+    co-position (never true for distinct tokens of one doc), the
+    same-term probe counts every position, and a non-positional store
+    fails loudly."""
+    import pytest
+
+    cfg = BoundedStreamConfig(
+        mode="DEDUPE", primary_keys=["user_id"],
+        lexical_index_path=str(tmp_path / "lex"), lexical_parts=4,
+        lexical_positions=True)
+    lex = StreamingLexicalIndex(cfg.lexical_index_path, num_parts=4,
+                                positions=True)
+    _maintain_lexical_index(
+        spark, lex, _batch(spark, [
+            (1, "a x x b a"),        # a@1,5; b@4 → w2: a@5 only → 1
+            (2, "a b a b"),          # a@1,3 both near b → 2
+            (3, "a x x x x x b"),    # a@1, b@7 → |6| > 2 → 0
+            (4, "b b b")], 0), 0, cfg)   # no 'a' → absent
+    got = [(r["doc_id"], r["n_near"]) for r in
+           lex.proximity_topk(spark, "a", "b", window=2,
+                              k=10).collect()]
+    assert got == [(2, 2), (1, 1)], got
+    # wider window reaches doc 3
+    got6 = [(r["doc_id"], r["n_near"]) for r in
+            lex.proximity_topk(spark, "a", "b", window=6,
+                               k=10).collect()]
+    assert got6 == [(1, 2), (2, 2), (3, 1)], got6
+    # same-term probe: |p-p| = 0 qualifies every position
+    same = dict((r["doc_id"], r["n_near"]) for r in
+                lex.proximity_topk(spark, "b", "b", window=0,
+                                   k=10).collect())
+    assert same == {1: 1, 2: 2, 3: 1, 4: 3}, same
+    # update doc 2 (loses 'b'), tombstone doc 1
+    _maintain_lexical_index(
+        spark, lex, _batch(spark, [(2, "a a a"), (1, None)], 1),
+        1, cfg)
+    got = [(r["doc_id"], r["n_near"]) for r in
+           lex.proximity_topk(spark, "a", "b", window=6,
+                              k=10).collect()]
+    assert got == [(3, 1)], got
+    # non-positional store: fail loudly, not empty
+    plain = StreamingLexicalIndex(str(tmp_path / "plain"), num_parts=4)
+    plain.add_batch(spark, spark.createDataFrame(
+        [(1, "a b")], "doc_id long, text string"))
+    with pytest.raises(ValueError, match="positions"):
+        plain.proximity_topk(spark, "a", "b")
+    with pytest.raises(ValueError, match="window"):
+        lex.proximity_topk(spark, "a", "b", window=-1)
+
+
 def test_insert_only_epoch_skips_partition_rewrites(spark, tmp_path):
     """An epoch of purely NEW doc ids must not rewrite existing
     docstats/_docterms partition files (the purge's sidecar semi-join
