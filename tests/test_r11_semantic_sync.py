@@ -152,3 +152,27 @@ def test_insert_only_parity_with_direct_process_batch(spark, tmp_path):
     direct.process_batch(spark, vecs(rows[:6]), batch_id=0)
     direct.process_batch(spark, vecs(rows[6:]), batch_id=1)
     assert _groups(spark, st) == _groups(spark, direct)
+
+
+def test_empty_batch_marks_and_replay_skips(spark, tmp_path):
+    """An empty epoch marks its ingest tier and returns (the
+    ann/lexical convention, VERDICT r12 cosmetic): the replay skips at
+    the marker probe, the tier mode is pinned, and later real epochs
+    proceed normally."""
+    cfg = _cfg(tmp_path)
+    st = _st(cfg)
+    empty = _batch(spark, [], 0).limit(0)
+    _maintain_semantic_groups(spark, st, empty, 0, cfg)
+    marker = os.path.join(st.groups._manifest_path, "1")
+    assert os.path.exists(marker)
+    mode_path = st.groups._tier_mode_path
+    with open(mode_path) as fh:
+        assert fh.read() == "cdc3"
+    mt = os.path.getmtime(marker)
+    # marked replay: skips before any job (marker untouched)
+    _maintain_semantic_groups(spark, st, empty, 0, cfg)
+    assert os.path.getmtime(marker) == mt
+    # a later real epoch proceeds on the pinned scheme
+    _maintain_semantic_groups(spark, st, _batch(spark, SEEDS, 1), 1,
+                              cfg)
+    assert len(_groups(spark, st)) == 4
