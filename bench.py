@@ -292,6 +292,67 @@ def bench_lexical_index_sync(spark, sf_dir: str,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_fused_lexical_sync(spark, sf_dir: str, n_tables: int = 6,
+                             docs_per_table: int = 200,
+                             n_waves: int = 2) -> dict:
+    """Lexical side state on the FUSED fleet path (round 13, VERDICT
+    r12 #3): a small fleet where one table wants a maintained index —
+    previously that single config forced the whole fleet onto the
+    per-table loop (the many_tables bench prices the fused drain 33×
+    cheaper). The row compares the per-table ``bounded_sync`` loop
+    against ONE ``bounded_sync_multi_fused`` call maintaining the same
+    index inside the fused drain (byte-identical content,
+    parity-pinned in tests/test_r13_side_epoch.py)."""
+    import shutil
+    import tempfile
+
+    from python_cdc_component_spark.streaming.bounded import (
+        BoundedStreamConfig, bounded_sync, bounded_sync_multi_fused)
+
+    root = tempfile.mkdtemp(prefix="bench_fusedlex_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        from python_cdc_component_spark.queries import (
+            _stage_docs_as_event_waves)
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text").limit(docs_per_table))
+        flats = {}
+        for side in ("loop", "fused"):
+            for i in range(n_tables):
+                flats[(side, i)] = _stage_docs_as_event_waves(
+                    spark, docs, f"{root}/{side}_t{i}", n_waves)
+
+        def cfg(side, i):
+            lex = (f"{root}/lex_{side}_t{i}" if i == 0 else None)
+            return BoundedStreamConfig(
+                mode="DEDUPE", primary_keys=["user_id"],
+                max_files_per_trigger=1, max_wait_s=5.0,
+                lexical_index_path=lex, lexical_parts=16)
+
+        t0 = time.time()
+        for i in range(n_tables):
+            bounded_sync(spark, flats[("loop", i)],
+                         f"{root}/loop_state_{i}",
+                         f"{root}/loop_ckpt_{i}", cfg("loop", i))
+        loop_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        bounded_sync_multi_fused(
+            spark, {f"t{i}": flats[("fused", i)]
+                    for i in range(n_tables)},
+            f"{root}/fused_out", f"{root}/fused_ckpt",
+            {f"t{i}": cfg("fused", i) for i in range(n_tables)})
+        fused_sec = round(time.time() - t0, 3)
+        return {"n_tables": n_tables, "docs_per_table": docs_per_table,
+                "per_table_loop_sec": loop_sec,
+                "fused_sec": fused_sec,
+                "speedup": (round(loop_sec / fused_sec, 2)
+                            if fused_sec > 0 else None)}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_ann_index_sync(spark, sf_dir: str, n_vecs: int = 1_000,
                          n_waves: int = 4) -> dict:
     """CDC sync with the ANN-index side state (round-10 continuation):
@@ -660,6 +721,8 @@ def main() -> None:
             "dedup_groups_sync": bench_dedup_groups_sync(spark, sf_dir),
             "ann_index_sync": bench_ann_index_sync(spark, sf_dir),
             "lexical_index_sync": bench_lexical_index_sync(spark,
+                                                           sf_dir),
+            "fused_lexical_sync": bench_fused_lexical_sync(spark,
                                                            sf_dir),
             "q1_decimal_probe": bench_q1_decimal_probe(spark, sf_dir),
             "boilerplate_guard": bench_boilerplate_guard(spark, sf_dir),

@@ -173,25 +173,24 @@ def test_compaction_folds_accretion(spark, tmp_path):
             assert len(files) <= 2, (name, len(files))
 
 
-def test_fused_fleet_rejects_per_table_side_state(spark, tmp_path):
-    """The fused fleet path maintains no per-table side state — a
-    config carrying lexical_index_path or semantic_groups_path must
-    fail LOUDLY (silently ignoring it would skip index maintenance
-    for every epoch of that table)."""
+def test_fused_fleet_rejects_unsupported_side_state(spark, tmp_path):
+    """The fused fleet path composes the LEXICAL side state (r13) but
+    still rejects the other per-table kinds LOUDLY (silently ignoring
+    one would skip maintenance for every epoch of that table), and a
+    lexical config on an APPEND-mode fleet rejects too."""
     import pytest
 
     from python_cdc_component_spark.streaming.bounded import (
         bounded_sync_multi_fused)
 
-    docs = spark.createDataFrame([(1, "a b c")],
-                                 "doc_id long, text string")
     # any events dir works — the guard fires before any read
     events = str(tmp_path / "ev")
     spark.createDataFrame(
         [(1, 1000, 1, "signup", 0.0, "x")],
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string").write.parquet(events)
-    for field in ("lexical_index_path", "semantic_groups_path"):
+    for field in ("semantic_groups_path", "dedup_groups_path",
+                  "ann_index_path"):
         cfg = BoundedStreamConfig(mode="DEDUPE",
                                   primary_keys=["user_id"],
                                   **{field: str(tmp_path / "side")})
@@ -199,6 +198,13 @@ def test_fused_fleet_rejects_per_table_side_state(spark, tmp_path):
             bounded_sync_multi_fused(
                 spark, {"t1": events}, str(tmp_path / "out"),
                 str(tmp_path / "ck"), {"t1": cfg})
+    cfg = BoundedStreamConfig(
+        mode="APPEND", primary_keys=["user_id"],
+        lexical_index_path=str(tmp_path / "side"))
+    with pytest.raises(ValueError, match="DEDUPE"):
+        bounded_sync_multi_fused(
+            spark, {"t1": events}, str(tmp_path / "out"),
+            str(tmp_path / "ck"), {"t1": cfg})
 
 
 def test_phrase_topk_positional_contracts(spark, tmp_path):

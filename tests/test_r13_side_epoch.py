@@ -53,3 +53,65 @@ def test_dedup_groups_empty_epoch_marks_and_replay_skips(spark,
     got = {r["keep_doc_id"] for r in
            groups.read_groups(spark).select("keep_doc_id").collect()}
     assert got == {1, 2}
+
+
+def test_fused_lexical_parity_with_per_table(spark, tmp_path):
+    """Lexical side state on the fused fleet path (VERDICT r12 #3):
+    a fused table's index content is byte-identical to its per-table
+    `bounded_sync(lexical_index_path=...)` twin — same postings, same
+    docstats, same maintained corpus stats, same served BM25 — while a
+    same-group table WITHOUT the config stays unindexed."""
+    from python_cdc_component_spark.queries import (
+        _stage_docs_as_event_waves)
+    from python_cdc_component_spark.streaming.bounded import (
+        bounded_sync, bounded_sync_multi_fused)
+    from python_cdc_component_spark.streaming.lexical_state import (
+        StreamingLexicalIndex)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i} w{i % 3} beta") for i in range(10)],
+        "doc_id long, text string")
+    flat_a = _stage_docs_as_event_waves(spark, docs,
+                                        str(tmp_path / "a"), 2)
+    flat_b = _stage_docs_as_event_waves(spark, docs,
+                                        str(tmp_path / "b"), 2)
+    flat_c = _stage_docs_as_event_waves(spark, docs,
+                                        str(tmp_path / "c"), 2)
+    base = dict(mode="DEDUPE", primary_keys=["user_id"],
+                max_files_per_trigger=1, max_wait_s=5.0,
+                lexical_parts=4)
+    cfg_ref = BoundedStreamConfig(
+        **base, lexical_index_path=str(tmp_path / "lex_ref"))
+    bounded_sync(spark, flat_a, str(tmp_path / "st_ref"),
+                 str(tmp_path / "ck_ref"), cfg_ref)
+    cfg_t1 = BoundedStreamConfig(
+        **base, lexical_index_path=str(tmp_path / "lex_fused"))
+    cfg_t2 = BoundedStreamConfig(**base)
+    res = bounded_sync_multi_fused(
+        spark, {"t1": flat_b, "t2": flat_c}, str(tmp_path / "out"),
+        str(tmp_path / "ckf"), {"t1": cfg_t1, "t2": cfg_t2})
+    assert res["n_queries"] == 1    # one schema/mode/key group
+    ref = StreamingLexicalIndex(str(tmp_path / "lex_ref"), num_parts=4)
+    fus = StreamingLexicalIndex(str(tmp_path / "lex_fused"),
+                                num_parts=4)
+
+    def postings(lex):
+        return {(r["term"], r["doc_id"], r["tf"]) for r in
+                spark.read.parquet(lex.postings_path)
+                .select("term", "doc_id", "tf").collect()}
+
+    def dstats(lex):
+        return {(r["doc_id"], r["dl"]) for r in
+                spark.read.parquet(lex.docstats_path)
+                .select("doc_id", "dl").collect()}
+
+    assert postings(ref) == postings(fus)
+    assert dstats(ref) == dstats(fus)
+    assert ref.corpus_stats(spark) == fus.corpus_stats(spark)
+    assert ([(r["doc_id"], r["bm25"]) for r in
+             ref.bm25_topk(spark, ["alpha", "beta"], k=5).collect()]
+            == [(r["doc_id"], r["bm25"]) for r in
+                fus.bm25_topk(spark, ["alpha", "beta"],
+                              k=5).collect()])
+    # the unconfigured same-group table has no index anywhere
+    assert not os.path.exists(str(tmp_path / "lex_t2"))
