@@ -945,14 +945,15 @@ def bounded_sync_multi_fused(spark: SparkSession,
     contact drains-and-commits without emitting rows.
 
     Per-table side state (VERDICT r12 #3): a table may configure
-    ``lexical_index_path`` — its slice of the fused drain runs through
-    the same ``_maintain_lexical_index`` per-epoch driver as a
-    per-table :func:`bounded_sync`, producing byte-identical index
-    content (parity-tested), so a 150-table fleet keeps the fused
-    drain's one-query economics while its search-serving tables stay
-    indexed. The other side-state kinds (maintained views, text dedup
-    groups, ANN index, semantic groups) still reject loudly — run
-    those tables through :func:`bounded_sync`.
+    ``lexical_index_path`` and/or ``ann_index_path`` — its slice of
+    the fused drain runs through the same ``_maintain_lexical_index``
+    / ``_maintain_ann_index`` per-epoch drivers as a per-table
+    :func:`bounded_sync` (the unified epoch skeleton), producing
+    byte-identical index content (parity-tested), so a 150-table
+    fleet keeps the fused drain's one-query economics while its
+    search-serving tables stay indexed. The remaining kinds
+    (maintained views, text dedup groups, semantic groups) still
+    reject loudly — run those tables through :func:`bounded_sync`.
     """
     import hashlib
     import json
@@ -969,11 +970,11 @@ def bounded_sync_multi_fused(spark: SparkSession,
                 f"table {t!r}: dedup-groups side state is per-table "
                 "and not supported on the fused fleet path — run that "
                 "table through bounded_sync")
-        if c.ann_index_path:
+        if c.ann_index_path and c.mode.upper() != "DEDUPE":
             raise ValueError(
-                f"table {t!r}: the ANN-index side state is per-table "
-                "and not supported on the fused fleet path — run that "
-                "table through bounded_sync")
+                f"table {t!r}: ann_index_path requires DEDUPE mode — "
+                "the index mirrors the table's CURRENT state, which "
+                "APPEND mode does not maintain")
         if c.lexical_index_path and c.mode.upper() != "DEDUPE":
             raise ValueError(
                 f"table {t!r}: lexical_index_path requires DEDUPE "
@@ -1033,29 +1034,41 @@ def bounded_sync_multi_fused(spark: SparkSession,
                                      if c not in system]
             compactor = MergeCompactor(gpath, keys,
                                        cfg0.num_state_buckets)
-            # per-table lexical side state (VERDICT r12 #3): tables
-            # that configure lexical_index_path get their slice of the
-            # fused drain run through the SAME _maintain_lexical_index
-            # the per-table path uses (the unified epoch driver —
-            # never a fused-path copy). The handle is per-table; the
-            # group epoch id rides as the exactly-once marker, and
-            # index CONTENT is batch-partitioning-independent
-            # (purge-then-add of within-batch latest versions), so a
-            # fused table's index equals its per-table twin's.
-            lex_tables = []
+            # per-table side states (VERDICT r12 #3): tables that
+            # configure lexical_index_path / ann_index_path get their
+            # slice of the fused drain run through the SAME
+            # _maintain_* per-epoch drivers the per-table path uses
+            # (the unified epoch skeleton — never a fused-path copy).
+            # Handles are per-table; the group epoch id rides as the
+            # exactly-once marker, and index CONTENT is
+            # batch-partitioning-independent (purge-then-add of
+            # within-batch latest versions; the ANN seed codebook
+            # keys off wave-one ids, identical under the same waves),
+            # so a fused table's index equals its per-table twin's.
+            side_tables = []
             for t in tables:
                 if cfgs[t].lexical_index_path:
                     from .lexical_state import StreamingLexicalIndex
-                    lex_tables.append((t, StreamingLexicalIndex(
-                        cfgs[t].lexical_index_path,
-                        num_parts=cfgs[t].lexical_parts,
-                        compact_file_threshold=(
-                            cfgs[t].lexical_compact_threshold),
-                        positions=cfgs[t].lexical_positions), cfgs[t]))
+                    side_tables.append((
+                        t, _maintain_lexical_index,
+                        StreamingLexicalIndex(
+                            cfgs[t].lexical_index_path,
+                            num_parts=cfgs[t].lexical_parts,
+                            compact_file_threshold=(
+                                cfgs[t].lexical_compact_threshold),
+                            positions=cfgs[t].lexical_positions),
+                        cfgs[t]))
+                if cfgs[t].ann_index_path:
+                    from ..operators.llm.annindex import IvfVectorIndex
+                    side_tables.append((
+                        t, _maintain_ann_index,
+                        IvfVectorIndex(cfgs[t].ann_index_path,
+                                       n_cells=cfgs[t].ann_index_cells),
+                        cfgs[t]))
 
             def sink(batch_df: DataFrame, batch_id: int,
                      _c=compactor, _live=cfg0.live,
-                     _phase=phase, _lex_tables=lex_tables) -> None:
+                     _phase=phase, _side_tables=side_tables) -> None:
                 if _live:
                     # T3 gate, per group: idle stop must not fire while
                     # this group's latest batch still carried snapshot
@@ -1064,12 +1077,11 @@ def bounded_sync_multi_fused(spark: SparkSession,
                         batch_df.filter(
                             F.col("_snapshot_phase")).isEmpty())
                 _c.merge(spark, batch_df.drop("_snapshot_phase"))
-                for _t, _lex, _tcfg in _lex_tables:
-                    _maintain_lexical_index(
-                        spark, _lex,
-                        batch_df.filter(F.col("_table") == _t)
-                                .drop("_table"),
-                        int(batch_id), _tcfg)
+                for _t, _maintain, _state, _tcfg in _side_tables:
+                    _maintain(spark, _state,
+                              batch_df.filter(F.col("_table") == _t)
+                                      .drop("_table"),
+                              int(batch_id), _tcfg)
 
             writer = stream.writeStream.foreachBatch(sink)
         else:

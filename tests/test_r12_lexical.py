@@ -174,10 +174,11 @@ def test_compaction_folds_accretion(spark, tmp_path):
 
 
 def test_fused_fleet_rejects_unsupported_side_state(spark, tmp_path):
-    """The fused fleet path composes the LEXICAL side state (r13) but
-    still rejects the other per-table kinds LOUDLY (silently ignoring
-    one would skip maintenance for every epoch of that table), and a
-    lexical config on an APPEND-mode fleet rejects too."""
+    """The fused fleet path composes the LEXICAL and ANN side states
+    (r13) but still rejects the other per-table kinds LOUDLY
+    (silently ignoring one would skip maintenance for every epoch of
+    that table), and an index config on an APPEND-mode fleet rejects
+    too."""
     import pytest
 
     from python_cdc_component_spark.streaming.bounded import (
@@ -189,8 +190,7 @@ def test_fused_fleet_rejects_unsupported_side_state(spark, tmp_path):
         [(1, 1000, 1, "signup", 0.0, "x")],
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string").write.parquet(events)
-    for field in ("semantic_groups_path", "dedup_groups_path",
-                  "ann_index_path"):
+    for field in ("semantic_groups_path", "dedup_groups_path"):
         cfg = BoundedStreamConfig(mode="DEDUPE",
                                   primary_keys=["user_id"],
                                   **{field: str(tmp_path / "side")})
@@ -198,13 +198,14 @@ def test_fused_fleet_rejects_unsupported_side_state(spark, tmp_path):
             bounded_sync_multi_fused(
                 spark, {"t1": events}, str(tmp_path / "out"),
                 str(tmp_path / "ck"), {"t1": cfg})
-    cfg = BoundedStreamConfig(
-        mode="APPEND", primary_keys=["user_id"],
-        lexical_index_path=str(tmp_path / "side"))
-    with pytest.raises(ValueError, match="DEDUPE"):
-        bounded_sync_multi_fused(
-            spark, {"t1": events}, str(tmp_path / "out"),
-            str(tmp_path / "ck"), {"t1": cfg})
+    for field in ("lexical_index_path", "ann_index_path"):
+        cfg = BoundedStreamConfig(
+            mode="APPEND", primary_keys=["user_id"],
+            **{field: str(tmp_path / "side")})
+        with pytest.raises(ValueError, match="DEDUPE"):
+            bounded_sync_multi_fused(
+                spark, {"t1": events}, str(tmp_path / "out"),
+                str(tmp_path / "ck"), {"t1": cfg})
 
 
 def test_phrase_topk_positional_contracts(spark, tmp_path):

@@ -115,3 +115,53 @@ def test_fused_lexical_parity_with_per_table(spark, tmp_path):
                               k=5).collect()])
     # the unconfigured same-group table has no index anywhere
     assert not os.path.exists(str(tmp_path / "lex_t2"))
+
+
+def test_fused_ann_parity_with_per_table(spark, tmp_path):
+    """ANN side state on the fused fleet path: a fused table's index
+    serves identical probe results to its per-table
+    `bounded_sync(ann_index_path=...)` twin (same waves → same seed
+    codebook → same cells → same top-k)."""
+    import json as _json
+
+    from python_cdc_component_spark.operators.llm.annindex import (
+        IvfVectorIndex)
+    from python_cdc_component_spark.queries import (
+        _stage_docs_as_event_waves)
+    from python_cdc_component_spark.streaming.bounded import (
+        bounded_sync, bounded_sync_multi_fused)
+    from pyspark.sql import functions as F
+
+    def axis(i, dim=8):
+        e = [0.0] * dim
+        e[i % dim] = 1.0 + 0.01 * i
+        return e
+
+    vecs = spark.createDataFrame(
+        [(i, _json.dumps(axis(i))) for i in range(12)],
+        "doc_id long, text string")
+    flat_a = _stage_docs_as_event_waves(spark, vecs,
+                                        str(tmp_path / "a"), 2)
+    flat_b = _stage_docs_as_event_waves(spark, vecs,
+                                        str(tmp_path / "b"), 2)
+    base = dict(mode="DEDUPE", primary_keys=["user_id"],
+                max_files_per_trigger=1, max_wait_s=5.0,
+                ann_index_cells=4)
+    cfg_ref = BoundedStreamConfig(
+        **base, ann_index_path=str(tmp_path / "ann_ref"))
+    bounded_sync(spark, flat_a, str(tmp_path / "st_ref"),
+                 str(tmp_path / "ck_ref"), cfg_ref)
+    cfg_t1 = BoundedStreamConfig(
+        **base, ann_index_path=str(tmp_path / "ann_fused"))
+    bounded_sync_multi_fused(
+        spark, {"t1": flat_b}, str(tmp_path / "out"),
+        str(tmp_path / "ckf"), {"t1": cfg_t1})
+    probes = spark.createDataFrame(
+        [(5, axis(5)), (7, axis(7))], "qid long, qe array<double>")
+    got = []
+    for path in ("ann_ref", "ann_fused"):
+        idx = IvfVectorIndex(str(tmp_path / path), n_cells=4)
+        got.append(sorted(
+            (r["qid"], r["cid"], r["sim"]) for r in
+            idx.probe(spark, probes, k=5, nprobe=2).collect()))
+    assert got[0] == got[1] and len(got[0]) > 0
