@@ -58,15 +58,18 @@ DRIVER_WINDOW = [
     # pinned flagships: LLM pipeline
     "exact_dedup_docs", "minhash_lsh_pairs", "embedding_dup_pairs",
     "embedding_ivf_ann", "multimodal_meta", "q1_pricing_summary",
-    # rotated in (first-ever driver row): the round-13 addition —
-    # index-fed NEAR(±w) proximity retrieval from the positional
-    # postings through the CDC sync (VERDICT r12 #2)
-    "lexical_index_near_sync",
-    # rotated in (staleness refresh): the 24 stalest driver rows — the
+    # rotated in (first-ever driver rows): the two round-13 additions
+    # — index-fed NEAR(±w) proximity retrieval from the positional
+    # postings (VERDICT r12 #2), and the hybrid RRF probe served
+    # entirely from the two CDC-maintained indexes via one fused
+    # drain (fused-fleet side states, VERDICT r12 #3)
+    "lexical_index_near_sync", "hybrid_index_rrf_sync",
+    # rotated in (staleness refresh): the 23 stalest driver rows — the
     # whole r5 tier (21, incl. dsir_select_docs, displaced twice by
     # never-rowed additions — it goes first) plus the
-    # alphabetically-first 3 of the r6 tier
-    # (scripts/rotation_candidates.py verbatim)
+    # alphabetically-first 2 of the r6 tier
+    # (scripts/rotation_candidates.py verbatim; the second r13
+    # addition displaced ccnet_ppl_buckets)
     "dsir_select_docs", "dup_canonical_best", "embedding_ann_recall",
     "embedding_kmeans", "embedding_pq_ann_recall", "exact_substr_spans",
     "hopping_window_agg", "knn_join_ivf", "ngram_decontaminate",
@@ -76,7 +79,7 @@ DRIVER_WINDOW = [
     "semantic_dedup_pairs", "simhash_near_pairs",
     "streaming_lsh_dedup_pairs", "variant_shred_events",
     "vocab_drift_jsd", "zorder_layout_stats", "ann_index_probe",
-    "bpe_merges", "ccnet_ppl_buckets",
+    "bpe_merges",
 ]
 
 

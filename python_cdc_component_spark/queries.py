@@ -8597,3 +8597,154 @@ def lexical_index_near_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         s.conf.set(pkey, prev)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query("hybrid_index_rrf_sync", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+st AS (SELECT doc_id, len(w) AS dl,
+              len(list_filter(w, x -> x = 'table')) AS tf1,
+              len(list_filter(w, x -> x = 'query')) AS tf2,
+              len(list_filter(w, x -> x = 'scan'))  AS tf3,
+              len(list_filter(w, x -> x = 'merge')) AS tf4
+       FROM t),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+             CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3,
+             CAST(SUM(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df4
+      FROM st),
+sc AS (SELECT doc_id,
+             round(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df3 + 0.5) / (df3 + 0.5) + 1.0)
+               * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df4 + 0.5) / (df4 + 0.5) + 1.0)
+               * (tf4 * 2.2) / (tf4 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               6) AS bm25
+      FROM st, g
+      WHERE tf1 + tf2 + tf3 + tf4 > 0),
+lexr AS (SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+         FROM sc
+         QUALIFY ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) <= 20),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, e AS ce FROM v
+         WHERE vec_id % 2 = 0
+         QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 4),
+d AS (SELECT vec_id, e, cent_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> (e[i] - ce[i]) * (e[i] - ce[i]))) AS dist
+      FROM v, cent),
+assign AS (SELECT vec_id, e, cent_id FROM d
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist, cent_id) = 1),
+n AS (SELECT vec_id, e, cent_id,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM assign),
+qcells AS (SELECT cent_id FROM d WHERE vec_id = 5
+           QUALIFY ROW_NUMBER() OVER (ORDER BY dist, cent_id) <= 2),
+q AS (SELECT e AS qe, sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+      FROM v WHERE vec_id = 5),
+sv AS (SELECT n.vec_id AS cid,
+              round(list_sum(list_transform(range(1, 65),
+                             i -> q.qe[i] * n.e[i])) / (q.qn * n.nrm), 6)
+                AS sim
+       FROM n JOIN qcells qc ON n.cent_id = qc.cent_id CROSS JOIN q
+       WHERE n.vec_id <> 5),
+vecr AS (SELECT cid, ROW_NUMBER() OVER (ORDER BY sim DESC, cid) AS rv
+         FROM sv
+         QUALIFY ROW_NUMBER() OVER (ORDER BY sim DESC, cid) <= 20),
+fuse AS (SELECT COALESCE(l.doc_id, v2.cid) AS doc_id,
+                round(COALESCE(1.0 / (60 + l.rl), 0)
+                      + COALESCE(1.0 / (60 + v2.rv), 0), 9) AS rrf
+         FROM lexr l FULL OUTER JOIN vecr v2 ON l.doc_id = v2.cid)
+SELECT doc_id, rrf FROM fuse
+QUALIFY ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) <= 10
+""")
+def hybrid_index_rrf_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid-retrieval triangle served END-TO-END from
+    CDC-maintained side state (round 13): ONE
+    ``bounded_sync_multi_fused`` drain carries two tables — documents
+    maintaining the lexical postings, embeddings maintaining the IVF
+    vector index (the r13 fused-fleet side states) — and the probe
+    answers an RRF (k=60) hybrid query entirely from the two indexes:
+    the lexical leg is index-fed BM25 top-20 (opens only the query
+    terms' postings partitions + the maintained corpus stats), the
+    vector leg is an IVF probe top-20 (opens only nprobe=2 cell
+    directories), and the fusion consumes integer RANKS only — a
+    fixed-order sum of two exact-integer-derived divisions, bit-exact
+    in any engine (the ``rrf_hybrid_search`` discipline). Docs missing
+    from one leg contribute only the present rank term (union RRF).
+    The oracle replays both legs from the raw tables: the scan-based
+    BM25 formulation and the full IVF replay (seed codebook = the 4
+    smallest even ids — wave one of the 2-wave staging). At 100 TB the
+    probe touches k-sized partition reads on both legs; the corpus is
+    never scanned."""
+    import shutil
+    import tempfile
+    from .operators.llm.annindex import IvfVectorIndex
+    from .streaming.bounded import (BoundedStreamConfig,
+                                    bounded_sync_multi_fused)
+    from .streaming.lexical_state import StreamingLexicalIndex
+
+    s = _spark(spark)
+    docs = read_table(s, sf_dir, "documents").select("doc_id", "text")
+    emb = read_table(s, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    work = tempfile.mkdtemp(prefix="sparkcdc_hybsync_")
+    pkey = "spark.sql.shuffle.partitions"
+    prev = s.conf.get(pkey)
+    s.conf.set(pkey, "16")
+    try:
+        flat_docs = _stage_docs_as_event_waves(s, docs, f"{work}/d", 2)
+        vec_docs = emb.select(F.col("vec_id").alias("doc_id"),
+                              F.to_json(F.col("e")).alias("text"))
+        flat_vecs = _stage_docs_as_event_waves(s, vec_docs,
+                                               f"{work}/v", 2)
+        drain = dict(mode="DEDUPE", primary_keys=["user_id"],
+                     max_files_per_trigger=1, max_wait_s=5.0)
+        cfgs = {
+            "docs": BoundedStreamConfig(
+                **drain, lexical_index_path=f"{work}/lex",
+                lexical_parts=16),
+            "vecs": BoundedStreamConfig(
+                **drain, ann_index_path=f"{work}/ann",
+                ann_index_cells=4),
+        }
+        bounded_sync_multi_fused(
+            s, {"docs": flat_docs, "vecs": flat_vecs},
+            f"{work}/out", f"{work}/ckpt", cfgs)
+        lex = StreamingLexicalIndex(f"{work}/lex", num_parts=16)
+        idx = IvfVectorIndex(f"{work}/ann", n_cells=4)
+        lexr = lex.bm25_topk(s, ["table", "query", "scan", "merge"],
+                             k=20)
+        wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        lexr = lexr.select("doc_id",
+                           F.row_number().over(wl).alias("rl"))
+        probes = (emb.filter(F.col("vec_id") == 5)
+                  .select(F.col("vec_id").alias("qid"),
+                          F.col("e").alias("qe")))
+        vecr = idx.probe(s, probes, k=20, nprobe=2)
+        wv = Window.orderBy(F.col("sim").desc(), F.col("cid"))
+        vecr = vecr.select(F.col("cid").alias("v_id"),
+                           F.row_number().over(wv).alias("rv"))
+        fuse = lexr.join(vecr, lexr["doc_id"] == vecr["v_id"],
+                         "full_outer")
+        rrf = F.round(
+            F.coalesce(F.lit(1.0) / (60 + F.col("rl")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (60 + F.col("rv")), F.lit(0.0)),
+            9)
+        out = fuse.select(
+            F.coalesce(F.col("doc_id"), F.col("v_id")).alias("doc_id"),
+            rrf.alias("rrf"))
+        w_top = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        out = (out.withColumn("rn", F.row_number().over(w_top))
+               .filter(F.col("rn") <= 10).drop("rn"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        s.conf.set(pkey, prev)
+        shutil.rmtree(work, ignore_errors=True)
