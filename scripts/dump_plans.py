@@ -106,7 +106,12 @@ AUDIT_EXTRA = ["embedding_dup_pairs", "stratified_sample_docs",
                # zero-shuffle map-only + TakeOrderedAndProject exhibit)
                # and the CDC-fed lexical-index probe
                "phrase_proximity_search", "lexical_index_bm25_sync",
-               "lexical_index_phrase_sync"]
+               "lexical_index_phrase_sync",
+               # round-13: index-fed proximity + the fused-drain
+               # hybrid RRF probe (both serve from maintained side
+               # state; plans print as ExistingRDD past the
+               # localCheckpoint boundary — audited at source)
+               "lexical_index_near_sync", "hybrid_index_rrf_sync"]
 
 
 def main() -> None:

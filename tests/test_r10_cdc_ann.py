@@ -173,14 +173,18 @@ def test_cdc_replay_and_half_append_converge(spark, tmp_path):
     assert os.path.exists(f"{work}/ann/_epochs/1")
 
 
-def test_ann_index_requires_dedupe_and_no_fused_fleet(spark, tmp_path):
+def test_ann_index_requires_dedupe(spark, tmp_path):
+    """APPEND mode rejects the ANN side state on BOTH paths (per-table
+    and fused — since r13 the fused fleet composes a DEDUPE-mode ANN
+    config instead of rejecting it; parity is pinned in
+    tests/test_r13_side_epoch.py)."""
     work = str(tmp_path)
     with pytest.raises(ValueError, match="requires DEDUPE"):
         bounded_sync(spark, f"{work}/src", f"{work}/state",
                      f"{work}/ckpt",
                      _cfg(work, mode="APPEND"))
     _write_events(spark, [(1, 1, "signup", _vec(1))], f"{work}/w1")
-    with pytest.raises(ValueError, match="fused fleet"):
+    with pytest.raises(ValueError, match="requires DEDUPE"):
         bounded_sync_multi_fused(
             spark, {"t": f"{work}/w1"}, f"{work}/out",
-            f"{work}/ckpt2", {"t": _cfg(work)})
+            f"{work}/ckpt2", {"t": _cfg(work, mode="APPEND")})
