@@ -1105,7 +1105,17 @@ def bounded_sync_multi_fused(spark: SparkSession,
         manifest[gi] = {"tables": tables, "mode": mode,
                         "primary_keys": list(pks), "path": gpath,
                         "live": cfg0.live,
-                        "snapshot_mode_effective": effective}
+                        "snapshot_mode_effective": effective,
+                        # operator visibility: which tables carry
+                        # maintained side state, and where (r13)
+                        "side_states": {
+                            t: {k: p for k, p in
+                                (("lexical", cfgs[t].lexical_index_path),
+                                 ("ann", cfgs[t].ann_index_path))
+                                if p}
+                            for t in tables
+                            if (cfgs[t].lexical_index_path
+                                or cfgs[t].ann_index_path)}}
 
     # one shared poll loop driving every group concurrently:
     # AvailableNow groups terminate on their own; live groups stop on

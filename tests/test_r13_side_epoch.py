@@ -165,3 +165,35 @@ def test_fused_ann_parity_with_per_table(spark, tmp_path):
             (r["qid"], r["cid"], r["sim"]) for r in
             idx.probe(spark, probes, k=5, nprobe=2).collect()))
     assert got[0] == got[1] and len(got[0]) > 0
+
+
+def test_fleet_manifest_records_side_states(spark, tmp_path):
+    """fleet.json names each table's maintained side states so
+    operators (and erasure tooling) can find the indexes without
+    reading per-table configs."""
+    import json as _json
+
+    from python_cdc_component_spark.queries import (
+        _stage_docs_as_event_waves)
+    from python_cdc_component_spark.streaming.bounded import (
+        bounded_sync_multi_fused)
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "c d")],
+                                 "doc_id long, text string")
+    f1 = _stage_docs_as_event_waves(spark, docs, str(tmp_path / "1"), 1)
+    f2 = _stage_docs_as_event_waves(spark, docs, str(tmp_path / "2"), 1)
+    base = dict(mode="DEDUPE", primary_keys=["user_id"],
+                max_wait_s=5.0)
+    cfgs = {
+        "t1": BoundedStreamConfig(
+            **base, lexical_index_path=str(tmp_path / "lex")),
+        "t2": BoundedStreamConfig(**base),
+    }
+    bounded_sync_multi_fused(
+        spark, {"t1": f1, "t2": f2}, str(tmp_path / "out"),
+        str(tmp_path / "ck"), cfgs)
+    with open(str(tmp_path / "out" / "fleet.json")) as fh:
+        manifest = _json.load(fh)
+    (group,) = manifest.values()
+    assert group["side_states"] == {
+        "t1": {"lexical": str(tmp_path / "lex")}}
