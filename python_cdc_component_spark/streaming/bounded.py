@@ -1106,12 +1106,19 @@ def bounded_sync_multi_fused(spark: SparkSession,
                         "primary_keys": list(pks), "path": gpath,
                         "live": cfg0.live,
                         "snapshot_mode_effective": effective,
-                        # operator visibility: which tables carry
-                        # maintained side state, and where (r13)
+                        # operator/erasure visibility: which tables
+                        # carry maintained side state, where, and
+                        # which event column keys it (r13) — this is
+                        # what lets purge_fleet_keys reach the
+                        # indexes, not just the compacted state
                         "side_states": {
-                            t: {k: p for k, p in
-                                (("lexical", cfgs[t].lexical_index_path),
-                                 ("ann", cfgs[t].ann_index_path))
+                            t: {k: {"path": p, "id_col": c}
+                                for k, p, c in
+                                (("lexical",
+                                  cfgs[t].lexical_index_path,
+                                  cfgs[t].lexical_doc_id_col),
+                                 ("ann", cfgs[t].ann_index_path,
+                                  cfgs[t].ann_vec_id_col))
                                 if p}
                             for t in tables
                             if (cfgs[t].lexical_index_path
@@ -1168,12 +1175,20 @@ def purge_fleet_keys(spark: SparkSession, out_dir: str,
     :func:`bounded_sync_multi_fused` output: erase every row whose
     primary-key columns match ``key_values`` from EVERY table of every
     DEDUPE group (the reference's per-table erasure, fleet-wide in one
-    call). Each group's :meth:`MergeCompactor.purge` stays
-    bucket-pruned — the victim keys are crossed with the group's table
-    list so only the buckets those (table, key) pairs hash into are
-    opened. No-PK groups dedupe on full payloads and have no stable
-    erasure key — they are skipped and reported, not silently ignored.
-    Returns {group id: buckets rewritten} plus the skipped groups."""
+    call) — AND from every table's maintained side-state indexes
+    (r13: a fused table may carry lexical postings / ANN vectors; an
+    erasure that cleaned only the compacted state would leave the
+    victim's tokens and embeddings serving). Each group's
+    :meth:`MergeCompactor.purge` stays bucket-pruned — the victim
+    keys are crossed with the group's table list so only the buckets
+    those (table, key) pairs hash into are opened; index purges ride
+    the sidecar-pruned ``purge_docs_df`` / ``purge_vectors_df``. The
+    side-state id column (recorded in ``fleet.json``) must be among
+    ``key_values``'s columns — tables where it is not are reported
+    under ``skipped_side_states``, never silently ignored. No-PK
+    groups dedupe on full payloads and have no stable erasure key —
+    they are skipped and reported. Returns {group id: buckets
+    rewritten} plus per-index erased-row counts and the skip lists."""
     import json
     import os
 
@@ -1181,6 +1196,8 @@ def purge_fleet_keys(spark: SparkSession, out_dir: str,
         manifest = json.load(fh)
     rewritten: dict = {}
     skipped: list[str] = []
+    side_erased: dict = {}
+    skipped_side: list[str] = []
     for gid, m in manifest.items():
         if m["mode"] != "DEDUPE" or not m["primary_keys"]:
             skipped.append(gid)
@@ -1192,7 +1209,28 @@ def purge_fleet_keys(spark: SparkSession, out_dir: str,
             F.broadcast(tables))
         comp = MergeCompactor(m["path"], ["_table", *pks])
         rewritten[gid] = comp.purge(spark, keys)
-    return {"rewritten_buckets": rewritten, "skipped_groups": skipped}
+        for t, states in m.get("side_states", {}).items():
+            for kind, st in states.items():
+                if st["id_col"] not in key_values.columns:
+                    skipped_side.append(f"{t}/{kind}")
+                    continue
+                ids = (key_values.select(F.col(st["id_col"])
+                                         .cast("long").alias("vid"))
+                       .distinct())
+                if kind == "lexical":
+                    from .lexical_state import StreamingLexicalIndex
+                    n = StreamingLexicalIndex(st["path"]).purge_docs_df(
+                        spark, ids.select(F.col("vid").alias("doc_id")),
+                        broadcast_victims=True)
+                else:
+                    from ..operators.llm.annindex import IvfVectorIndex
+                    n = IvfVectorIndex(st["path"]).purge_vectors_df(
+                        spark, ids.select(F.col("vid").alias("vec_id")),
+                        broadcast_victims=True)
+                side_erased[f"{t}/{kind}"] = n
+    return {"rewritten_buckets": rewritten, "skipped_groups": skipped,
+            "side_state_rows_erased": side_erased,
+            "skipped_side_states": skipped_side}
 
 
 def read_fleet_table(spark: SparkSession, out_dir: str,

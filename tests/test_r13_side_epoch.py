@@ -196,4 +196,48 @@ def test_fleet_manifest_records_side_states(spark, tmp_path):
         manifest = _json.load(fh)
     (group,) = manifest.values()
     assert group["side_states"] == {
-        "t1": {"lexical": str(tmp_path / "lex")}}
+        "t1": {"lexical": {"path": str(tmp_path / "lex"),
+                           "id_col": "user_id"}}}
+
+
+def test_purge_fleet_keys_reaches_side_state_indexes(spark, tmp_path):
+    """Fleet-wide right-to-be-forgotten erases the victim from the
+    compacted state AND from the table's maintained lexical index —
+    an erasure that cleaned only the state would leave the victim's
+    tokens serving (r13)."""
+    from python_cdc_component_spark.queries import (
+        _stage_docs_as_event_waves)
+    from python_cdc_component_spark.streaming.bounded import (
+        bounded_sync_multi_fused, purge_fleet_keys, read_fleet_table)
+    from python_cdc_component_spark.streaming.lexical_state import (
+        StreamingLexicalIndex)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha secret{i} w{i}") for i in range(6)],
+        "doc_id long, text string")
+    flat = _stage_docs_as_event_waves(spark, docs,
+                                      str(tmp_path / "ev"), 2)
+    cfg = BoundedStreamConfig(
+        mode="DEDUPE", primary_keys=["user_id"], max_wait_s=5.0,
+        lexical_index_path=str(tmp_path / "lex"), lexical_parts=4)
+    bounded_sync_multi_fused(
+        spark, {"t1": flat}, str(tmp_path / "out"),
+        str(tmp_path / "ck"), {"t1": cfg})
+    lex = StreamingLexicalIndex(str(tmp_path / "lex"), num_parts=4)
+    assert lex.corpus_stats(spark)[0] == 6
+    res = purge_fleet_keys(
+        spark, str(tmp_path / "out"),
+        spark.createDataFrame([(2,), (4,)], "user_id long"))
+    assert res["side_state_rows_erased"]["t1/lexical"] > 0
+    assert res["skipped_side_states"] == []
+    # gone from the compacted state
+    left = {r["user_id"] for r in
+            read_fleet_table(spark, str(tmp_path / "out"), "t1")
+            .select("user_id").collect()}
+    assert left == {0, 1, 3, 5}
+    # gone from the index: postings, docstats, maintained stats
+    hits = {r["doc_id"] for r in
+            lex.bm25_topk(spark, ["alpha"], k=10).collect()}
+    assert hits == {0, 1, 3, 5}
+    assert lex.corpus_stats(spark)[0] == 4
+    assert lex.corpus_stats(spark) == lex._recompute_stats(spark)
