@@ -132,6 +132,17 @@ class BoundedStreamConfig:
     semantic_cells: int = 8
     semantic_threshold: float = 0.4
     semantic_buckets: int = 16
+    # opt-in maintained membership bloom (r13, the declared
+    # insert-heavy-fleet seam): when True, the per-epoch update-victim
+    # probe consults a maintained (word, mask) bitset instead of
+    # scanning the full _vecmap sidecar — victim collection becomes
+    # O(batch + bloom) instead of O(corpus) per epoch. False positives
+    # only cost a pruned no-op purge; false negatives are impossible
+    # by WRITE ORDER (the bloom unions the batch's live ids BEFORE the
+    # index writes, and replays re-union idempotently). Erasures leave
+    # the bloom an over-approximation — safe, never missing.
+    semantic_membership_bloom: bool = False
+    semantic_bloom_words: int = 65536
     # when set (DEDUPE mode only), each micro-batch maintains a
     # StreamingLexicalIndex side state at this path — postings +
     # doc-stats for the BM25 lexical retrieval leg, fed by the CDC
@@ -561,7 +572,16 @@ def _maintain_semantic_groups(spark: SparkSession, st, batch_df: DataFrame,
     versions. Victims are resolved by a semi-join against the index's
     ``_vecmap`` sidecar and STAY a distributed frame end-to-end
     (``purge_docs_df``, VERDICT r11 #1) — fresh inserts skip the purge
-    entirely, and nothing batch-sized ever reaches the driver."""
+    entirely, and nothing batch-sized ever reaches the driver.
+
+    With ``cfg.semantic_membership_bloom`` (r13) the membership probe
+    consults a maintained ``_bloom`` bitset instead of scanning the
+    sidecar — O(batch + bloom) victim collection for insert-heavy
+    fleets at extreme corpus sizes (the seam previously declared in
+    this docstring). FPs cost a pruned no-op purge; FNs are
+    impossible by write order (bloom unions live ids before the index
+    writes; replays re-union). Results are identical either way
+    (parity-tested)."""
     from ..fs import fs_exists, fs_touch
     from ..operators.dedup import dedup_latest
 
@@ -585,6 +605,9 @@ def _maintain_semantic_groups(spark: SparkSession, st, batch_df: DataFrame,
         st.groups._set_tier_mode(spark, "cdc3")
         fs_touch(spark, ingest_marker)
 
+    bloom_path = (os.path.join(cfg.semantic_groups_path, "_bloom")
+                  if cfg.semantic_groups_path else None)
+
     def _work(keyed: DataFrame) -> None:
         st.groups._set_tier_mode(spark, "cdc3")
         purge_marker = os.path.join(st.groups._manifest_path,
@@ -594,36 +617,58 @@ def _maintain_semantic_groups(spark: SparkSession, st, batch_df: DataFrame,
             from ..operators.llm.annindex import (CELL_COL as _CC,
                                                   VEC_PART_COL as _VP)
             idx = st.index
-            # membership probe: one columnar scan of the (vec_id,
-            # cell) sidecar — two small columns, never the inverted
-            # file. This keeps victim COLLECTION bounded by real
-            # updates/tombstones at the cost of a sidecar-proportional
-            # scan per epoch; insert-heavy fleets at extreme corpus
-            # sizes would swap this probe for a maintained membership
-            # bloom (the bloom_dedup_incremental pattern) without
-            # touching the purge/ingest tiers. Both reads are gated on
-            # a VISIBLE data partition existing: a tombstone wave that
-            # purged every partition leaves only hidden markers
-            # (_COMPLETE/_SUCCESS) behind, and schema inference over a
-            # data-less directory would crash the stream — an emptied
-            # index simply means nothing is indexed (ADVICE r11,
-            # medium).
-            if (fs_exists(spark, idx._vecmap_ok_path)
-                    and fs_has_children(spark, idx._vecmap_path,
-                                        f"{_VP}=")):
-                indexed = (spark.read.parquet(idx._vecmap_path)
-                           .select("vec_id"))
-            elif (fs_exists(spark, idx._cent_path)
-                    and fs_has_children(spark, idx.index_path,
-                                        f"{_CC}=")):
-                # pre-attestation index: membership from the cells
-                indexed = (spark.read.parquet(idx.index_path)
-                           .select("vec_id"))
+            if cfg.semantic_membership_bloom:
+                # maintained membership bloom (r13, the declared
+                # insert-heavy-fleet seam): candidate update victims
+                # are the batch ids whose k bloom bits are all set —
+                # O(batch + bloom) per epoch, never a sidecar scan. A
+                # false positive only adds a pruned no-op purge
+                # victim; false negatives cannot happen because the
+                # bloom unions every live id BEFORE the index writes
+                # (below) and a crashed epoch's replay re-unions.
+                from ..operators.llm.bloom import bloom_probe
+                if fs_exists(spark, bloom_path):
+                    bloom = spark.read.parquet(bloom_path)
+                    maybe = bloom_probe(
+                        keyed.select("vec_id"), bloom,
+                        F.col("vec_id").cast("string"),
+                        id_col="vec_id",
+                        m_words=cfg.semantic_bloom_words)
+                    upd = keyed.join(
+                        maybe.filter("maybe_seen").select("vec_id"),
+                        "vec_id", "left_semi")
+                else:
+                    upd = keyed.limit(0)
             else:
-                indexed = None
-            upd = (keyed.join(indexed, "vec_id", "left_semi")
-                   if indexed is not None
-                   else keyed.limit(0))
+                # membership probe: one columnar scan of the (vec_id,
+                # cell) sidecar — two small columns, never the
+                # inverted file. This keeps victim COLLECTION bounded
+                # by real updates/tombstones at the cost of a
+                # sidecar-proportional scan per epoch (exact — zero
+                # wasted purge rows; the bloom flavor above trades a
+                # few FP no-ops for corpus-independence). Both reads
+                # are gated on a VISIBLE data partition existing: a
+                # tombstone wave that purged every partition leaves
+                # only hidden markers (_COMPLETE/_SUCCESS) behind, and
+                # schema inference over a data-less directory would
+                # crash the stream — an emptied index simply means
+                # nothing is indexed (ADVICE r11, medium).
+                if (fs_exists(spark, idx._vecmap_ok_path)
+                        and fs_has_children(spark, idx._vecmap_path,
+                                            f"{_VP}=")):
+                    indexed = (spark.read.parquet(idx._vecmap_path)
+                               .select("vec_id"))
+                elif (fs_exists(spark, idx._cent_path)
+                        and fs_has_children(spark, idx.index_path,
+                                            f"{_CC}=")):
+                    # pre-attestation index: membership from the cells
+                    indexed = (spark.read.parquet(idx.index_path)
+                               .select("vec_id"))
+                else:
+                    indexed = None
+                upd = (keyed.join(indexed, "vec_id", "left_semi")
+                       if indexed is not None
+                       else keyed.limit(0))
             # victims STAY a distributed frame (VERDICT r11 #1): an
             # update-heavy micro-batch's touched-id set must never
             # materialize on the driver. Pinned eagerly — the purge
@@ -638,6 +683,24 @@ def _maintain_semantic_groups(spark: SparkSession, st, batch_df: DataFrame,
                                  _pinned=True)
             fs_touch(spark, purge_marker)
         live = keyed.filter(~F.col("_del")).select("vec_id", "e")
+        if cfg.semantic_membership_bloom:
+            # union the batch's live ids into the bloom BEFORE the
+            # index writes — the order that makes false negatives
+            # impossible (a crash after this write costs only FPs;
+            # a replay re-unions idempotently). Bloom-sized job:
+            # ≤ semantic_bloom_words rows read, OR-ed, rewritten.
+            from ..operators.llm.bloom import bloom_build
+            delta = bloom_build(live.select("vec_id"),
+                                F.col("vec_id").cast("string"),
+                                m_words=cfg.semantic_bloom_words)
+            if fs_exists(spark, bloom_path):
+                old = spark.read.parquet(bloom_path)
+                delta = (old.unionByName(delta)
+                         .groupBy("word")
+                         .agg(F.bit_or("mask").alias("mask")))
+            # read-then-overwrite: pin before replacing the source
+            delta = delta.localCheckpoint(eager=True)
+            delta.write.mode("overwrite").parquet(bloom_path)
         st.process_batch(spark, live, batch_id=3 * epoch + 1)
 
     _run_side_epoch(

@@ -176,3 +176,38 @@ def test_empty_batch_marks_and_replay_skips(spark, tmp_path):
     _maintain_semantic_groups(spark, st, _batch(spark, SEEDS, 1), 1,
                               cfg)
     assert len(_groups(spark, st)) == 4
+
+
+def test_membership_bloom_parity_and_replay(spark, tmp_path):
+    """Opt-in maintained membership bloom (r13): identical groups
+    through insert/update/tombstone epochs vs the sidecar-scan probe,
+    the bloom file exists and is maintained, and an unmarked-epoch
+    replay converges (bloom re-union is idempotent)."""
+    cfg_scan = _cfg(tmp_path / "scan")
+    cfg_bloom = BoundedStreamConfig(
+        mode="DEDUPE", primary_keys=["user_id"],
+        semantic_groups_path=str(tmp_path / "bloom" / "sem"),
+        semantic_cells=4, semantic_threshold=0.9, semantic_buckets=8,
+        semantic_membership_bloom=True, semantic_bloom_words=1024)
+    st_scan, st_bloom = _st(cfg_scan), _st(cfg_bloom)
+    waves = [
+        SEEDS,                                   # epoch 0: inserts
+        [(10, _axis(0))],                        # epoch 1: near 0
+        [(10, _axis(1)), (20, _axis(2))],        # epoch 2: update+new
+        [(0, None), (20, None)],                 # epoch 3: tombstones
+    ]
+    for st, cfg in ((st_scan, cfg_scan), (st_bloom, cfg_bloom)):
+        for e, rows in enumerate(waves):
+            _maintain_semantic_groups(spark, st, _batch(spark, rows, e),
+                                      e, cfg)
+    assert _groups(spark, st_scan) == _groups(spark, st_bloom)
+    bloom_path = os.path.join(cfg_bloom.semantic_groups_path, "_bloom")
+    assert os.path.exists(bloom_path)
+    want = _groups(spark, st_bloom)
+    # crashed-epoch replay with the bloom on: delete the last ingest
+    # marker and re-run — purge-then-add + bloom re-union converge
+    os.remove(os.path.join(st_bloom.groups._manifest_path,
+                           str(3 * 3 + 1)))
+    _maintain_semantic_groups(spark, st_bloom,
+                              _batch(spark, waves[3], 3), 3, cfg_bloom)
+    assert _groups(spark, st_bloom) == want
