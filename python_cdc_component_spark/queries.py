@@ -5895,75 +5895,91 @@ def embedding_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (256 B) compress to 8 one-byte codes (M=8 subspaces × K=16
     codewords), a 32× cut, and query-candidate distance is the
     asymmetric (ADC) sum of per-subspace lookup distances.  Spark
-    shape: the codebook is k×d driver scalars (16-row control-plane
-    collect, the kmeans-literal convention), so ENCODING is a
-    shuffle-free codegen projection (argmin over an array-of-structs
-    literal per subspace — no crossJoin, no window), and scoring
-    broadcasts the probe set over the encoded corpus.  Every fold
-    (encode distances, ADC, exact rerank) runs in identical IEEE order
-    to the oracle's list_sum, so codes and rankings replay bit-exactly.
-    Reported per probe as recall@10 vs the exact-L2 top-k — the
-    monitored-quality convention of embedding_ann_recall."""
+    shape: codebook AND probe set are control-plane collects (16 + 5
+    rows, the kmeans-literal convention), so encode + ADC + exact
+    rerank run as ONE Arrow ``mapInPandas`` pass over the candidates —
+    a shuffle-free map whose per-dimension accumulation is an explicit
+    sequential loop (the operators/llm/simkernel.py discipline:
+    vectorized ACROSS rows, sequential WITHIN a vector), i.e. the
+    exact IEEE order of the oracle's ``list_sum`` folds, so codes and
+    rankings replay bit-exactly.  (The r5 form was an interpreted-HOF
+    expression tree — encode alone was 8 sub × 16 codewords × 8-dim
+    folds per row through the interpreter plus a multi-second
+    analysis/codegen of the literal tree; the kernel does the same
+    arithmetic at NumPy throughput and the plan shrinks to scan →
+    ArrowEval → one qid exchange.)  Reported per probe as recall@10 vs
+    the exact-L2 top-k — the monitored-quality convention of
+    embedding_ann_recall."""
+    import numpy as np
+    import pandas as pd
+
     s = _spark(spark)
     raw = read_table(s, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    # 16-row codebook: control-plane collect off the RAW scan (filter
-    # pushes down to parquet — collecting after the spread below would
-    # shuffle the whole corpus just to fetch 16 rows)
+    # 16-row codebook + 5-row probe set: control-plane collects off the
+    # RAW scan (filter pushes down to parquet — collecting after the
+    # spread below would shuffle the whole corpus to fetch 21 rows)
     cb_rows = (raw.filter(F.col("vec_id") < 16).orderBy("vec_id")
                   .select("e").collect())
-    # interpreted-HOF encode/ADC folds are compute-bound: spread an
-    # under-split single-file scan across cores (conditional, no-op at
-    # real scale — the winnowing/minhash input-split remedy)
+    q_rows = (raw.filter(F.col("vec_id") < 5).orderBy("vec_id")
+                 .select("vec_id", "e").collect())
+    CB = np.array([r["e"] for r in cb_rows], dtype=np.float64)  # 16×64
+    qs = [(r["vec_id"], np.asarray(r["e"], dtype=np.float64))
+          for r in q_rows]
     emb = _spread(raw, s)
-    cb = [r["e"] for r in cb_rows]
+    idt = dict(raw.dtypes)["vec_id"]
 
-    def fold_sum(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    def f(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)   # n×64
+            cids = pdf["vec_id"].to_numpy()
+            # encode: distance to each of the 16 codewords per
+            # subspace, accumulated dim-sequentially; ties take the
+            # FIRST min (= lowest codeword id, the array_min struct
+            # tie-break) and NaN distances are demoted to +inf so they
+            # never win (Spark orders NaN greatest; all-NaN rows then
+            # tie down to codeword 0 on both paths)
+            codes = np.empty((n, 8), dtype=np.int64)
+            for j in range(8):
+                D = np.empty((n, 16))
+                for k in range(16):
+                    acc = np.zeros(n)
+                    for d in range(8):
+                        diff = E[:, j * 8 + d] - CB[k, j * 8 + d]
+                        acc += diff * diff
+                    D[:, k] = acc
+                codes[:, j] = np.where(np.isnan(D), np.inf, D).argmin(axis=1)
+            out = {"qid": [], "cid": [], "adist": [], "edist": []}
+            for qid, qe in qs:
+                # ADC: per-subspace lookup distance to the CHOSEN
+                # codeword, folded j=0..7 — 0.0 + d0 + d1 + … exactly
+                # like fold_sum over the dist_js array
+                ad = np.zeros(n)
+                for j in range(8):
+                    cw = CB[codes[:, j], j * 8:j * 8 + 8]      # n×8
+                    dj = np.zeros(n)
+                    for d in range(8):
+                        diff = qe[j * 8 + d] - cw[:, d]
+                        dj += diff * diff
+                    ad += dj
+                # exact rerank distance: the same 64-dim sequential fold
+                ed = np.zeros(n)
+                for d in range(64):
+                    diff = qe[d] - E[:, d]
+                    ed += diff * diff
+                out["qid"].append(np.full(n, qid, dtype=cids.dtype))
+                out["cid"].append(cids)
+                out["adist"].append(ad)
+                out["edist"].append(ed)
+            yield pd.DataFrame({c: np.concatenate(v)
+                                for c, v in out.items()})
 
-    def sq_fold(a, b):
-        return fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
-
-    def cbarr(j):
-        return F.array(*[F.array(*[F.lit(v) for v in cb[k][j * 8:j * 8 + 8]])
-                         for k in range(16)])
-
-    # subvectors hoisted to named columns FIRST (outer expressions
-    # referenced inside a lambda re-evaluate per element — §27), and
-    # the per-codeword distances come from ONE index-lambda transform
-    # per subspace instead of a 16-way unrolled fold list: same folds
-    # in the same IEEE order, 16× smaller expression tree (the
-    # unrolled form's analysis+codegen dominated the query's cost)
-    cand = emb.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
-        *[F.slice("e", j * 8 + 1, 8).alias(f"sub{j}") for j in range(8)])
-    def enc_lambda(j):
-        def l(cw, i):
-            return F.struct(sq_fold(F.col(f"sub{j}"), cw).alias("d"),
-                            i.alias("k"))
-        return l
-
-    code_cols = []
-    for j in range(8):
-        d2s = F.transform(cbarr(j), enc_lambda(j))
-        code_cols.append(F.array_min(d2s)["k"].alias(f"c{j}"))
-    enc = cand.select("cid", "ce", *code_cols)
-
-    # the 5-row probe set comes off the RAW pushdown scan — routing it
-    # through the corpus spread would shuffle everything to build a
-    # broadcast of 5 rows
-    qp = raw.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
-        *[F.slice("e", j * 8 + 1, 8).alias(f"qsub{j}") for j in range(8)])
-    pairs = enc.crossJoin(F.broadcast(qp))
-    dist_js = []
-    for j in range(8):
-        dist_js.append(sq_fold(F.col(f"qsub{j}"),
-                               F.element_at(cbarr(j), F.col(f"c{j}") + 1)))
-    scored = pairs.select(
-        "qid", "cid",
-        fold_sum(F.array(*dist_js)).alias("adist"),
-        sq_fold(F.col("qe"), F.col("ce")).alias("edist"))
+    scored = (emb.filter(F.col("vec_id") >= 5).select("vec_id", "e")
+              .mapInPandas(f, schema=f"qid {idt}, cid {idt}, "
+                                     "adist double, edist double"))
     # both rankings from ONE pass: the two windows share the qid
     # partitioning, so the corpus is scanned and shuffled exactly once
     # and recall@10 is the direct intersection count — no self-join of
