@@ -623,15 +623,21 @@ def bench_q1_decimal_probe(spark, sf_dir: str) -> dict:
     discount has 2dp — both provably overflow-safe in a long at any SF).
     """
     from pyspark.sql import functions as F
-    from python_cdc_component_spark.queries import QUERIES
+    from python_cdc_component_spark.queries import QUERIES, _spread
 
     t0 = time.time()
     QUERIES["q1_pricing_summary"](spark, sf_dir) \
         .write.format("noop").mode("overwrite").save()
     exact = round(time.time() - t0, 3)
 
-    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-          .filter(F.col("l_shipdate") <= "1998-09-02"))
+    # same conditional input-split spread as the r13 q1 (both variants
+    # must parallelize identically or the probe prices the scan split,
+    # not the accumulator type)
+    li = _spread((spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                  .filter(F.col("l_shipdate") <= "1998-09-02")
+                  .select("l_returnflag", "l_linestatus", "l_quantity",
+                          "l_extendedprice", "l_discount", "l_tax")),
+                 spark)
     DEC = "decimal(18,6)"
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))

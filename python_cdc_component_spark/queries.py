@@ -311,9 +311,17 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary. Plan: parquet scan with pushed
     timestamp filter → partial hash agg → exchange → final agg (map-side
-    combine keeps the shuffle tiny at any scale)."""
-    li = read_table(_spark(spark), sf_dir, "lineitem")
+    combine keeps the shuffle tiny at any scale).  The eight exact
+    decimal sums are compute-bound, so an under-split single-file scan
+    (3 partitions at bench scale) serializes the partial agg onto three
+    cores — ``_spread`` repartitions the filtered 6-column projection
+    up to core count (conditional: a no-op at real scale, where the
+    scan already has ≥ cores splits; measured 1.47 → 0.82 s warm)."""
+    s = _spark(spark)
+    li = read_table(s, sf_dir, "lineitem")
     li = li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+    li = _spread(li.select("l_returnflag", "l_linestatus", "l_quantity",
+                           "l_extendedprice", "l_discount", "l_tax"), s)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     cnt = F.count(F.lit(1))
