@@ -142,23 +142,23 @@ def test_pq_recall_bounds_and_probe_coverage(spark, sf_dir):
 
 
 def test_pq_plan_encode_is_shuffle_free_and_probe_broadcast(spark, sf_dir):
-    """The scale contract: PQ encoding is a pure codegen projection
-    (argmin over literal codebook structs — zero Exchange, zero Sort,
-    no Python), and the probe set joins by broadcast, never a shuffled
-    or cartesian-partitioned join of the corpus."""
+    """The scale contract after the r13 Arrow-kernel rewrite: encode +
+    ADC + exact rerank run as ONE shuffle-free Arrow map over the
+    candidate scan (codebook and the 5-row probe set ride the closure
+    as control-plane collects — no crossJoin, no broadcast relation,
+    no row-at-a-time Python), and the only corpus exchanges are the
+    conditional input-split spread plus the qid ranking window."""
     plan = (QUERIES["embedding_pq_ann_recall"](spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" in plan            # the Arrow kernel
+    assert "BatchEvalPython" not in plan    # never pickled-row Python
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
-    # both rankings share the qid window partitioning and recall is
-    # the direct intersection count — the corpus is scanned once (plus
-    # the 16-row codebook scan); nothing shuffles from the encode
-    # projection itself (codebook is literal). Allowed exchanges: the
-    # qid window + at most one conditional input-split spread
+    assert "Join" not in plan               # scoring needs no join at all
     n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_shuffle <= 2
-    assert plan.count("FileScan") == 2
+    # exactly one corpus scan in the scored plan (the codebook/probe
+    # collects are separate control-plane jobs, not part of this plan)
+    assert plan.count("FileScan") == 1
 
 
 # ---------------------------------------------------------------------------
