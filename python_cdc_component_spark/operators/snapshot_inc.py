@@ -75,6 +75,51 @@ def chunk_reads(snapshot_df: DataFrame, key_col: str,
     return out
 
 
+def replay_chunk_states(events: DataFrame, key_col: str,
+                        chunks: list[tuple[int, int]],
+                        watermarks: list[int],
+                        pos_col: str = SC.pos) -> DataFrame:
+    """Fused oracle-replay of "each chunk's SELECT sees the table state
+    at its watermark" over ONE event log — the single-scan form of
+
+        for (clo, chi), wm in zip(chunks, watermarks):
+            state = dedup_latest(events.filter(pos <= wm), [key])
+            chunk_reads(state, key, [(clo, chi)], [wm])
+
+    which pays len(chunks) overlapping scans + window shuffles.
+    Equivalence: ``plan_chunks`` ranges partition [lo, hi], so every key
+    belongs to exactly ONE chunk and has exactly one watermark wm(key);
+    a chunk read keeps, per key in its range, the latest event with
+    pos <= wm(key), stamped (op='r', pos=wm(key)) — which is one window
+    dedup over ``events WHERE pos <= wm(key)`` with wm(key) computed as
+    a column (chunk index = min(n_chunks-1, (key - lo) div width), the
+    same arithmetic the chunk planner uses). A coarse
+    ``pos <= max(watermark)`` literal predicate goes first so parquet
+    row-group pruning still applies under the key-dependent filter.
+
+    This is the *replay* construction only (used by the
+    ``incremental_snapshot_users`` oracle query, where all chunk states
+    derive from one log). The live S4 path (``control.py``) keeps
+    per-chunk ``chunk_reads`` over the real source state — there each
+    chunk SELECT is a range-pruned read of an existing table, not a
+    window dedup, and nothing overlaps."""
+    assert chunks and len(watermarks) == len(chunks)
+    lo = chunks[0][0]
+    hi = chunks[-1][1]
+    width = chunks[0][1] - chunks[0][0] + 1
+    idx = F.least(F.lit(len(chunks) - 1),
+                  F.expr(f"({key_col} - {lo}) div {width}"))
+    wm = F.element_at(F.array(*[F.lit(int(w)) for w in watermarks]),
+                      (idx + 1).cast("int")).cast("long")
+    state = dedup_latest(
+        events.filter(F.col(pos_col) <= int(max(watermarks)))
+              .filter((F.col(key_col) >= lo) & (F.col(key_col) <= hi))
+              .filter(F.col(pos_col) <= wm),
+        [key_col])
+    return (state.withColumn(SC.operation, F.lit("r"))
+                 .withColumn(pos_col, wm))
+
+
 def merge_incremental(chunks: list[DataFrame], stream: DataFrame,
                       keys: list[str],
                       pos_col: str = SC.pos) -> DataFrame:

@@ -2892,23 +2892,30 @@ def incremental_snapshot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the shuffle count. The min/max chunk bounds are two control-
     plane scalars (parquet footer stats / ``SELECT min,max`` at a real
     source, exactly how Debezium sizes its chunks).
+
+    r13 optimization (guide §2.4): the replay previously derived each
+    chunk's state with its own ``dedup_latest(ev.filter(pos <= wm_i))``
+    — 4 overlapping event scans + 4 window shuffles feeding the merge.
+    Keys are range-partitioned into chunks, so each key has exactly ONE
+    watermark; ``replay_chunk_states`` computes wm(key) as a column and
+    derives all chunk states in ONE pushed-down scan + ONE window
+    (plan: 5 scans / 5 window exchanges → 2 scans / 2 exchanges; the
+    oracle's own ``wm`` CTE is this exact per-key formulation). The
+    live S4 path (``control.py``) keeps per-chunk ``chunk_reads`` over
+    the real source state, where nothing overlaps.
     """
-    from .operators.snapshot_inc import (chunk_reads, merge_incremental,
-                                         plan_chunks)
+    from .operators.snapshot_inc import (merge_incremental, plan_chunks,
+                                         replay_chunk_states)
 
     ev = read_cdc_events(_spark(spark), sf_dir)
     lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
     chunks = plan_chunks(int(lo), int(hi), 4)
     watermarks = [5000 + (i + 1) * 500 for i in range(len(chunks))]
 
-    chunk_dfs = []
-    for (clo, chi), wmk in zip(chunks, watermarks):
-        # a real chunk SELECT sees the table state at its watermark
-        state = dedup_latest(ev.filter(F.col(SC.pos) <= wmk), ["user_id"])
-        chunk_dfs.extend(chunk_reads(state, "user_id", [(clo, chi)], [wmk]))
+    snap = replay_chunk_states(ev, "user_id", chunks, watermarks)
     stream = ev.filter(F.col(SC.pos) > 5000)
 
-    out = merge_incremental(chunk_dfs, stream, ["user_id"])
+    out = merge_incremental([snap], stream, ["user_id"])
     return out.select(
         "user_id", "event_type", "value",
         F.col(SC.operation).alias("kbc__operation"),

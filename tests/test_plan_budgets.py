@@ -34,7 +34,9 @@ BUDGETS = {
     "hopping_window_agg": 2,
     "sessionize_events": 2,
     "disjunctive_pushdown": 1,
-    "incremental_snapshot_users": 6,
+    # r13 opt: fused per-key-watermark replay (replay_chunk_states) —
+    # 4 overlapping chunk-state windows + merge → snap window + merge
+    "incremental_snapshot_users": 3,
     "q18_large_volume_customers": 2,
     "q21_late_supplier_blame": 4,
     "embedding_ivf_ann": 4,

@@ -141,3 +141,36 @@ def test_merge_incremental_property_any_watermarks(spark):
                 else:
                     pre = [r for r in evs if r[3] <= wm]
                     assert got[k] == (pre[-1][1] if pre else "init"), (trial, k)
+
+
+def test_replay_chunk_states_equals_per_chunk_loop(spark, sf_dir):
+    """r13 optimization equivalence pin: the fused per-key-watermark
+    replay (ONE scan + ONE window) must reproduce the per-chunk
+    ``dedup_latest(ev.filter(pos <= wm_i))`` loop byte-for-byte —
+    including watermark stamping, op='r', and mid-log watermarks that
+    leave some keys snapshot-less."""
+    from python_cdc_component_spark.operators.dedup import dedup_latest
+    from python_cdc_component_spark.operators.snapshot_inc import (
+        replay_chunk_states)
+    from python_cdc_component_spark.sources.events import read_cdc_events
+
+    ev = read_cdc_events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    end_pos = int(ev.agg(F.max(SC.pos)).collect()[0][0])
+    # mid-log, uneven watermarks: chunk 0 closes very early (some of its
+    # keys have no event yet => absent from snap), later chunks later
+    for n_chunks in (3, 4):
+        chunks = plan_chunks(int(lo), int(hi), n_chunks)
+        wms = [max(1, end_pos // 10) + i * (end_pos // 5)
+               for i in range(len(chunks))]
+        loop = []
+        for (clo, chi), wm in zip(chunks, wms):
+            state = dedup_latest(ev.filter(F.col(SC.pos) <= wm),
+                                 ["user_id"])
+            loop.extend(chunk_reads(state, "user_id", [(clo, chi)], [wm]))
+        cols = ["user_id", "event_type", "value", SC.operation, SC.pos]
+        want = sorted(tuple(r) for df in loop
+                      for r in df.select(*cols).collect())
+        fused = replay_chunk_states(ev, "user_id", chunks, wms)
+        got = sorted(tuple(r) for r in fused.select(*cols).collect())
+        assert got == want
