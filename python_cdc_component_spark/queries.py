@@ -6510,7 +6510,14 @@ def fuzzy_eval_decontaminate(spark: SparkSession,
                   & (F.col("a.bv") == F.col("e.bv")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("e.doc_id").alias("doc_b"))
-            .distinct())
+            .distinct()
+            # tiny true-collision list; eager pin so verify's four
+            # references (pair ids ×2, intersection, final left-join)
+            # never re-analyze or re-run the band join — the same pin
+            # lsh_incremental_verified_pairs carries (r13: un-pinned,
+            # the candidate subtree inflated the plan to ~966 KB and
+            # the band join executed once per reference)
+            .localCheckpoint(eager=True))
     return (verify_jaccard_pairs(d, cand, 3, 5)
             .filter("verified")
             .groupBy("doc_a")
