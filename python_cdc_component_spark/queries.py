@@ -3253,25 +3253,37 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     original becomes a per-part window min ON TOP of the (part,
     supplier) aggregate — the window reuses the aggregate's
     partitioning-compatible output rather than re-scanning, and the
-    supplier⨝nation⨝region side is a broadcast (dims). Two key-local
-    shuffles total (pair agg, part window); deterministic top-100 via
-    the (acctbal, nation, supplier, part) total order."""
+    supplier⨝nation⨝region side is a broadcast (dims). ONE key-local
+    shuffle total: the projected fact repartitions by l_partkey up
+    front, the (part, supplier) aggregate accepts that partitioning
+    (subset rule — the q21 shared-exchange pattern) and the per-part
+    window rides it in place; map-side partials lost nothing because
+    lineitem is orderkey-clustered, so a task's (part, supplier) pairs
+    are nearly unique and the partial agg reduced ~no rows.
+    Deterministic top-100 via the (acctbal, nation, supplier, part)
+    total order."""
     s = _spark(spark)
     li = read_table(s, sf_dir, "lineitem")
     supp = read_table(s, sf_dir, "supplier")
     nat, reg = read_table(s, sf_dir, "nation"), read_table(s, sf_dir, "region")
     part = read_table(s, sf_dir, "part").filter(F.col("p_type") == "SMALL")
-    ps = (li.groupBy("l_partkey", "l_suppkey")
-            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-                  .alias("supply_cost")))
+    pre = (li.select("l_partkey", "l_suppkey",
+                     (F.col("l_extendedprice") / F.col("l_quantity"))
+                     .alias("_unit_cost"))
+             .repartition(F.col("l_partkey")))
+    ps = (pre.groupBy("l_partkey", "l_suppkey")
+             .agg(F.min("_unit_cost").alias("supply_cost")))
     eu = (supp.join(nat, supp.s_nationkey == nat.n_nationkey)
               .join(reg.filter(F.col("r_name") == "EUROPE"),
                     nat.n_regionkey == reg.r_regionkey)
               .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
     c = (ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+           # keyed on l_partkey (== p_partkey on every joined row) so
+           # the window provably reuses the fact exchange instead of
+           # depending on join-equivalence partitioning propagation
            .withColumn("mc", F.min("supply_cost")
-                              .over(Window.partitionBy("p_partkey"))))
+                              .over(Window.partitionBy("l_partkey"))))
     return (c.filter(F.col("supply_cost") == F.col("mc"))
              .select("s_acctbal", "s_name", "n_name", "p_partkey",
                      "p_name", "supply_cost")

@@ -48,7 +48,7 @@ BUDGETS = {
     "semantic_dedup_pairs": 2,
     "dsir_select_docs": 6,
     "exact_substr_spans": 4,
-    "q2_min_cost_supplier": 3,
+    "q2_min_cost_supplier": 2,
     "ngram_decontaminate": 6,
     "dup_canonical_best": 6,
     "bigram_perplexity": 9,

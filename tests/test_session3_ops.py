@@ -155,10 +155,12 @@ def test_components_lineage_truncated(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # TPC-H tail plan shapes
 
-def test_q2_two_keylocal_shuffles_no_cartesian(spark, sf_dir):
+def test_q2_one_shared_fact_exchange_no_cartesian(spark, sf_dir):
+    """r13: the projected repartition(l_partkey) serves both the pair
+    aggregate (subset rule) and the per-part window — one shuffle."""
     s = plan_summary(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
     assert "CartesianProduct" not in s.text
-    assert s.shuffles <= 3 and s.broadcasts >= 2
+    assert s.shuffles <= 2 and s.broadcasts >= 2
 
 
 def test_q11_reuses_agg_for_total(spark, sf_dir):
