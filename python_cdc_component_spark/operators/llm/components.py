@@ -140,13 +140,22 @@ def connected_components(edges: DataFrame, src: str = "src",
             if r not in comp_min or n < comp_min[r]:
                 comp_min[r] = n
         rows = [(n, comp_min[find(n)]) for n in sorted(parent)]
+        # broadcast hint: THIS path's labels are bounded by
+        # small_graph_edges (≤ 2·threshold driver-resident rows) by the
+        # very probe that selected it, so the hint is scale-safe by
+        # construction — unlike at a call site, where comp may come
+        # from either path. Without it the parallelized rows plan as a
+        # LogicalRDD with unknown (huge) stats and a consumer join
+        # sort-merge-shuffles its big side on the node key; AQE can
+        # only convert AFTER that map stage's shuffle write is paid.
+        # The Pregel path below stays unhinted (unbounded labels).
         if ids_integral:
-            return spark.createDataFrame(rows,
-                                         "node long, component long")
+            return F.broadcast(spark.createDataFrame(
+                rows, "node long, component long"))
         from pyspark.sql.types import StructField, StructType
-        return spark.createDataFrame(rows, StructType([
+        return F.broadcast(spark.createDataFrame(rows, StructType([
             StructField("node", out_type, False),
-            StructField("component", out_type, False)]))
+            StructField("component", out_type, False)])))
 
     both = persist_once(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

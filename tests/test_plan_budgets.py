@@ -50,7 +50,7 @@ BUDGETS = {
     "exact_substr_spans": 4,
     "q2_min_cost_supplier": 2,
     "ngram_decontaminate": 6,
-    "dup_canonical_best": 6,
+    "dup_canonical_best": 5,
     "bigram_perplexity": 9,
     "cdc_incremental_mv": 8,
     "lsh_incremental_pairs": 4,
