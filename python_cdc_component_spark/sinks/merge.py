@@ -151,15 +151,18 @@ class MergeCompactor:
                     merged = batch
             else:
                 merged = batch
-            compacted = dedup_latest(merged, self.keys)
-            # bin-pack each rewritten bucket into ONE file: without this
-            # every writer task holding rows of a bucket emits its own
-            # file (up to shuffle-partitions files per bucket per
-            # rewrite) and scan-open cost creeps up batch over batch.
-            # Hash-partitioning on the bucket id puts each bucket wholly
-            # in one task; the extra exchange carries only the touched
-            # buckets' compacted rows.
-            compacted = compacted.repartition(F.col(BUCKET_COL))
+            # ONE bucket exchange serves both the window dedup and the
+            # write's bin-packing: the bucket id is a pure function of
+            # the PK, so hash-partitioning on it co-locates every key's
+            # rows, and a window partitioned by (bucket, *pk) rides the
+            # established partitioning via the subset rule instead of
+            # adding its own PK exchange (the same shared-exchange
+            # pattern as q2/q21). Bin-packing is unchanged — each
+            # bucket still lands wholly in one writer task, one file
+            # per rewritten bucket — while the second full pass of the
+            # compacted bytes over the wire is gone.
+            merged = merged.repartition(F.col(BUCKET_COL))
+            compacted = dedup_latest(merged, [BUCKET_COL, *self.keys])
             # WRITER-level dynamic overwrite, never the session conf:
             # inside foreachBatch the plan runs on the micro-batch's
             # CLONED session whose SQLConf was frozen at stream start —

@@ -244,3 +244,30 @@ def test_merge_bucket_count_is_layout_pinned_and_rebucketable(
     assert c.num_buckets == 32
     upd = spark.read.parquet(path).filter(F.col("k") == 5).collect()
     assert len(upd) == 1 and upd[0]["v"] == "updated"
+
+
+def test_merge_plan_one_shared_bucket_exchange(spark, sf_dir, tmp_path):
+    """r13 optimization contract: the merge's window dedup rides the
+    write's bucket exchange (bucket = f(PK), subset rule) — ONE
+    Exchange total, no second full pass of the compacted bytes, and
+    the bin-packing (one file per rewritten bucket) is unchanged."""
+    from python_cdc_component_spark.operators.schema_align import (
+        union_epochs)
+
+    state = str(tmp_path / "state_plan")
+    ev = read_cdc_events(spark, sf_dir)
+    c = MergeCompactor(state, ["user_id"], num_buckets=8)
+    c.merge(spark, ev)
+    # replicate merge()'s internal frame at the pre-write point
+    batch = (ev.filter(F.col("user_id") % 5 == 0)
+             .withColumn(BUCKET_COL, c._bucket()))
+    cur = (spark.read.option("mergeSchema", "true")
+           .option("basePath", state).parquet(state))
+    merged = union_epochs([cur, batch]).repartition(F.col(BUCKET_COL))
+    compacted = dedup_latest(merged, [BUCKET_COL, "user_id"])
+    plan = compacted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert f"hashpartitioning({BUCKET_COL}" in plan, plan
+    # packing: every bucket dir holds exactly one live file per rewrite
+    files = _bucket_files(state)
+    assert files and all(len(v) == 1 for v in files.values())
