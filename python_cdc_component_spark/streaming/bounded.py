@@ -406,13 +406,19 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
         keys = (latest.select(key_expr.alias("doc_id"),
                               bad_expr.alias("bad"))
                 .distinct().localCheckpoint(eager=True))
-        # ONE single-row aggregate serves both gates (emptiness + the
-        # distributed malformed-key check) — foreachBatch runs with
-        # AQE off and fixed per-job cost dominates at micro-batch
-        # size, so every tiny gate job counts (the r11 process_batch
-        # lesson)
+        # ONE single-row aggregate serves all three gates (emptiness +
+        # the distributed malformed-key check + the purge's victim
+        # partition ids, r13 §2.10 — the purge's own ≤num_buckets
+        # collect folds in here as a collect_set of the store's exact
+        # pruning expression) — foreachBatch runs with AQE off and
+        # fixed per-job cost dominates at micro-batch size, so every
+        # tiny gate job counts (the r11 process_batch lesson)
+        vp_expr, _ = groups._victim_part_expr(spark, F.col("doc_id"),
+                                              composite)
         gate = keys.agg(F.count(F.lit(1)).alias("n"),
-                        F.max("bad").alias("bad")).collect()[0]
+                        F.max("bad").alias("bad"),
+                        F.collect_set(vp_expr).alias("vparts")
+                        ).collect()[0]
         if not gate["n"]:
             return False
         if gate["bad"]:
@@ -422,6 +428,7 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
                 "separator — composite doc keys would alias; reject "
                 "the malformed rows upstream")
         held["keys"] = keys
+        held["vparts"] = set(gate["vparts"])
         return True
 
     def _on_empty() -> None:
@@ -444,7 +451,8 @@ def _maintain_dedup_groups(spark: SparkSession, groups,
             # per-epoch hot path (VERDICT r11 #1)
             groups.purge_docs_df(spark, held["keys"].select("doc_id"),
                                  purge_batch_id=stride * epoch,
-                                 _pinned=True)
+                                 _pinned=True,
+                                 _victim_parts=held["vparts"])
             fs_touch(spark, purge_marker)
         live = (latest
                 .filter(~F.coalesce(F.col(SC.deleted), F.lit(False)))

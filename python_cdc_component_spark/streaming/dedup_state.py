@@ -813,10 +813,37 @@ class StreamingDedupGroups:
                                   purge_batch_id=purge_batch_id,
                                   broadcast_victims=True)
 
+    def _victim_part_expr(self, spark: SparkSession,
+                          col, victims_is_string: bool):
+        """The exact partition expression :meth:`purge_docs_df` prunes
+        its node_map read with, over a victim ``doc_id`` column —
+        single source of truth, exposed so the per-epoch gate can fold
+        the victim-partition collect into its existing single-row
+        aggregate (``collect_set`` of this expression) instead of
+        paying a separate job (r13 §2.10). Returns ``(expr,
+        forwardable)``; ``forwardable`` means the index docmap prunes
+        with the SAME expression (meta pinned), so one set serves both
+        layers. Id typing mirrors purge_docs_df exactly: the store's
+        pinned kind wins once the meta exists, else the victims' own
+        string-ness (a metaless store has nothing to prune — the
+        expression just must not ANSI-abort)."""
+        self._resolve_buckets(spark)
+        meta_pinned = (_fs_read_text(spark, self.index._meta_path)
+                       is not None)
+        id_t = (self._id_t if meta_pinned
+                else ("string" if victims_is_string else "long"))
+        if id_t == "string":
+            expr = F.pmod(F.xxhash64(col),
+                          F.lit(self.num_buckets)).cast("int")
+        else:
+            expr = self._id_part(col)
+        return expr, meta_pinned
+
     def purge_docs_df(self, spark: SparkSession, victims: DataFrame,
                       purge_batch_id: int | None = None,
                       broadcast_victims: bool = False,
-                      _pinned: bool = False) -> int:
+                      _pinned: bool = False,
+                      _victim_parts: set | None = None) -> int:
         """DataFrame-victims form of :meth:`purge_docs` (the
         ``purge_vectors_df`` discipline, VERDICT r11 #1): the per-epoch
         CDC hot paths — ``_maintain_dedup_groups`` purging every
@@ -835,7 +862,9 @@ class StreamingDedupGroups:
         # ANSI-abort casting 'a\x1fb' to the long default (the value-
         # robust _id_parts_of discipline; the purge is a no-op on an
         # unbuilt store either way)
-        if _fs_read_text(spark, self.index._meta_path) is not None:
+        meta_pinned = (_fs_read_text(spark, self.index._meta_path)
+                       is not None)
+        if meta_pinned:
             id_t = self._id_t
         else:
             from pyspark.sql import types as T
@@ -859,19 +888,29 @@ class StreamingDedupGroups:
         # expression follows id_t, not the resolved kind: on an
         # UNBUILT store the integral default's `pmod(node, N)` would
         # ANSI-abort casting a string key (any scheme is fine there —
-        # no partitions exist to prune — it just must not crash)
-        if id_t == "string":
-            _vp = F.pmod(F.xxhash64(F.col("node")),
-                         F.lit(self.num_buckets)).cast("int")
+        # no partitions exist to prune — it just must not crash).
+        # ``_victim_parts`` (internal, the per-epoch gate) carries the
+        # identical set pre-collected by folding _victim_part_expr
+        # into the gate's single-row aggregate — skip the job.
+        if _victim_parts is not None:
+            vparts = set(_victim_parts)
         else:
-            _vp = self._id_part(F.col("node"))
-        vparts = {r[0] for r in
-                  ids_df.select(_vp.alias("p")).distinct().collect()}
+            if id_t == "string":
+                _vp = F.pmod(F.xxhash64(F.col("node")),
+                             F.lit(self.num_buckets)).cast("int")
+            else:
+                _vp = self._id_part(F.col("node"))
+            vparts = {r[0] for r in
+                      ids_df.select(_vp.alias("p")).distinct().collect()}
         if not vparts:
             return 0
         self.index.purge_docs_df(
             spark, ids_df.select(F.col("node").alias("doc_id")),
-            broadcast_victims=broadcast_victims, _pinned=True)
+            broadcast_victims=broadcast_victims, _pinned=True,
+            # the docmap prunes with the same expression iff the meta
+            # pinned the kind (then id_t == the index kind); a
+            # metaless index short-circuits before pruning anyway
+            _victim_parts=(vparts if meta_pinned else None))
         if not _fs_exists(spark, self._node_map_path):
             return 0
         # ALL components the victims ever claimed (every historical
@@ -921,14 +960,16 @@ class StreamingDedupGroups:
         # shared _seq counter otherwise
         tier = (int(purge_batch_id) if purge_batch_id is not None
                 else self._next_tier(spark))
-        relabel_cparts = {r[0] for r in
-                          new_rows.select(
-                              self._id_part(F.col("component")))
-                          .distinct().collect()}
-        relabel_nparts = {r[0] for r in
-                          new_rows.select(
-                              self._id_part(F.col("node")))
-                          .distinct().collect()}
+        # ONE aggregate serves both relabel partition sets (two
+        # collect_sets over the same checkpointed frame — was two
+        # separate distinct-collect jobs; foreachBatch fixed job cost)
+        _rp = new_rows.agg(
+            F.collect_set(self._id_part(F.col("component")))
+            .alias("pc"),
+            F.collect_set(self._id_part(F.col("node")))
+            .alias("pn")).collect()[0]
+        relabel_cparts = set(_rp["pc"])
+        relabel_nparts = set(_rp["pn"])
         n_rewritten = 0
         for base, part_col, key in (
                 (self._labels_path, COMP_PART, "component"),

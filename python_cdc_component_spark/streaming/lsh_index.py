@@ -753,7 +753,9 @@ class StreamingLshIndex:
                     bands.unpersist()
 
     def _purge_docs_collapsed_df(self, spark: SparkSession,
-                                 ids_df: DataFrame, hint) -> int:
+                                 ids_df: DataFrame, hint,
+                                 _victim_parts: set | None = None
+                                 ) -> int:
         """Collapse-mode erasure (DataFrame victims — ``ids_df`` is
         already distinct + pinned; ``hint`` broadcasts it only on the
         list-API path). Non-rep members never banded, so their erasure
@@ -772,9 +774,13 @@ class StreamingLshIndex:
         a crash left intact (docmap rows vanish LAST)."""
         if not _fs_exists(spark, self._docmap_path):
             return 0
-        vparts = sorted(r["p"] for r in
-                        ids_df.select(self._id_part(F.col("doc_id"))
-                                      .alias("p")).distinct().collect())
+        if _victim_parts is not None:
+            vparts = sorted(_victim_parts)
+        else:
+            vparts = sorted(
+                r["p"] for r in
+                ids_df.select(self._id_part(F.col("doc_id"))
+                              .alias("p")).distinct().collect())
         map_paths = [
             p for p in
             (os.path.join(self._docmap_path, f"{DOC_PART_COL}={v}")
@@ -972,7 +978,8 @@ class StreamingLshIndex:
 
     def purge_docs_df(self, spark: SparkSession, victims: DataFrame,
                       broadcast_victims: bool = False,
-                      _pinned: bool = False) -> int:
+                      _pinned: bool = False,
+                      _victim_parts: set | None = None) -> int:
         """DataFrame-victims erasure (the ``purge_vectors_df``
         discipline, VERDICT r11 #1): remove every band row of the docs
         in ``victims`` (any frame with a castable ``doc_id`` column) —
@@ -1008,12 +1015,20 @@ class StreamingLshIndex:
             ids_df = ids_df.distinct().localCheckpoint(eager=True)
         if self.collapse_exact:
             # emptiness gates inside (its victim-partition collect)
-            return self._purge_docs_collapsed_df(spark, ids_df, hint)
+            return self._purge_docs_collapsed_df(spark, ids_df, hint,
+                                                 _victim_parts)
         # the ≤num_buckets partition-id collect doubles as the
-        # emptiness gate (no separate isEmpty job)
-        vparts = sorted(r["p"] for r in
-                        ids_df.select(self._id_part(F.col("doc_id"))
-                                      .alias("p")).distinct().collect())
+        # emptiness gate (no separate isEmpty job); ``_victim_parts``
+        # (internal) carries the identical set when the caller already
+        # folded ``_id_part`` into an aggregate of the same pinned
+        # victims frame
+        if _victim_parts is not None:
+            vparts = sorted(_victim_parts)
+        else:
+            vparts = sorted(
+                r["p"] for r in
+                ids_df.select(self._id_part(F.col("doc_id"))
+                              .alias("p")).distinct().collect())
         if not vparts:
             return 0
         map_paths = []
