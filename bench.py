@@ -664,6 +664,24 @@ def bench_q1_decimal_probe(spark, sf_dir: str) -> dict:
             "delta_sec": round(exact - longs, 3)}
 
 
+def _machine_control(spark) -> float:
+    """Fixed synthetic probe (deterministic range → hash → groupBy →
+    noop): prices raw machine speed + one small shuffle, touching NO
+    benched query. Emitted into the headline doc as noise context
+    (VERDICT r13 #3) so a contaminated window is machine-detectable:
+    round-over-round comparisons can discount windows whose control
+    time or loadavg is elevated. Quiet-machine reference on the round-14
+    dev box: ~0.3-0.5 s; the repo's internal quiet-window criterion
+    (q1_pricing_summary ≤ 2.0 s) corresponds to control ≲ 1.0."""
+    from pyspark.sql import functions as F
+    t0 = time.time()
+    (spark.range(20_000_000)
+          .select(F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k"))
+          .groupBy("k").count()
+          .write.format("noop").mode("overwrite").save())
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -692,6 +710,11 @@ def main() -> None:
     # standard steady-state estimator under noisy-neighbor contention
     # (criterion/JMH practice). N=1 restores single-shot timing.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # noise context (VERDICT r13 #3): loadavg + a fixed synthetic
+    # control bracketing the headline window — additions-only, no
+    # benched query's measured conditions change
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    control_start = _machine_control(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -710,6 +733,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_start": load_start,
+        "load_end": [round(x, 2) for x in os.getloadavg()],
+        "control_start_sec": control_start,
+        "control_end_sec": _machine_control(spark),
     }
     if os.environ.get("SPARK_GRAFT_BENCH_EXTRAS", "1") != "0":
         # extras go on their OWN line, printed BEFORE the core doc:

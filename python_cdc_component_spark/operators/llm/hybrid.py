@@ -182,6 +182,24 @@ def exact_group_keyed(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return keyed, collapsed
 
 
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15, ...) → DISTINCT candidate pairs (da, db) with
+    da < db: the LSH band self-join stage, factored out so its plan can
+    be inspected standalone (plans/r14). Extra input columns are
+    ignored (band_table projects what it needs), so the one-pass
+    ``with_set`` stats table feeds this directly. NOT pinned here —
+    the caller decides (hybrid checkpoints it eagerly: three downstream
+    consumers)."""
+    bands = band_table(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"))
+            .distinct())
+
+
 def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
                       threshold_den: int = 5) -> DataFrame:
     """(doc_id, text) → one keeper row per verified near-dup component:
@@ -194,15 +212,16 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
     exact integer math: ``den·|A∩B| ≥ num·(|A|+|B|−|A∩B|)``.
 
     One shingle pass serves everything: MIN over duplicates equals MIN
-    over distincts, so the DISTINCT (tkey, v) table feeds the minhash
-    signatures, the per-group set sizes, and the intersection counts —
-    and the set size rides the SAME aggregation as the signatures
-    (``with_count``), so the corpus-wide passes over the shingle table
-    are exactly two: the distinct build and the sig+size agg. Every
-    verify join runs on the candidate-pruned slice, and all LSH/verify
-    work happens at exact-text-GROUP granularity (see the module
-    docstring's boilerplate guard) — duplicate texts cost their
-    map-side shingle hashing and nothing downstream.
+    over distincts and collect_set IS the distinct, so a single
+    group-keyed aggregation (``with_set``) emits the minhash
+    signatures, the per-group distinct shingle set (whose size is the
+    exact-Jaccard denominator input and whose explode is the verify
+    stage's shingle table) — the corpus-wide pass over the shingle
+    rows is exactly ONE exchange (r14; was two: distinct build + sig
+    agg). Every verify join runs on the candidate-pruned slice, and
+    all LSH/verify work happens at exact-text-GROUP granularity (see
+    the module docstring's boilerplate guard) — duplicate texts cost
+    their map-side shingle hashing and nothing downstream.
 
     The threshold must be a valid Jaccard bound (0 ≤ num/den ≤ 1):
     the collapse merges text-identical docs BEFORE verification, which
@@ -218,14 +237,21 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
     # docs_n projection — no persist: it has exactly one consumer);
     # collapsed feeds shingling with tkey as the node id
     keyed, collapsed = exact_group_keyed(docs)
-    # distinct shingle table: one (tkey, v) shuffle, cached — feeds
-    # the sig+size agg and the candidate-slice semi-join; duplicate
-    # texts collapse in the distinct's map-side partial
-    sh = persist_once(shingle_hashes(collapsed).distinct())
-    # h0..h15 AND the Jaccard set size in one aggregation pass
-    stats = persist_once(signatures_from_hashes(sh, with_count=True))
-    bands = band_table(stats.drop("n"))
-    a, b = bands.alias("a"), bands.alias("b")
+    # ONE group-keyed corpus aggregation serves every shingle-table
+    # consumer (r14, guide §2.3/§2.4): h0..h15 (min is duplicate-
+    # insensitive), the exact-Jaccard set size (size(vs)) and the
+    # verify stage's distinct shingle slice (explode(vs)) — replacing
+    # the r7-r13 shape's TWO sequential corpus exchanges (the (tkey, v)
+    # distinct, then the per-tkey sig+size agg) with one. The
+    # boilerplate guard is preserved: collect_set aggregates partially
+    # map-side, so duplicate texts' identical shingle rows fold into
+    # one set entry per map partition BEFORE the shuffle — a
+    # million-copy page still costs its map-side hashing, never a
+    # million-row hot-key exchange. Skew stays doc-bounded: one
+    # reducer merges at most (map partitions touching the group) set
+    # copies, each ≤ the text's distinct-shingle count.
+    sets = persist_once(signatures_from_hashes(shingle_hashes(collapsed),
+                                               with_set=True))
     # eager pin, not persist: the candidate list is tiny (true LSH
     # collisions only, and never intra-exact-group) but feeds THREE
     # consumers (the id slice, the verify join, and — through edges —
@@ -233,21 +259,16 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
     # cache referenced several times inside one downstream job
     # re-computes the band self-join per reference (measured 2.5×
     # whole-operator cost), an eager checkpoint makes it a flat scan
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bv") == F.col("b.bv"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("da"),
-                    F.col("b.doc_id").alias("db"))
-            .distinct()
-            .localCheckpoint(eager=True))
-    # one pass over the cached shingle table prunes it to the groups
+    cand = lsh_candidate_pairs(sets).localCheckpoint(eager=True)
+    # one pass over the cached per-group sets prunes them to the groups
     # any candidate pair touches — the verify joins below then run on
     # the candidate footprint only, never the corpus
     cand_ids = (cand.select(F.col("da").alias("doc_id"))
                 .unionByName(cand.select(F.col("db").alias("doc_id")))
                 .distinct())
     sh_cand = persist_once(
-        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi"))
+        sets.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            .select("doc_id", F.explode("vs").alias("v")))
     # exact verify: |A∩B| by joining the edge list to each endpoint's
     # shingle slice
     inter = (cand
@@ -257,7 +278,7 @@ def hybrid_dedup_keep(docs: DataFrame, threshold_num: int = 3,
                    ["db", "v"])
              .groupBy("da", "db")
              .agg(F.count(F.lit(1)).alias("ni")))
-    cnt = stats.select("doc_id", "n")
+    cnt = sets.select("doc_id", F.size("vs").cast("long").alias("n"))
     edges = (inter
              .join(cnt.select(F.col("doc_id").alias("da"),
                               F.col("n").alias("na")), "da")

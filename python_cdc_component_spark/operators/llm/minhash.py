@@ -45,19 +45,30 @@ def shingle_hashes(docs: DataFrame) -> DataFrame:
 
 
 def signatures_from_hashes(hashed: DataFrame,
-                           with_count: bool = False) -> DataFrame:
+                           with_count: bool = False,
+                           with_set: bool = False) -> DataFrame:
     """(doc_id, v) → (doc_id, h0..h15). MIN is duplicate-insensitive,
     so feeding DISTINCT (doc_id, v) rows yields the identical
     signature — the hybrid operator exploits that to serve signatures
     AND exact-Jaccard set sizes from ONE deduplicated shingle table.
     ``with_count`` appends ``n`` = COUNT(*) in the SAME aggregation
     (meaningful as the set size only over distinct input) so callers
-    needing both never pay a second pass over the shingle table."""
+    needing both never pay a second pass over the shingle table.
+    ``with_set`` appends ``vs`` = collect_set(v) — the per-doc DISTINCT
+    shingle set — so ONE doc-keyed exchange over RAW (duplicate-bearing)
+    shingle rows serves signatures, exact-Jaccard set sizes
+    (``size(vs)``) and the verify stage's distinct shingle table
+    (``explode(vs)``), replacing the separate (doc_id, v)-keyed distinct
+    exchange (guide §2.3/§2.4). collect_set aggregates PARTIALLY
+    map-side, so duplicate shingles (and whole duplicate texts under
+    hybrid's exact-group collapse) still fold before the shuffle."""
     aggs = [F.min((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(MINHASH_P))
              .alias(f"h{j}")
             for j, (a, b) in enumerate(MINHASH_AB)]
     if with_count:
         aggs.append(F.count(F.lit(1)).alias("n"))
+    if with_set:
+        aggs.append(F.collect_set("v").alias("vs"))
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
